@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.functions.{HashFns, Portable, TextFns, VectorFns}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity / near-duplicate family.
+  *
+  * The reference computes collection similarity with a driver-side O(n²)
+  * pandas loop (update_etl.py:1438 generate_collection_similarity); here
+  * every variant is a distributed join bounded by a blocking key (shared
+  * member / LSH band / SRP bucket / label), which is what survives 100 TB.
+  */
+object Similarity {
+
+  /** Pairwise Jaccard of per-key member sets via co-occurrence join:
+    * `sets` = (key, member) distinct pairs. Only key pairs sharing >= 1
+    * member are materialized (never the full key × key square).
+    * Output: key_a, key_b, size_a, size_b, intersection, jaccard.
+    */
+  def jaccardPairs(sets: DataFrame, keyCol: String, memberCol: String): DataFrame = {
+    val s = sets.select(col(keyCol).as("key"), col(memberCol).as("member")).distinct()
+    val sizes = s.groupBy(col("key")).agg(count(lit(1)).as("sz"))
+    val inter = s.as("a").join(s.as("b"),
+        col("a.member") === col("b.member") && col("a.key") < col("b.key"))
+      .groupBy(col("a.key").as("key_a"), col("b.key").as("key_b"))
+      .agg(count(lit(1)).as("intersection"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("sz", "size_a")).as("sa"), col("key_a") === col("sa.key"))
+      .join(broadcast(sizes.withColumnRenamed("sz", "size_b")).as("sb"), col("key_b") === col("sb.key"))
+      .select(col("key_a"), col("key_b"), col("size_a"), col("size_b"), col("intersection"),
+        Portable.q6(col("intersection") * lit(1.0) /
+          (col("size_a") + col("size_b") - col("intersection"))).as("jaccard"))
+  }
+
+  /** (id, shingle) distinct pairs for a documents frame. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(array_distinct(TextFns.shingles(col(textCol), n))).as("shingle"))
+
+  /** MinHash signatures: one row per (id, seed) with the min salted 32-bit
+    * hash over the id's shingle set. numSeeds hashes via explode — a single
+    * groupBy(id, seed) shuffle with map-side partial min.
+    */
+  def minHashSignatures(shingles: DataFrame, numSeeds: Int): DataFrame =
+    shingles
+      .select(col("id"), explode(sequence(lit(0), lit(numSeeds - 1))).as("seed"),
+        col("shingle"))
+      .select(col("id"), col("seed"), HashFns.saltedHash32(col("shingle"), col("seed")).as("h"))
+      .groupBy(col("id"), col("seed"))
+      .agg(min(col("h")).as("minh"))
+
+  /** LSH banding: group `rowsPerBand` consecutive signature rows into a band
+    * key; ids sharing any band key become candidate pairs.
+    */
+  def lshCandidates(signatures: DataFrame, rowsPerBand: Int): DataFrame = {
+    val banded = signatures
+      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .groupBy(col("id"), col("band"))
+      // deterministic band key: min-hash values in seed order
+      .agg(concat_ws("_", sort_array(collect_list(struct(col("seed"), col("minh"))))
+        .getField("minh").cast("array<string>")).as("band_key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates + exact shingle-set
+    * Jaccard verification of each candidate pair.
+    */
+  def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int, numSeeds: Int, rowsPerBand: Int): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, shingleN).cache()
+    val cands = lshCandidates(minHashSignatures(sh, numSeeds), rowsPerBand)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(sh.as("sa"), col("id_a") === col("sa.id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("intersection"))
+    cands.join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("intersection"))
+      .join(sizes.withColumnRenamed("sz", "size_a").withColumnRenamed("id", "__ia"), col("id_a") === col("__ia"))
+      .join(sizes.withColumnRenamed("sz", "size_b").withColumnRenamed("id", "__ib"), col("id_b") === col("__ib"))
+      .select(col("id_a"), col("id_b"), col("size_a"), col("size_b"), col("intersection"),
+        Portable.q6(col("intersection") * lit(1.0) /
+          (col("size_a") + col("size_b") - col("intersection"))).as("jaccard"))
+  }
+
+  /** SimHash signature (nBits <= 32) over the distinct word set:
+    * bit b of the signature is 1 iff sum over words of ±1 (per word-hash
+    * bit b) is positive. Expressed with a bit-position explode so the whole
+    * computation is two codegen'd aggregations.
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String, nBits: Int): DataFrame = {
+    val wordHash = docs
+      .select(col(idCol).as("id"), explode(array_distinct(TextFns.words(col(textCol)))).as("word"))
+      .select(col("id"), HashFns.md5Long(col("word"), (nBits + 3) / 4).as("wh"))
+    wordHash
+      .select(col("id"), col("wh"), explode(sequence(lit(0), lit(nBits - 1))).as("b"))
+      .withColumn("contrib", when(expr("shiftright(wh, b)") % 2 === 1, 1).otherwise(-1))
+      .groupBy(col("id"), col("b")).agg(sum(col("contrib")).as("s"))
+      .groupBy(col("id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+  }
+
+  /** Brute-force cosine top-k: exact baseline. `queries` is expected to be
+    * small (it is broadcast); similarity is ranked on the ROUNDED score with
+    * an id tiebreak so results are reproducible across engines.
+    */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                 vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), VectorFns.asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), VectorFns.asDouble(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Portable.q6(VectorFns.cosine(col("qv"), col("cv"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Embedding near-dup pairs within a blocking key (exact within block). */
+  def nearDupWithin(emb: DataFrame, idCol: String, vecCol: String,
+                    blockCol: String, minCosine: Double): DataFrame = {
+    val e = emb.select(col(blockCol).as("block"), col(idCol).as("id"),
+      VectorFns.asDouble(col(vecCol)).as("v"))
+    e.as("a").join(e.as("b"), col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .select(col("a.block").as("block"), col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Portable.q6(VectorFns.cosine(col("a.v"), col("b.v"))).as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+
+  /** Scale path for near-dup: SRP-bucket first (candidates only within the
+    * same (block, srp) bucket). Recall < 1 by construction; used when the
+    * exact within-block square is too large.
+    */
+  def nearDupSRP(emb: DataFrame, idCol: String, vecCol: String, blockCol: String,
+                 minCosine: Double, srpBits: Int): DataFrame = {
+    val e = emb.select(col(blockCol).as("block"), col(idCol).as("id"),
+        VectorFns.asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", VectorFns.srpBucket(col("v"), srpBits, "srp-v1"))
+    e.as("a").join(e.as("b"),
+        col("a.block") === col("b.block") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.block").as("block"), col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Portable.q6(VectorFns.cosine(col("a.v"), col("b.v"))).as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+}
