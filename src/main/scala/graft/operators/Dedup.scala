@@ -36,4 +36,14 @@ object Dedup {
   def exactByContent(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup after word-set canonicalization (sorted distinct words):
+    * catches reorder/repeat edits that raw-byte hashing misses while still
+    * being a single hash-groupBy — the standard cheap normalization step
+    * before MinHash in a training-data dedup cascade.
+    */
+  def exactByCanonicalWords(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(concat_ws(" ",
+        array_sort(array_distinct(split(col(textCol), " "))))).as("text_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 }

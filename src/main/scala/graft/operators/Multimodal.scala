@@ -1,0 +1,78 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column pipeline.
+  *
+  * Media is carried as an opaque `binary` column plus typed metadata — the
+  * storage model a 100 TB training-data pipeline uses (media bytes stay in
+  * parquet/iceberg binary columns; decode happens distributed, per
+  * partition, never on the driver).
+  *
+  * The decode step itself requires codec libraries not present in this
+  * environment, so [[decodeStub]] is a clearly-marked STUB producing
+  * deterministic fake features from a content hash. Everything around it —
+  * schema, encoder, partition-wise batching, the `Dataset[T]` plumbing — is
+  * real and is exactly what a JNI/FFmpeg-backed decoder would plug into.
+  */
+object Multimodal {
+
+  /** Typed per-asset features produced by the (stubbed) decoder. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      content_hash: String,
+      width: Int,
+      height: Int,
+      n_frames: Long)
+
+  /** Attach the opaque binary payload column (here: utf-8 bytes of `text`;
+    * in production: the raw media bytes read from the object store).
+    */
+  def withPayload(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(textCol).cast("binary").as("payload"))
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(bytes).map("%02x".format(_)).mkString
+
+  /** STUB decoder: deterministic fake "decode" deriving width/height/frames
+    * from the content hash. A real implementation replaces ONLY the body of
+    * `decodeOne` with a codec call (e.g. JNI ffmpeg frame probe); the
+    * partition-wise iterator shape — one initialization per partition,
+    * streaming over rows, no driver collection — is the production shape.
+    */
+  def decodeStub(spark: SparkSession, withBinary: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    withBinary.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition init happens here (codec contexts, buffers, …)
+        val md = MessageDigest.getInstance("MD5")
+        rows.map { case (id, bytes) =>
+          md.reset()
+          val hex = md.digest(bytes).map("%02x".format(_)).mkString
+          decodeOne(id, bytes, hex)
+        }
+      }
+  }
+
+  /** ??? real decode goes here — STUB: hash-derived deterministic fake. */
+  private def decodeOne(id: Long, bytes: Array[Byte], hex: String): MediaFeatures =
+    MediaFeatures(
+      doc_id = id,
+      n_bytes = bytes.length.toLong,
+      content_hash = hex,
+      width = (java.lang.Long.parseLong(hex.substring(0, 3), 16) % 1280).toInt,
+      height = (java.lang.Long.parseLong(hex.substring(3, 6), 16) % 720).toInt,
+      n_frames = bytes.length.toLong / 1024L + 1L)
+
+  /** Deterministic frame sampling plan: every `stride`-th frame index up to
+    * `nFrames` — the "frame-sample" op of a video pipeline, computed
+    * declaratively (codegen'd `sequence`, no UDF).
+    */
+  def frameSamplePlan(features: DataFrame, stride: Int): DataFrame =
+    features.select(col("doc_id"), col("n_frames"),
+      sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)).as("sampled_frames"))
+}

@@ -89,6 +89,29 @@ object Similarity {
           (col("size_a") + col("size_b") - col("intersection"))).as("jaccard"))
   }
 
+  /** Word n-gram Jaccard near-dups scoped to a blocking column (e.g.
+    * source): pairs only form inside a block, so the join is bounded by the
+    * largest block, never the corpus square. Exact within the block.
+    */
+  def ngramNearDups(docs: DataFrame, idCol: String, textCol: String,
+                    blockCol: String, n: Int, minJaccard: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), col(blockCol).as("block"),
+      explode(array_distinct(TextFns.shingles(col(textCol), n))).as("shingle"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.block") === col("b.block") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("intersection"))
+    inter
+      .join(sizes.withColumnRenamed("sz", "size_a").withColumnRenamed("id", "__ia"), col("id_a") === col("__ia"))
+      .join(sizes.withColumnRenamed("sz", "size_b").withColumnRenamed("id", "__ib"), col("id_b") === col("__ib"))
+      .select(col("id_a"), col("id_b"), col("size_a"), col("size_b"), col("intersection"),
+        Portable.q6(col("intersection") * lit(1.0) /
+          (col("size_a") + col("size_b") - col("intersection"))).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
   /** SimHash signature (nBits <= 32) over the distinct word set:
     * bit b of the signature is 1 iff sum over words of ±1 (per word-hash
     * bit b) is positive. Expressed with a bit-position explode so the whole

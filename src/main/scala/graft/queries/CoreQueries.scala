@@ -142,9 +142,11 @@ object CoreQueries {
     },
 
     "q13_new_users" -> { (s, d) =>
+      // anti-join novelty: registered users with no activity yet (the
+      // reference's mark-new-contracts anti-join shape, update_etl.py:177).
       val t = Tables(s, d)
-      t.events.select(col("user_id")).distinct()
-        .join(t.customer.select(col("c_custkey")), col("user_id") === col("c_custkey"), "left_anti")
+      t.customer.select(col("c_custkey").as("user_id"))
+        .join(t.events.select(col("user_id")).distinct(), Seq("user_id"), "left_anti")
     },
 
     "q14_activity_gaps" -> { (s, d) =>
@@ -313,8 +315,9 @@ object CoreQueries {
         |FROM events WHERE event_type = 'view' GROUP BY 1, 2""".stripMargin,
 
     "q13_new_users" ->
-      """SELECT DISTINCT e.user_id FROM events e
-        |LEFT JOIN customer c ON e.user_id = c.c_custkey WHERE c.c_custkey IS NULL""".stripMargin,
+      """SELECT c.c_custkey AS user_id FROM customer c
+        |LEFT JOIN (SELECT DISTINCT user_id FROM events) e ON c.c_custkey = e.user_id
+        |WHERE e.user_id IS NULL""".stripMargin,
 
     "q14_activity_gaps" ->
       """SELECT user_id, min(CAST(ts AS DATE)) AS first_day, max(CAST(ts AS DATE)) AS last_day,

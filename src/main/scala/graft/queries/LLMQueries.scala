@@ -1,0 +1,233 @@
+package graft.queries
+
+import graft.functions.{HashFns, Portable, TextFns}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline surface (SURVEY.md §2, rows 20-30): dedup
+  * cascade (exact → minhash/LSH → simhash → n-gram), ANN, text analysis,
+  * fingerprinting, multimodal binary plumbing — all over the synthetic
+  * `documents` / `embeddings` tables.
+  *
+  * Portability contract is the same as CoreQueries: md5-based hashing,
+  * floor-quantized floats, deterministic tiebreaks everywhere.
+  */
+object LLMQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  // Shared MinHash-LSH parameters (q21): word-trigram shingles, 12 hashes
+  // in 4 bands of 3 — tuned so jaccard≈0.98 planted near-dups are certain
+  // candidates while random pairs (j≈0.01) never band-collide.
+  private val ShingleN = 3
+  private val NumSeeds = 12
+  private val RowsPerBand = 3
+
+  val queries: Map[String, Q] = Map(
+    "q20_dedup_exact" -> { (s, d) =>
+      Dedup.exactByCanonicalWords(Tables(s, d).documents, "doc_id", "text")
+    },
+
+    "q21_minhash_pairs" -> { (s, d) =>
+      Similarity.minHashNearDups(Tables(s, d).documents, "doc_id", "text",
+        ShingleN, NumSeeds, RowsPerBand)
+    },
+
+    "q22_simhash" -> { (s, d) =>
+      // 16-bit signature for the oracle check; the library form supports
+      // up to 32 bits with the identical construction.
+      Similarity.simHash(Tables(s, d).documents, "doc_id", "text", 16)
+        .select(col("id").as("doc_id"), col("simhash"))
+    },
+
+    "q23_ngram_jaccard" -> { (s, d) =>
+      Similarity.ngramNearDups(Tables(s, d).documents, "doc_id", "text",
+        blockCol = "source", n = 2, minJaccard = 0.05)
+    },
+
+    "q24_ann_cosine" -> { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      Similarity.cosineTopK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", 5)
+    },
+
+    "q25_lang_id" -> { (s, d) =>
+      val hits = TextFns.langKeywords.toSeq.sortBy(_._1).map { case (reg, kws) =>
+        reg -> TextFns.keywordHits(col("text"), kws).cast("bigint")
+      }
+      val Seq(hp, hs, hq) = hits.map(_._2)
+      Tables(s, d).documents.select(
+        col("doc_id"),
+        size(TextFns.words(col("text"))).cast("bigint").as("n_words"),
+        hp.as("hits_plain"), hs.as("hits_sparkish"), hq.as("hits_sqlish"),
+        when(hp >= hs && hp >= hq, "plain")
+          .when(hs >= hq, "sparkish").otherwise("sqlish").as("register"))
+    },
+
+    "q26_quality_score" -> { (s, d) =>
+      val w = TextFns.words(col("text"))
+      val nWords = size(w).cast("bigint")
+      val uniqRatio = Portable.q6(size(array_distinct(w)) / nWords)
+      val stopRatio = Portable.q6(
+        TextFns.keywordHits(col("text"), Seq("the", "a")) / nWords)
+      val avgWl = Portable.q6((col("n_chars") - nWords + 1) / nWords)
+      Tables(s, d).documents.select(
+        col("doc_id"), nWords.as("n_words"),
+        uniqRatio.as("uniq_ratio"), stopRatio.as("stop_ratio"), avgWl.as("avg_word_len"),
+        Portable.q6(uniqRatio * 0.3 + (lit(1.0) - stopRatio) * 0.3 +
+          least(nWords / 100.0, lit(1.0)) * 0.2 +
+          least(avgWl / 8.0, lit(1.0)) * 0.2).as("quality_score"))
+    },
+
+    "q27_token_count" -> { (s, d) =>
+      Tables(s, d).documents.select(
+        col("doc_id"),
+        size(TextFns.words(col("text"))).cast("bigint").as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).cast("bigint").as("n_re_tokens"),
+        ceil(col("n_chars") / 4.0).cast("bigint").as("n_subword_est"))
+    },
+
+    "q28_fingerprint" -> { (s, d) =>
+      // position-salted xor fingerprint (rolling-hash family): order-
+      // sensitive (unlike the canonical-word-set hash of q20) yet still a
+      // single codegen'd projection — no shuffle at all.
+      val hashed = transform(TextFns.words(col("text")),
+        (word, i) => HashFns.md5Long(concat(word, lit(":"), i.cast("string")), 15))
+      Tables(s, d).documents.select(
+        col("doc_id"),
+        aggregate(hashed, lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("fingerprint"))
+    },
+
+    "q29_embedding_near_dup" -> { (s, d) =>
+      Similarity.nearDupWithin(Tables(s, d).embeddings, "vec_id", "embedding",
+        blockCol = "label", minCosine = 0.35)
+    },
+
+    "q30_binary_pipeline" -> { (s, d) =>
+      val withBin = Multimodal.withPayload(Tables(s, d).documents, "doc_id", "text")
+      Multimodal.decodeStub(s, withBin).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("content_hash"),
+          col("width"), col("height"), col("n_frames"))
+    }
+  )
+
+  /** DuckDB spellings of the identical computations. Shared CTE fragments
+    * inline the Spark-side constants (shingle n, seeds, bands).
+    */
+  val oracles: Map[String, String] = Map(
+    "q20_dedup_exact" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS text_hash,
+        |  min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q21_minhash_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3
+        |        THEN list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])
+        |        ELSE [] END) AS shingle FROM toks),
+        |mh AS (SELECT doc_id, seed,
+        |        min(('0x'||substr(md5(shingle||'#'||CAST(seed AS VARCHAR)),1,8))::BIGINT) AS minh
+        |       FROM sh, (SELECT unnest(range(0,12)) AS seed) GROUP BY 1,2),
+        |banded AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+        |        string_agg(CAST(minh AS VARCHAR), '_' ORDER BY seed) AS band_key
+        |       FROM mh GROUP BY 1,2),
+        |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |       FROM banded a JOIN banded b
+        |         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT c.id_a, c.id_b, count(sb.shingle) AS intersection
+        |       FROM cands c
+        |       JOIN sh sa ON c.id_a = sa.doc_id
+        |       LEFT JOIN sh sb ON c.id_b = sb.doc_id AND sa.shingle = sb.shingle
+        |       GROUP BY 1,2)
+        |SELECT i.id_a, i.id_b, za.sz AS size_a, zb.sz AS size_b, i.intersection,
+        |  floor((i.intersection * 1.0 / (za.sz + zb.sz - i.intersection)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+        |FROM inter i JOIN sizes za ON i.id_a = za.doc_id JOIN sizes zb ON i.id_b = zb.doc_id""".stripMargin,
+
+    "q22_simhash" ->
+      """WITH wh AS (SELECT doc_id, ('0x'||substr(md5(word),1,4))::BIGINT AS wh
+        |       FROM (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS word FROM documents)),
+        |bits AS (SELECT doc_id, b, sum(CASE WHEN (wh >> b) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        |       FROM wh, (SELECT unnest(range(0,16)) AS b) GROUP BY 1,2)
+        |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY 1""".stripMargin,
+
+    "q23_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source, unnest(CASE WHEN len(w) >= 2
+        |        THEN list_transform(range(1, len(w)), i -> w[i]||' '||w[i+1])
+        |        ELSE [] END) AS shingle FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
+        |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source = b.source
+        |         AND a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT * FROM (
+        |  SELECT i.id_a, i.id_b, za.sz AS size_a, zb.sz AS size_b, i.intersection,
+        |    floor((i.intersection * 1.0 / (za.sz + zb.sz - i.intersection)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+        |  FROM inter i JOIN sizes za ON i.id_a = za.doc_id JOIN sizes zb ON i.id_b = zb.doc_id)
+        |WHERE jaccard >= 0.05""".stripMargin,
+
+    "q24_ann_cosine" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |scored AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+        |    floor(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+        |SELECT * FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+
+    "q25_lang_id" ->
+      """WITH h AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','fast','slow','small','big','key','value'))) AS BIGINT) AS hits_plain,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x IN ('spark','stream','batch','window','vector','row','column','dup'))) AS BIGINT) AS hits_sparkish,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x IN ('table','join','query','filter','group','agg','sort','merge'))) AS BIGINT) AS hits_sqlish
+        | FROM documents)
+        |SELECT doc_id, n_words, hits_plain, hits_sparkish, hits_sqlish,
+        |  CASE WHEN hits_plain >= hits_sparkish AND hits_plain >= hits_sqlish THEN 'plain'
+        |       WHEN hits_sparkish >= hits_sqlish THEN 'sparkish' ELSE 'sqlish' END AS register
+        |FROM h""".stripMargin,
+
+    "q26_quality_score" ->
+      """WITH f AS (SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+        |  floor((len(list_distinct(string_split(text,' '))) / len(string_split(text,' '))) * 1000000.0 + 0.5) / 1000000.0 AS uniq_ratio,
+        |  floor((len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) / len(string_split(text,' '))) * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
+        |  floor(((n_chars - len(string_split(text,' ')) + 1) / len(string_split(text,' '))) * 1000000.0 + 0.5) / 1000000.0 AS avg_word_len
+        | FROM documents)
+        |SELECT doc_id, n_words, uniq_ratio, stop_ratio, avg_word_len,
+        |  floor((uniq_ratio * 0.3 + (1.0 - stop_ratio) * 0.3 +
+        |         least(n_words / 100.0, 1.0) * 0.2 + least(avg_word_len / 8.0, 1.0) * 0.2) * 1000000.0 + 0.5) / 1000000.0 AS quality_score
+        |FROM f""".stripMargin,
+
+    "q27_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_re_tokens,
+        |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_subword_est
+        |FROM documents""".stripMargin,
+
+    "q28_fingerprint" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |pos AS (SELECT doc_id, unnest(w) AS word, unnest(range(1, len(w)+1)) AS i FROM toks)
+        |SELECT doc_id,
+        |  bit_xor(('0x'||substr(md5(word||':'||CAST(i-1 AS VARCHAR)),1,15))::BIGINT) AS fingerprint
+        |FROM pos GROUP BY 1""".stripMargin,
+
+    "q29_embedding_near_dup" ->
+      """SELECT * FROM (
+        |  SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.35""".stripMargin,
+
+    "q30_binary_pipeline" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_hash,
+        |  CAST(('0x'||substr(md5(text),1,3))::BIGINT % 1280 AS INT) AS width,
+        |  CAST(('0x'||substr(md5(text),4,3))::BIGINT % 720 AS INT) AS height,
+        |  CAST(octet_length(text::BLOB) // 1024 + 1 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin
+  )
+}
