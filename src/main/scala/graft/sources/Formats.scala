@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink formats beyond the default parquet tables: CSV and JSON
+  * readers/writers (the reference round-trips CSVs for bulk loads,
+  * etl_utls.py export_to_csv/import_from_csv) plus partitioned-parquet
+  * writes (the production layout every incremental job appends into).
+  *
+  * Readers always take an explicit schema: schema inference reads the data
+  * twice and can silently drift between runs — never acceptable in a
+  * pipeline at scale.
+  */
+object Formats {
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("mode", "FAILFAST")
+      .csv(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Partitioned parquet write — the production fact-table layout. Daily
+    * jobs overwrite only the partitions they touched (dynamic mode), the
+    * exact replacement for the reference's current-day delete+reload.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+  }
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

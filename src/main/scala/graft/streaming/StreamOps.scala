@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface: the streaming analogs of the batch
+  * incremental loads the reference runs daily (terminal-timestamp
+  * incremental pulls, etl_utls.py:328; current-day delete+reload).
+  *
+  * Batch jobs re-run the day; streams keep running state. Same logical
+  * results, expressed with watermarked windows (bounded state, late data
+  * dropped deterministically) and typed stateful sessionization.
+  */
+object StreamOps {
+
+  /** Tumbling-window per-key counts/sums with a watermark bounding state:
+    * the streaming form of q12's daily rollup. State per (key, window) is
+    * dropped once the watermark passes window end — O(active windows), not
+    * O(history), which is what lets this run forever at production rates.
+    */
+  def windowedRollup(events: DataFrame, tsCol: String, keyCol: String,
+                     valueCol: String, windowDur: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("total_value"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col(keyCol), col("n_events"), col("total_value"))
+
+  final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  final case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+                           n_events: Long, total_value: Double)
+
+  /** Stateful gap-based sessionization: the streaming twin of the batch
+    * `Sessionize` operator. A session closes when the event-time watermark
+    * passes `last event + gapSeconds` — deterministic (no wall-clock
+    * dependence), replayable, and state per key is a single running
+    * session: O(1) per user regardless of history length.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long,
+                 watermarkDelay: String = "10 seconds"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    def update(userId: Long, rows: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
+      } else {
+        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        var closed = List.empty[Session]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.last <= gapMs =>
+              cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))
+            case Some(s) =>
+              closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // close once the watermark passes the session's gap horizon
+          state.setTimeoutTimestamp(s.last + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events.withWatermark("ts", watermarkDelay)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Streaming dedup on an id column with watermark-bounded state — the
+    * streaming analog of the batch latest-by-key dedup (exactly-once sinks
+    * get at-most-once per id within the watermark horizon).
+    */
+  def dedupByIdWithinWatermark(events: DataFrame, tsCol: String, idCol: String,
+                               watermarkDelay: String): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay).dropDuplicates(idCol, tsCol)
+}

@@ -1,0 +1,46 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class FormatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("score", DoubleType)))
+
+  test("CSV round-trip preserves rows under explicit schema") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")
+    Formats.writeCsv(df, s"$dir/out")
+    val back = Formats.readCsv(spark, s"$dir/out", schema)
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(back.toSeq == Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+  }
+
+  test("JSONL round-trip preserves rows") {
+    val dir = Files.createTempDirectory("graft-json").toString
+    val df = Seq((1L, "x", 0.25)).toDF("id", "name", "score")
+    Formats.writeJsonl(df, s"$dir/out")
+    val back = Formats.readJsonl(spark, s"$dir/out", schema)
+      .as[(Long, String, Double)].collect()
+    assert(back.toSeq == Seq((1L, "x", 0.25)))
+  }
+
+  test("partitioned write prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    val df = Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0))
+      .toDF("id", "day", "v")
+    Formats.writePartitioned(df, s"$dir/t", Seq("day"))
+    val pruned = Formats.readParquet(spark, s"$dir/t").where(col("day") === "2024-01-01")
+    assert(pruned.select("id").as[Long].collect().toSeq == Seq(1L))
+    // dynamic overwrite replaces only the touched partition
+    Formats.writePartitioned(Seq((3L, "2024-01-02", 9.0)).toDF("id", "day", "v"), s"$dir/t", Seq("day"))
+    val all = Formats.readParquet(spark, s"$dir/t").select("id").as[Long].collect().sorted
+    assert(all.toSeq == Seq(1L, 3L))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedRollup aggregates per tumbling window with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "value")
+    val q = StreamOps.windowedRollup(df, "ts", "user_id", "value", "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("rollup").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), 1L, 5.0),
+        (ts("2024-01-01 10:35:00"), 1L, 7.0),
+        (ts("2024-01-01 11:05:00"), 1L, 1.0))
+      q.processAllAvailable()
+      // advance watermark far past the 10:00 window so it emits in Append mode
+      input.addData((ts("2024-01-01 13:00:00"), 2L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("rollup")
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows.contains((1L, 2L, 12.0))) // the closed 10:00-11:00 window
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session when the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.Event]
+    val q = StreamOps.sessionize(input.toDS(), gapSeconds = 60, watermarkDelay = "0 seconds")
+      .writeStream
+      .format("memory").queryName("sessions").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        StreamOps.Event(1L, ts("2024-01-01 10:00:00"), 2.0),
+        StreamOps.Event(1L, ts("2024-01-01 10:00:30"), 3.0))
+      q.processAllAvailable()
+      // a much-later event advances the watermark past 10:01:30 → user 1's
+      // session times out on the following batch
+      input.addData(StreamOps.Event(2L, ts("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      input.addData(StreamOps.Event(2L, ts("2024-01-01 12:00:10"), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows.contains((1L, 2L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("in-batch gap split closes the earlier session immediately") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.Event]
+    val q = StreamOps.sessionize(input.toDS(), gapSeconds = 60).writeStream
+      .format("memory").queryName("sessions2").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        StreamOps.Event(5L, ts("2024-01-01 10:00:00"), 1.0),
+        StreamOps.Event(5L, ts("2024-01-01 10:00:30"), 1.0),
+        StreamOps.Event(5L, ts("2024-01-01 11:00:00"), 9.0)) // >60s gap → closes first
+      q.processAllAvailable()
+      val rows = spark.table("sessions2")
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows == Set((5L, 2L, 2.0)))
+    } finally q.stop()
+  }
+}
