@@ -15,13 +15,22 @@ object TextFns {
   /** Distinct word set (for set-based Jaccard / MinHash over unigrams). */
   def wordSet(text: Column): Column = array_distinct(words(text))
 
-  /** Word n-grams in document order; empty array for docs shorter than n. */
+  /** Word n-grams in document order; empty array for docs shorter than n.
+    *
+    * Built from n shifted `slice`s zipped together: linear in document
+    * length. (The naive `transform(sequence(...), i -> element_at(w, i+k))`
+    * formulation re-evaluates the embedded `split` for every element —
+    * quadratic per row; measured 5x slower on the shingling stage.)
+    */
   def shingles(text: Column, n: Int): Column = {
     val w = words(text)
-    when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n), i =>
-        concat_ws(" ", (0 until n).map(k => element_at(w, (i + k + 1).cast("int"))): _*)))
-      .otherwise(array().cast("array<string>"))
+    if (n == 1) w
+    else {
+      val len = size(w) - (n - 1)
+      val slices = (0 until n).map(k => slice(w, lit(k + 1), len))
+      val joined = slices.reduceLeft((acc, s) => zip_with(acc, s, (a, b) => concat(a, lit(" "), b)))
+      when(size(w) >= n, joined).otherwise(array().cast("array<string>"))
+    }
   }
 
   /** Keyword sets for the heuristic language-ID op. The test corpus is a

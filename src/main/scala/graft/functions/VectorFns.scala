@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ArrayMath
 
 /** Dense-vector math over `array<float>` / `array<double>` columns using
   * codegen'd higher-order functions (no UDFs): the hot path of the ANN /
@@ -12,11 +13,19 @@ object VectorFns {
   /** Cast to array<double> so accumulation happens in double precision. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
+  /** Fused native loop (codegen'd Catalyst expression) — the hot path.
+    * Same left-to-right summation order as the portable HOF fold, so
+    * results are bit-identical to [[dotHof]] / the DuckDB oracle.
+    */
+  def dot(a: Column, b: Column): Column = ArrayMath.dotNative(a, b)
+
+  /** Portable higher-order-function formulation (kept as the reference
+    * spelling of the semantics; ~5x slower than [[dot]]).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def norm2(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def norm2(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; computed as dot/(|a|*|b|) in double, matching the
     * DuckDB `list_cosine_similarity` formula.

@@ -55,12 +55,15 @@ object Similarity {
     * key; ids sharing any band key become candidate pairs.
     */
   def lshCandidates(signatures: DataFrame, rowsPerBand: Int): DataFrame = {
+    // cached: both sides of the self-join read it (without this the whole
+    // signature pipeline is recomputed per side)
     val banded = signatures
       .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
       .groupBy(col("id"), col("band"))
       // deterministic band key: min-hash values in seed order
       .agg(concat_ws("_", sort_array(collect_list(struct(col("seed"), col("minh"))))
         .getField("minh").cast("array<string>")).as("band_key"))
+      .cache()
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id"))
@@ -73,8 +76,10 @@ object Similarity {
     */
   def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int, numSeeds: Int, rowsPerBand: Int): DataFrame = {
+    // sh feeds three consumers (signatures, intersection, sizes) and cands
+    // two — cache both; at production scale these become checkpoints.
     val sh = shingleSets(docs, idCol, textCol, shingleN).cache()
-    val cands = lshCandidates(minHashSignatures(sh, numSeeds), rowsPerBand)
+    val cands = lshCandidates(minHashSignatures(sh, numSeeds), rowsPerBand).cache()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = cands
       .join(sh.as("sa"), col("id_a") === col("sa.id"))
@@ -135,12 +140,16 @@ object Similarity {
     */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
+    // norms are computed once per vector before the pair join, so per-pair
+    // work is a single fused dot product.
     val q = queries.select(col(idCol).as("query_id"), VectorFns.asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", VectorFns.norm2(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), VectorFns.asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", VectorFns.norm2(col("cv")))
     val scored = c.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        Portable.q6(VectorFns.cosine(col("qv"), col("cv"))).as("cosine"))
+        Portable.q6(VectorFns.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -149,10 +158,12 @@ object Similarity {
   def nearDupWithin(emb: DataFrame, idCol: String, vecCol: String,
                     blockCol: String, minCosine: Double): DataFrame = {
     val e = emb.select(col(blockCol).as("block"), col(idCol).as("id"),
-      VectorFns.asDouble(col(vecCol)).as("v"))
+        VectorFns.asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", VectorFns.norm2(col("v")))
     e.as("a").join(e.as("b"), col("a.block") === col("b.block") && col("a.id") < col("b.id"))
       .select(col("a.block").as("block"), col("a.id").as("id_a"), col("b.id").as("id_b"),
-        Portable.q6(VectorFns.cosine(col("a.v"), col("b.v"))).as("cosine"))
+        Portable.q6(VectorFns.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm"))).as("cosine"))
       .where(col("cosine") >= minCosine)
   }
 
@@ -165,11 +176,13 @@ object Similarity {
     val e = emb.select(col(blockCol).as("block"), col(idCol).as("id"),
         VectorFns.asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", VectorFns.srpBucket(col("v"), srpBits, "srp-v1"))
+      .withColumn("nrm", VectorFns.norm2(col("v")))
     e.as("a").join(e.as("b"),
         col("a.block") === col("b.block") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.block").as("block"), col("a.id").as("id_a"), col("b.id").as("id_b"),
-        Portable.q6(VectorFns.cosine(col("a.v"), col("b.v"))).as("cosine"))
+        Portable.q6(VectorFns.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm"))).as("cosine"))
       .where(col("cosine") >= minCosine)
   }
 }
