@@ -39,17 +39,28 @@ object Similarity {
     docs.select(col(idCol).as("id"),
         explode(array_distinct(TextFns.shingles(col(textCol), n))).as("shingle"))
 
-  /** MinHash signatures: one row per (id, seed) with the min salted 32-bit
-    * hash over the id's shingle set. numSeeds hashes via explode — a single
-    * groupBy(id, seed) shuffle with map-side partial min.
+  /** MinHash signatures: one row per (id, seed) with the min 32-bit hash
+    * over the id's shingle set, for seeds 0..numSeeds-1 (numSeeds must be
+    * a multiple of 4).
+    *
+    * Hash-once-slice-many: one md5 per (shingle, seed-group) yields four
+    * independent 32-bit hashes (8-hex slices), so the dominant hashing
+    * cost is numSeeds/4 digests per shingle instead of numSeeds. A single
+    * groupBy(id, seed) shuffle with map-side partial min follows.
     */
-  def minHashSignatures(shingles: DataFrame, numSeeds: Int): DataFrame =
+  def minHashSignatures(shingles: DataFrame, numSeeds: Int): DataFrame = {
+    require(numSeeds % 4 == 0, "numSeeds must be a multiple of 4 (4 slices per digest)")
     shingles
-      .select(col("id"), explode(sequence(lit(0), lit(numSeeds - 1))).as("seed"),
+      .select(col("id"), explode(sequence(lit(0), lit(numSeeds / 4 - 1))).as("g"),
         col("shingle"))
-      .select(col("id"), col("seed"), HashFns.saltedHash32(col("shingle"), col("seed")).as("h"))
+      .select(col("id"), col("g"),
+        md5(concat(col("shingle"), lit("#"), col("g").cast("string"))).as("h32"))
+      .select(col("id"), col("g"), posexplode(array((0 until 4).map(k =>
+        conv(substring(col("h32"), 1 + 8 * k, 8), 16, 10).cast("bigint")): _*)).as(Seq("k", "h")))
+      .select(col("id"), (col("g") * 4 + col("k")).as("seed"), col("h"))
       .groupBy(col("id"), col("seed"))
       .agg(min(col("h")).as("minh"))
+  }
 
   /** LSH banding: group `rowsPerBand` consecutive signature rows into a band
     * key; ids sharing any band key become candidate pairs.

@@ -1,0 +1,58 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("deltaSince returns only rows after the terminal ts") {
+    val existing = Seq((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-02 00:00:00")))
+      .toDF("id", "ts")
+    val incoming = Seq((2L, ts("2024-01-02 00:00:00")), (3L, ts("2024-01-03 00:00:00")))
+      .toDF("id", "ts")
+    val out = Incremental.deltaSince(existing, incoming, "ts").select("id").as[Long].collect()
+    assert(out.toSeq == Seq(3L))
+  }
+
+  test("deltaSince on empty target loads everything") {
+    val existing = Seq.empty[(Long, Timestamp)].toDF("id", "ts")
+    val incoming = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("id", "ts")
+    assert(Incremental.deltaSince(existing, incoming, "ts").count() == 1)
+  }
+
+  test("replacePeriod swaps only the period's rows") {
+    val existing = Seq((1L, "2024-01-01", "old"), (2L, "2024-01-02", "keep")).toDF("id", "day", "v")
+    val incoming = Seq((9L, "2024-01-01", "new"), (8L, "2024-01-02", "ignored")).toDF("id", "day", "v")
+    val out = Incremental.replacePeriod(existing, incoming, col("day") === "2024-01-01")
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((2L, "keep"), (9L, "new")))
+  }
+}
+
+class ArrayMathSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dotNative matches the portable HOF fold bit-for-bit") {
+    val df = Seq((Array(1.5, -2.0, 3.25), Array(0.5, 4.0, -1.0))).toDF("a", "b")
+    val (nat, hof) = df.select(
+      graft.functions.VectorFns.dot(org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")),
+      graft.functions.VectorFns.dotHof(org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")))
+      .as[(Double, Double)].collect().head
+    assert(nat == hof)
+    assert(nat == 1.5 * 0.5 + -2.0 * 4.0 + 3.25 * -1.0)
+  }
+
+  test("graft_dot is callable from SQL after registration") {
+    org.apache.spark.sql.graft.ArrayMath.registerSql(spark)
+    val v = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .as[Double].collect().head
+    assert(v == 11.0)
+  }
+}
