@@ -178,6 +178,44 @@ object Similarity {
       .where(col("cosine") >= minCosine)
   }
 
+  /** IVF (inverted-file) approximate top-k: corpus vectors are
+    * coarse-quantized to their nearest of `numCentroids` deterministic
+    * seed centroids (the lowest-id corpus vectors — at production scale,
+    * k-means centroids trained offline and broadcast the same way);
+    * each query probes only the `nProbe` nearest centroid lists, so
+    * scanned candidates shrink by ~numCentroids/nProbe vs brute force.
+    * Centroids broadcast to both sides; the only shuffle is the final
+    * per-query top-k window. Recall < 1 by construction.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, numCentroids: Int, nProbe: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), VectorFns.asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", VectorFns.norm2(col("cv")))
+    val centroids = c.orderBy(col("neighbor_id").asc).limit(numCentroids)
+      .select(col("neighbor_id").as("centroid_id"), col("cv").as("centv"), col("cn").as("centn"))
+    // corpus → nearest centroid (inverted lists)
+    val assigned = Dedup.oneByKey(
+      c.crossJoin(broadcast(centroids))
+        .withColumn("sim", VectorFns.dot(col("cv"), col("centv")) / (col("cn") * col("centn"))),
+      Seq("neighbor_id"), Seq(col("sim").desc, col("centroid_id").asc))
+      .select(col("neighbor_id"), col("cv"), col("cn"), col("centroid_id"))
+    // query → nProbe nearest centroids
+    val q = queries.select(col(idCol).as("query_id"), VectorFns.asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", VectorFns.norm2(col("qv")))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("sim", VectorFns.dot(col("qv"), col("centv")) / (col("qn") * col("centn")))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("centroid_id").asc)))
+      .where(col("__pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"))
+    val scored = probes.join(assigned, "centroid_id")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Portable.q6(VectorFns.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Scale path for near-dup: SRP-bucket first (candidates only within the
     * same (block, srp) bucket). Recall < 1 by construction; used when the
     * exact within-block square is too large.

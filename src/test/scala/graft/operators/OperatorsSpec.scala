@@ -210,3 +210,56 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Seq(0L, 4L, 8L))
   }
 }
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  test("ivfTopK finds in-cluster neighbors through centroid probing") {
+    // two tight clusters around (1,0) and (0,1); ids interleaved so the
+    // seed centroids (lowest ids) land one in each cluster
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.00f)), (1L, Array(0.00f, 1.0f)),
+      (2L, Array(1.0f, 0.05f)), (3L, Array(0.05f, 1.0f)),
+      (4L, Array(1.0f, 0.10f)), (5L, Array(0.10f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(vecs.where(col("vec_id") === 0), vecs,
+      "vec_id", "embedding", k = 2, numCentroids = 2, nProbe = 1)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    // probing only cluster-0's list: neighbors are 2 and 4, never 1/3/5
+    assert(out.toSeq == Seq((2L, 1), (4L, 2)))
+  }
+
+  test("ivfTopK with full probing matches brute-force cosineTopK") {
+    val vecs = (0L to 19L).map(i =>
+      (i, Array((math.cos(i * 0.3)).toFloat, (math.sin(i * 0.3)).toFloat))).toDF("vec_id", "embedding")
+    val q = vecs.where(col("vec_id") < 3)
+    val ivf = Similarity.ivfTopK(q, vecs, "vec_id", "embedding", 3, 4, 4)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val brute = Similarity.cosineTopK(q, vecs, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(ivf == brute) // nProbe = numCentroids → exact
+  }
+}
+
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupByIdWithinWatermark drops re-deliveries of the same id") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "event_id")
+    val q = graft.streaming.StreamOps.dedupByIdWithinWatermark(df, "ts", "event_id", "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append).start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData((t("2024-01-01 10:00:00"), 1L), (t("2024-01-01 10:00:01"), 2L))
+      q.processAllAvailable()
+      input.addData((t("2024-01-01 10:00:00"), 1L)) // duplicate delivery
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+    } finally q.stop()
+  }
+}
