@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import graft.operators.{Gaps, Incremental}
+import graft.queries.{CoreQueries, LLMQueries}
+import graft.sources.{Formats, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The daily-update orchestration: the Spark-native form of the
+  * reference's `daily_update_script.py` (gap-detect → incremental fact
+  * loads → derived-table chain → feed tables).
+  *
+  * Differences by design, not omission:
+  *  - per-date Python loops become partition-pruned incremental frames
+  *    written with dynamic partition overwrite (one job per table, all
+  *    dates at once — the cluster parallelizes over partitions);
+  *  - the derived chain is a DAG of declarative plans, so a scheduler can
+  *    run independent branches concurrently; ordering below mirrors the
+  *    reference's dependency order;
+  *  - re-running a day is idempotent (overwrite of the same partitions),
+  *    replacing the reference's delete+reload.
+  */
+object DailyUpdate {
+
+  /** Derived tables in reference dependency order: name → plan builder. */
+  def stages: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // facts (ingest-clean analog of the three source loads)
+    "fact_events_clean" -> CoreQueries.queries("q01_ingest_clean"),
+    // enrichment chain
+    "trx_union" -> CoreQueries.queries("q05_enriched_lineitems"),
+    "first_acquisition" -> CoreQueries.queries("q04_first_touch"),
+    "floor_price" -> CoreQueries.queries("q06_floor_price"),
+    "ownership" -> CoreQueries.queries("q07_token_ownership"),
+    "address_worth" -> CoreQueries.queries("q08_user_worth_rank"),
+    "trading_roi" -> CoreQueries.queries("q09_trading_roi"),
+    // cohorts + feeds
+    "circle_insider" -> CoreQueries.queries("q10_top_users"),
+    "insight_trx" -> CoreQueries.queries("q12_daily_action_rollup"),
+    "insight" -> CoreQueries.queries("q11_insight_score"),
+    "collection_similarity" -> CoreQueries.queries("q18_cooccur_jaccard"),
+    // data-quality / profile side tables
+    "profile_merge" -> CoreQueries.queries("q15_profile_merge"),
+    "dedup_exact" -> LLMQueries.queries("q20_dedup_exact")
+  )
+
+  /** Run the full chain; write each derived table under `outDir`; return
+    * table → row count. `fact_events_clean` is written date-partitioned
+    * (the production layout); the rest are snapshot overwrites like the
+    * reference's derived tables.
+    */
+  def run(spark: SparkSession, sfDir: String, outDir: String): Map[String, Long] = {
+    // 1. freshness guard — the reference's check_table_for_date_gaps
+    val gaps = Gaps.missingDates(Tables(spark, sfDir).events, "user_id", "ts").count()
+
+    // 2. incremental fact load with partitioned layout
+    val factPath = s"$outDir/fact_events_clean"
+    val clean = stages.head._2(spark, sfDir).withColumn("d", to_date(col("ts")))
+    val existing = try Some(Formats.readParquet(spark, factPath)) catch { case _: Throwable => None }
+    val toWrite = existing match {
+      case Some(prev) => Incremental.deltaSince(prev, clean, "ts")
+      case None       => clean
+    }
+    Formats.writePartitioned(toWrite, factPath, Seq("d"))
+
+    // 3. derived chain (declarative; a scheduler may parallelize branches)
+    val counts = stages.tail.map { case (name, build) =>
+      val df = build(spark, sfDir)
+      df.write.mode("overwrite").parquet(s"$outDir/$name")
+      name -> Formats.readParquet(spark, s"$outDir/$name").count()
+    }.toMap
+
+    counts + ("fact_events_clean" -> Formats.readParquet(spark, factPath).count()) +
+      ("date_gaps_found" -> gaps)
+  }
+}
