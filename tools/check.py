@@ -76,7 +76,7 @@ def main():
         if only and name not in only:
             continue
         try:
-            spark_df = normalize(pd.read_parquet(f"{out_dir}/{name}"))
+            spark_df = normalize(pd.read_parquet(f"{out_dir}/{name}.parquet"))
         except Exception as e:
             print(f"✗ {name}: no spark output ({e})")
             n_fail += 1
