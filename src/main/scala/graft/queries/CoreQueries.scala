@@ -108,8 +108,12 @@ object CoreQueries {
     },
 
     "q09_trading_roi" -> { (s, d) =>
-      AsOf.matchNext(Tables(s, d).events, keyCol = "user_id", tsCol = "ts", idCol = "event_id",
-        sideCol = "event_type", buySide = "purchase", sellSide = "view", valueCol = "value")
+      // native AsOfJoin plan (custom LogicalPlan/Strategy/SparkPlan): one
+      // shuffle+sort per side + streaming merge; output proven identical
+      // to the composed window+join+dedup form (AsOf.matchNext).
+      AsOf.matchNextNative(Tables(s, d).events, keyCol = "user_id", tsCol = "ts",
+        idCol = "event_id", sideCol = "event_type", buySide = "purchase",
+        sellSide = "view", valueCol = "value")
     },
 
     "q10_top_users" -> { (s, d) =>

@@ -263,3 +263,34 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class AsOfNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matchNextNative equals composed matchNext on the real events table") {
+    val ev = graft.sources.Tables(spark, "/root/testdata/sf0.001").events
+    val cols = Seq("user_id", "buy_event_id", "sell_event_id", "gain")
+    val composed = AsOf.matchNext(ev, "user_id", "ts", "event_id",
+      "event_type", "purchase", "view", "value")
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    val native = AsOf.matchNextNative(ev, "user_id", "ts", "event_id",
+      "event_type", "purchase", "view", "value")
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    assert(native == composed)
+    assert(native.nonEmpty)
+  }
+
+  test("matchNextNative basic semantics incl. multi-buy -> one sell") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "buy", 10.0),
+      (1L, ts("2024-01-01 10:30:00"), 2L, "buy", 20.0),
+      (1L, ts("2024-01-01 11:00:00"), 3L, "sell", 50.0), // matches both buys
+      (2L, ts("2024-01-01 09:00:00"), 4L, "sell", 1.0),  // before any buy
+      (2L, ts("2024-01-01 10:00:00"), 5L, "buy", 2.0)    // no later sell
+    ).toDF("user_id", "ts", "event_id", "side", "value")
+    val out = AsOf.matchNextNative(df, "user_id", "ts", "event_id", "side", "buy", "sell", "value")
+      .select("buy_event_id", "sell_event_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 3L), (2L, 3L)))
+  }
+}
