@@ -92,9 +92,12 @@ object Similarity {
     val sh = shingleSets(docs, idCol, textCol, shingleN).cache()
     val cands = lshCandidates(minHashSignatures(sh, numSeeds), rowsPerBand).cache()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    // intersection join runs on 64-bit shingle hashes: an 8-byte shuffle
+    // key instead of the raw n-gram string (collisions ~2^-64 per pair)
+    val shh = sh.select(col("id"), xxhash64(col("shingle")).as("sh64"))
     val inter = cands
-      .join(sh.as("sa"), col("id_a") === col("sa.id"))
-      .join(sh.as("sb"), col("id_b") === col("sb.id") && col("sa.shingle") === col("sb.shingle"))
+      .join(shh.as("sa"), col("id_a") === col("sa.id"))
+      .join(shh.as("sb"), col("id_b") === col("sb.id") && col("sa.sh64") === col("sb.sh64"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("intersection"))
     cands.join(inter, Seq("id_a", "id_b"), "left")
       .na.fill(0L, Seq("intersection"))
@@ -111,8 +114,11 @@ object Similarity {
     */
   def ngramNearDups(docs: DataFrame, idCol: String, textCol: String,
                     blockCol: String, n: Int, minJaccard: Double): DataFrame = {
+    // 64-bit shingle hash as the join key: 8-byte shuffle rows instead of
+    // n-gram strings (collisions ~2^-64 per pair)
     val sh = docs.select(col(idCol).as("id"), col(blockCol).as("block"),
-      explode(array_distinct(TextFns.shingles(col(textCol), n))).as("shingle"))
+        explode(array_distinct(TextFns.shingles(col(textCol), n))).as("__shingle"))
+      .select(col("id"), col("block"), xxhash64(col("__shingle")).as("shingle"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.block") === col("b.block") &&
