@@ -151,6 +151,33 @@ object Similarity {
       .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
   }
 
+  /** SimHash near-dup pairs with pigeonhole blocking: signatures are split
+    * into 4 chunks; pairs within hamming distance <= 3 must agree on at
+    * least one chunk, so candidates only form inside a (chunk index,
+    * chunk value) bucket — exact for maxHamming <= 3, never the corpus
+    * square. Output: id_a, id_b, hamming.
+    */
+  def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      nBits: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-chunk pigeonhole blocking is exact only for maxHamming <= 3")
+    require(nBits % 4 == 0, "nBits must be divisible into 4 chunks")
+    val chunkBits = nBits / 4
+    val mask = (1 << chunkBits) - 1
+    // cached: both sides of the bucket self-join read the signatures
+    val chunked = simHash(docs, idCol, textCol, nBits)
+      .select(col("id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("cv", expr(s"shiftright(simhash, c * $chunkBits) & $mask"))
+      .cache()
+    chunked.as("a").join(chunked.as("b"),
+        col("a.c") === col("b.c") && col("a.cv") === col("b.cv") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(bit_count(sig_a ^ sig_b) AS INT)").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Brute-force cosine top-k: exact baseline. `queries` is expected to be
     * small (it is broadcast); similarity is ranked on the ROUNDED score with
     * an id tiebreak so results are reproducible across engines.

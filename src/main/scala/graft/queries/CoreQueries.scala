@@ -196,6 +196,20 @@ object CoreQueries {
 
     "q19_sessionize" -> { (s, d) =>
       Sessionize.sessions(Tables(s, d).events, "user_id", "ts", "event_id", "value", 1800)
+    },
+
+    "q31_missing_dates" -> { (s, d) =>
+      // the explicit per-key calendar holes (check_table_for_date_gaps
+      // returning the actual gap dates, etl_utls.py:340)
+      Gaps.missingDates(Tables(s, d).events, "user_id", "ts")
+    },
+
+    "q32_salted_rollup" -> { (s, d) =>
+      // two-phase salted aggregation: same result as a plain rollup, hot
+      // keys spread over 16 reducers before the shuffle (Skew.saltedSum)
+      Skew.saltedSum(Tables(s, d).events, Seq("event_type"), "value", 16)
+        .select(col("event_type"), Portable.q4(col("sum_value")).as("total_value"),
+          col("n_rows"))
     }
   )
 
@@ -377,6 +391,20 @@ object CoreQueries {
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM flagged)
         |SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events, floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
-        |FROM sess GROUP BY 1, 2""".stripMargin
+        |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    "q31_missing_dates" ->
+      """WITH span AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        |              FROM events GROUP BY 1),
+        |cal AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM span),
+        |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT c.user_id, c.day FROM cal c
+        |LEFT JOIN act a ON c.user_id = a.user_id AND c.day = a.day
+        |WHERE a.user_id IS NULL""".stripMargin,
+
+    "q32_salted_rollup" ->
+      """SELECT event_type, floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total_value,
+        |  count(*) AS n_rows
+        |FROM events GROUP BY 1""".stripMargin
   )
 }

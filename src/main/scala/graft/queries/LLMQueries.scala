@@ -108,6 +108,13 @@ object LLMQueries {
       Multimodal.decodeStub(s, withBin).toDF()
         .select(col("doc_id"), col("n_bytes"), col("content_hash"),
           col("width"), col("height"), col("n_frames"))
+    },
+
+    "q33_simhash_near_dup" -> { (s, d) =>
+      // pigeonhole-blocked simhash near-dup (exact for hamming <= 3);
+      // the oracle checks the same set via the brute-force pair filter
+      Similarity.simHashNearDups(Tables(s, d).documents, "doc_id", "text",
+        nBits = 16, maxHamming = 3)
     }
   )
 
@@ -220,6 +227,19 @@ object LLMQueries {
         |    floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS cosine
         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cosine >= 0.35""".stripMargin,
+
+    "q33_simhash_near_dup" ->
+      """WITH wh AS (SELECT doc_id, ('0x'||substr(md5(word),1,4))::BIGINT AS wh
+        |       FROM (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS word FROM documents)),
+        |bits AS (SELECT doc_id, b, sum(CASE WHEN (wh >> b) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        |       FROM wh, (SELECT unnest(range(0,16)) AS b) GROUP BY 1,2),
+        |sig AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |       FROM bits GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+        |WHERE hamming <= 3""".stripMargin,
 
     "q30_binary_pipeline" ->
       """SELECT doc_id,
