@@ -41,4 +41,15 @@ object Formats {
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Streaming file source over a landing directory: each new parquet file
+    * becomes a micro-batch — the streaming replacement for the reference's
+    * cron-driven "load whatever CSVs appeared" loop. `maxFilesPerTrigger`
+    * bounds batch size so a backlog drains at a controlled rate.
+    */
+  def readParquetStream(spark: SparkSession, path: String, schema: StructType,
+                        maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
 }

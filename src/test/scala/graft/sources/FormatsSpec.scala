@@ -44,3 +44,26 @@ class FormatsSpec extends SparkSpec {
     assert(all.toSeq == Seq(1L, 3L))
   }
 }
+
+class ParquetStreamSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("readParquetStream picks up files landing in the directory") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-landing").toString
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", DoubleType)))
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").coalesce(1).write.mode("append").parquet(dir)
+    val q = Formats.readParquetStream(spark, dir, schema)
+      .groupBy().sum("v")
+      .writeStream.format("memory").queryName("landed").outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("landed").as[Double].collect().head == 3.0)
+      // a second file lands -> next micro-batch folds it in
+      Seq((3L, 4.0)).toDF("id", "v").coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(spark.table("landed").as[Double].collect().head == 7.0)
+    } finally q.stop()
+  }
+}
