@@ -22,8 +22,13 @@ object TextFns {
     * formulation re-evaluates the embedded `split` for every element —
     * quadratic per row; measured 5x slower on the shingling stage.)
     */
-  def shingles(text: Column, n: Int): Column = {
-    val w = words(text)
+  def shingles(text: Column, n: Int): Column = shinglesOfWords(words(text), n)
+
+  /** Same over an already-tokenized words array — callers that can
+    * materialize the array in a prior projection avoid re-running the
+    * tokenizer per slice (see Similarity.shingleSets).
+    */
+  def shinglesOfWords(w: Column, n: Int): Column = {
     if (n == 1) w
     else {
       val len = size(w) - (n - 1)

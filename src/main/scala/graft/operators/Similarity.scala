@@ -34,10 +34,17 @@ object Similarity {
           (col("size_a") + col("size_b") - col("intersection"))).as("jaccard"))
   }
 
-  /** (id, shingle) distinct pairs for a documents frame. */
+  /** (id, shingle) distinct pairs for a documents frame.
+    *
+    * The words array is materialized in its own projection first: the
+    * shingle construction references it n+1 times, and CollapseProject
+    * keeps non-cheap multi-referenced aliases in their own stage, so
+    * `split` runs once per row instead of once per slice.
+    */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
-        explode(array_distinct(TextFns.shingles(col(textCol), n))).as("shingle"))
+    docs.select(col(idCol).as("id"), TextFns.words(col(textCol)).as("__w"))
+      .select(col("id"),
+        explode(array_distinct(TextFns.shinglesOfWords(col("__w"), n))).as("shingle"))
 
   /** MinHash signatures: one row per (id, seed) with the min 32-bit hash
     * over the id's shingle set, for seeds 0..numSeeds-1 (numSeeds must be
@@ -115,9 +122,12 @@ object Similarity {
   def ngramNearDups(docs: DataFrame, idCol: String, textCol: String,
                     blockCol: String, n: Int, minJaccard: Double): DataFrame = {
     // 64-bit shingle hash as the join key: 8-byte shuffle rows instead of
-    // n-gram strings (collisions ~2^-64 per pair)
+    // n-gram strings (collisions ~2^-64 per pair); words materialized
+    // once (see shingleSets)
     val sh = docs.select(col(idCol).as("id"), col(blockCol).as("block"),
-        explode(array_distinct(TextFns.shingles(col(textCol), n))).as("__shingle"))
+        TextFns.words(col(textCol)).as("__w"))
+      .select(col("id"), col("block"),
+        explode(array_distinct(TextFns.shinglesOfWords(col("__w"), n))).as("__shingle"))
       .select(col("id"), col("block"), xxhash64(col("__shingle")).as("shingle"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),

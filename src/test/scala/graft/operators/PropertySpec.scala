@@ -1,0 +1,71 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Generative invariants over random event sets — the cases fixed
+  * fixtures miss (repeated keys, bursts, empty sides, ordering edges).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  // (user, secondsOffset, side, value) with DISTINCT per-user offsets:
+  // strictly-after as-of semantics and following-rows window semantics
+  // agree exactly when no buy shares a timestamp with a sell of the
+  // same user (the documented equivalence precondition).
+  private val eventsGen: Gen[List[(Long, Int, String, Double)]] = for {
+    n <- Gen.choose(0, 40)
+    users <- Gen.listOfN(n, Gen.choose(1L, 4L))
+    offsets <- Gen.listOfN(n, Gen.choose(0, 5000))
+    sides <- Gen.listOfN(n, Gen.oneOf("buy", "sell"))
+    values <- Gen.listOfN(n, Gen.choose(1, 500).map(_.toDouble))
+  } yield users.lazyZip(offsets).lazyZip(sides).lazyZip(values).toList
+    .groupBy(e => (e._1, e._2)).values.map(_.head).toList // distinct (user, ts)
+
+  private def toDf(events: List[(Long, Int, String, Double)]) =
+    events.zipWithIndex.map { case ((u, off, side, v), i) =>
+      (u, new Timestamp(1700000000000L + off * 1000L), i.toLong, side, v)
+    }.toDF("user_id", "ts", "event_id", "side", "value")
+
+  // deterministic Gen sampling (scalatestplus bridge not available offline)
+  private def samples(n: Int): Seq[List[(Long, Int, String, Double)]] =
+    (1 to n).map(i => eventsGen(Gen.Parameters.default, Seed(i.toLong)).getOrElse(Nil))
+
+  test("property: native as-of join = composed window form on random event sets") {
+    samples(15).foreach { events =>
+      val df = toDf(events)
+      val cols = Seq("user_id", "buy_event_id", "sell_event_id", "gain")
+      val composed = AsOf.matchNext(df, "user_id", "ts", "event_id", "side", "buy", "sell", "value")
+        .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+      val native = AsOf.matchNextNative(df, "user_id", "ts", "event_id", "side", "buy", "sell", "value")
+        .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+      assert(native == composed)
+    }
+  }
+
+  test("property: sessions partition the events exactly") {
+    samples(10).foreach { events =>
+      val df = toDf(events)
+      val sessions = Sessionize.sessions(df, "user_id", "ts", "event_id", "value", 600)
+        .select("n_events", "total_value").as[(Long, Double)].collect()
+      assert(sessions.map(_._1).sum == events.length) // every event in exactly one session
+      val totV = events.map(_._4).sum
+      assert(math.abs(sessions.map(_._2).sum - totV) < 1e-6)
+    }
+  }
+
+  test("property: saltedSum = plain rollup on random values") {
+    samples(10).filter(_.nonEmpty).foreach { events =>
+      {
+        val df = toDf(events)
+        val salted = Skew.saltedSum(df, Seq("side"), "value", 8)
+          .select("side", "n_rows").as[(String, Long)].collect().toMap
+        val plain = df.groupBy("side").count().as[(String, Long)].collect().toMap
+        assert(salted == plain)
+      }
+    }
+  }
+}
