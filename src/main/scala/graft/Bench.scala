@@ -29,10 +29,18 @@ object Bench {
       try { SparkEntry.queries(name)(spark, warmDir).count() } catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = names.map { name =>
       val reps = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { SparkEntry.queries(name)(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            // a swallowed failure must not read as a near-zero "win"
+            if (!failed.contains(name)) {
+              failed += name
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            }
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         System.gc()
@@ -41,8 +49,9 @@ object Bench {
       name -> reps.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

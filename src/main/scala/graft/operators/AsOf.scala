@@ -49,22 +49,24 @@ object AsOf {
   /** Native-operator form of [[matchNext]]: plans through the custom
     * AsOfJoin LogicalPlan/SparkStrategy/SparkPlan (one shuffle+sort per
     * side, streaming two-pointer merge, O(1) state per key) instead of
-    * window + join + dedup. Semantics: sell strictly later than the buy
-    * (`sell_ts > buy_ts`), earliest (ts, id) wins — identical to
-    * [[matchNext]] whenever no sell shares an exact timestamp with a buy
-    * of the same key.
+    * window + join + dedup. Matching position is lexicographic on
+    * (ts, event id) — identical to [[matchNext]]'s following-rows window
+    * semantics, including sells sharing the buy's exact timestamp.
+    * Null keys/timestamps are excluded, matching SQL join semantics.
     */
   def matchNextNative(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
                       sideCol: String, buySide: String, sellSide: String,
                       valueCol: String): DataFrame = {
     import org.apache.spark.sql.graft.asof.AsOfJoinApi
-    val buys = events.where(col(sideCol) === buySide)
+    val nonNull = col(keyCol).isNotNull && col(tsCol).isNotNull && col(idCol).isNotNull
+    val buys = events.where(col(sideCol) === buySide && nonNull)
       .select(col(keyCol), col(idCol).as("buy_event_id"), col(tsCol).as("buy_ts"),
         col(valueCol).as("buy_value"))
-    val sells = events.where(col(sideCol) === sellSide)
+    val sells = events.where(col(sideCol) === sellSide && nonNull)
       .select(col(keyCol).as("__sk"), col(idCol).as("sell_event_id"),
         col(tsCol).as("sell_ts"), col(valueCol).as("sell_value"))
-    AsOfJoinApi.asOfJoin(buys, sells, keyCol, "__sk", "buy_ts", "sell_ts", "sell_event_id")
+    AsOfJoinApi.asOfJoin(buys, sells, keyCol, "__sk", "buy_ts", "sell_ts",
+        "buy_event_id", "sell_event_id")
       .select(col(keyCol), col("buy_event_id"), col("buy_ts"), col("buy_value"),
         col("sell_event_id"), col("sell_ts"), col("sell_value"),
         Portable.q4(col("sell_value") - col("buy_value")).as("gain"))

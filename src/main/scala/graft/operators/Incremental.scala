@@ -35,6 +35,10 @@ object Incremental {
     * `incoming`'s — the delete+reload idiom as a declarative union (write
     * it back with dynamic partition overwrite to touch only the period).
     */
-  def replacePeriod(existing: DataFrame, incoming: DataFrame, periodPredicate: Column): DataFrame =
-    existing.where(!periodPredicate).unionByName(incoming.where(periodPredicate))
+  def replacePeriod(existing: DataFrame, incoming: DataFrame, periodPredicate: Column): DataFrame = {
+    // null-safe: rows where the predicate is NULL are outside the period —
+    // a bare `!p` filter would silently drop them from the existing side
+    val inPeriod = coalesce(periodPredicate, lit(false))
+    existing.where(!inPeriod).unionByName(incoming.where(inPeriod))
+  }
 }

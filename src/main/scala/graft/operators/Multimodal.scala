@@ -35,9 +35,6 @@ object Multimodal {
   def withPayload(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"), col(textCol).cast("binary").as("payload"))
 
-  private def md5Hex(bytes: Array[Byte]): String =
-    MessageDigest.getInstance("MD5").digest(bytes).map("%02x".format(_)).mkString
-
   /** STUB decoder: deterministic fake "decode" deriving width/height/frames
     * from the content hash. A real implementation replaces ONLY the body of
     * `decodeOne` with a codec call (e.g. JNI ffmpeg frame probe); the

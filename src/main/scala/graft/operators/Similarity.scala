@@ -26,9 +26,11 @@ object Similarity {
         col("a.member") === col("b.member") && col("a.key") < col("b.key"))
       .groupBy(col("a.key").as("key_a"), col("b.key").as("key_b"))
       .agg(count(lit(1)).as("intersection"))
+    // no broadcast hint: sizes has one row per distinct key (unbounded for
+    // a generic caller) — Catalyst/AQE picks broadcast when it fits
     inter
-      .join(broadcast(sizes.withColumnRenamed("sz", "size_a")).as("sa"), col("key_a") === col("sa.key"))
-      .join(broadcast(sizes.withColumnRenamed("sz", "size_b")).as("sb"), col("key_b") === col("sb.key"))
+      .join(sizes.withColumnRenamed("sz", "size_a").as("sa"), col("key_a") === col("sa.key"))
+      .join(sizes.withColumnRenamed("sz", "size_b").as("sb"), col("key_b") === col("sb.key"))
       .select(col("key_a"), col("key_b"), col("size_a"), col("size_b"), col("intersection"),
         Portable.q6(col("intersection") * lit(1.0) /
           (col("size_a") + col("size_b") - col("intersection"))).as("jaccard"))

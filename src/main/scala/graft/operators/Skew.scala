@@ -20,7 +20,9 @@ object Skew {
   def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
                 numSalts: Int): DataFrame = {
     val keys = keyCols.map(col)
-    df.withColumn("__salt", pmod(crc32(col(valueCol).cast("string")), lit(numSalts)))
+    // salt from the row position, NOT the value: a hot key whose rows all
+    // carry one value (e.g. millions of value=0 events) must still spread
+    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(numSalts.toLong)))
       .groupBy(keys :+ col("__salt"): _*)
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(keys: _*)

@@ -56,11 +56,14 @@ object DailyUpdate {
     val factPath = s"$outDir/fact_events_clean"
     val clean = stages.head._2(spark, sfDir).withColumn("d", to_date(col("ts")))
     val existing = try Some(Formats.readParquet(spark, factPath)) catch { case _: Throwable => None }
-    val toWrite = existing match {
+    existing match {
+      // delta rows APPEND into their partitions: a dynamic overwrite here
+      // would replace the terminal day's partition with only the delta,
+      // silently dropping that day's previously loaded rows
       case Some(prev) => Incremental.deltaSince(prev, clean, "ts")
-      case None       => clean
+        .write.mode("append").partitionBy("d").parquet(factPath)
+      case None => Formats.writePartitioned(clean, factPath, Seq("d"))
     }
-    Formats.writePartitioned(toWrite, factPath, Seq("d"))
 
     // 3. derived chain (declarative; a scheduler may parallelize branches)
     val counts = stages.tail.map { case (name, build) =>

@@ -25,7 +25,7 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
                     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
                     leftTs: Attribute, rightTs: Attribute,
-                    rightTies: Seq[Attribute]) extends BinaryNode {
+                    leftTie: Attribute, rightTie: Attribute) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(newLeft: LogicalPlan,
                                                  newRight: LogicalPlan): AsOfJoin =
@@ -34,23 +34,30 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lts, rts, ties) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, ties) :: Nil
+    case AsOfJoin(l, r, lk, rk, lts, rts, ltie, rtie) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, ltie, rtie) :: Nil
     case _ => Nil
   }
 }
 
 /** Physical as-of join. Children are hash-clustered on the key and sorted
-  * by (key, ts[, ties]) — EnsureRequirements inserts the exchanges/sorts —
+  * by (key, ts, tie) — EnsureRequirements inserts the exchanges/sorts —
   * then each co-partition is merged with two forward-only pointers:
-  * discard right rows at or before the current left ts (later left rows
-  * have later ts, so they can never need them), peek the first remaining
-  * same-key right row as the match.
+  * discard right rows at or before the current left (ts, tie) position
+  * (later left rows sort after it, so they can never need them), peek the
+  * first remaining same-key right row as the match.
+  *
+  * "After" is lexicographic on (ts, tie) with a shared tie domain (e.g. a
+  * global event id), exactly the `ROWS BETWEEN 1 FOLLOWING ...` window
+  * semantics of the composed form — including equal-timestamp ties.
+  *
+  * Precondition: key/ts/tie are non-null (filter upstream); ts and tie
+  * must be long-backed types (timestamp/long/int-widened).
   */
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                         leftTs: Expression, rightTs: Expression,
-                        rightTies: Seq[Expression]) extends BinaryExecNode {
+                        leftTie: Expression, rightTie: Expression) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
   override def outputPartitioning: Partitioning = left.outputPartitioning
@@ -59,8 +66,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
-    (rightKeys ++ (rightTs +: rightTies)).map(SortOrder(_, Ascending)))
+    (leftKeys ++ Seq(leftTs, leftTie)).map(SortOrder(_, Ascending)),
+    (rightKeys ++ Seq(rightTs, rightTie)).map(SortOrder(_, Ascending)))
 
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys :+ leftTs).map(SortOrder(_, Ascending))
@@ -72,12 +79,14 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rKeys = rightKeys
     val lTs = leftTs
     val rTs = rightTs
+    val lTie = leftTie
+    val rTie = rightTie
     val out = output
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
       val rKeyProj = UnsafeProjection.create(rKeys, rOut)
-      val lTsProj = UnsafeProjection.create(Seq(lTs), lOut)
-      val rTsProj = UnsafeProjection.create(Seq(rTs), rOut)
+      val lPosProj = UnsafeProjection.create(Seq(lTs, lTie), lOut)
+      val rPosProj = UnsafeProjection.create(Seq(rTs, rTie), rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
       val resultProj = UnsafeProjection.create(out, out)
       val joined = new JoinedRow
@@ -88,12 +97,26 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         private var rHead: UnsafeRow = _
         private var rHeadKey: UnsafeRow = _
         private var rHeadTs: Long = _
+        private var rHeadTie: Long = _
+        // first (= min-tie) right row of the (key, ts) run rHead belongs
+        // to: the window form matches the min-tie sell AT the matched
+        // timestamp, which can sort before the buy when ts are tied
+        private var runFirst: UnsafeRow = _
+        private var runKey: UnsafeRow = _
+        private var runTs: Long = 0L
         private def advanceRight(): Unit =
           if (ri.hasNext) {
             val r = ri.next().asInstanceOf[UnsafeRow]
             rHead = r.copy()
             rHeadKey = rKeyProj(rHead).copy()
-            rHeadTs = rTsProj(rHead).getLong(0)
+            val pos = rPosProj(rHead)
+            rHeadTs = pos.getLong(0)
+            rHeadTie = pos.getLong(1)
+            if (runKey == null || keyOrd.compare(runKey, rHeadKey) != 0 || runTs != rHeadTs) {
+              runFirst = rHead
+              runKey = rHeadKey
+              runTs = rHeadTs
+            }
           } else { rHead = null; rHeadKey = null }
         advanceRight()
 
@@ -108,16 +131,21 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           while (nextRow == null && li.hasNext && rHead != null) {
             val l = li.next()
             val lKey = lKeyProj(l)
-            val lT = lTsProj(l).getLong(0)
+            val lPos = lPosProj(l)
+            val lT = lPos.getLong(0)
+            val lTieV = lPos.getLong(1)
             // drop right rows this and all later left rows can never match:
-            // smaller key, or same key with ts <= current left ts
+            // smaller key, or same key at or before this (ts, tie) position
             while (rHead != null && {
               val c = keyOrd.compare(rHeadKey, lKey)
-              c < 0 || (c == 0 && rHeadTs <= lT)
+              c < 0 || (c == 0 &&
+                (rHeadTs < lT || (rHeadTs == lT && rHeadTie <= lTieV)))
             }) advanceRight()
             if (rHead != null && keyOrd.compare(rHeadKey, lKey) == 0) {
-              // first same-key right row after lT: the as-of match
-              nextRow = resultProj(joined(l, rHead))
+              // rHead is the first same-key right row positioned after
+              // (lT, lTie); the match is the min-tie row of rHead's
+              // (key, ts) run — the window form's min-id-at-matched-ts
+              nextRow = resultProj(joined(l, runFirst))
             } // else: left row has no later right row -> dropped (inner)
           }
         }
@@ -145,7 +173,7 @@ object AsOfJoinApi {
     * first use — `experimental.extraStrategies` is public API).
     */
   def asOfJoin(buys: DataFrame, sells: DataFrame, key: String, sellKey: String,
-               buyTs: String, sellTs: String, sellTie: String): DataFrame = {
+               buyTs: String, sellTs: String, buyTie: String, sellTie: String): DataFrame = {
     val spark = buys.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -159,6 +187,6 @@ object AsOfJoinApi {
     Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       AsOfJoin(l, r,
         Seq(attr(l, key)), Seq(attr(r, sellKey)),
-        attr(l, buyTs), attr(r, sellTs), Seq(attr(r, sellTie))))
+        attr(l, buyTs), attr(r, sellTs), attr(l, buyTie), attr(r, sellTie)))
   }
 }

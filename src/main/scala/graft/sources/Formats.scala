@@ -34,10 +34,12 @@ object Formats {
     * jobs overwrite only the partitions they touched (dynamic mode), the
     * exact replacement for the reference's current-day delete+reload.
     */
-  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
-    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
-  }
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    // per-writer option, not session conf: flipping the session-wide
+    // partitionOverwriteMode would silently change unrelated writes
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*).parquet(path)
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -85,10 +85,11 @@ object StreamOps {
   }
 
   /** Streaming dedup on an id column with watermark-bounded state — the
-    * streaming analog of the batch latest-by-key dedup (exactly-once sinks
-    * get at-most-once per id within the watermark horizon).
+    * streaming analog of the batch latest-by-key dedup: at-most-once per
+    * id within the watermark horizon, even when a re-delivery carries a
+    * different (re-stamped) event time.
     */
   def dedupByIdWithinWatermark(events: DataFrame, tsCol: String, idCol: String,
                                watermarkDelay: String): DataFrame =
-    events.withWatermark(tsCol, watermarkDelay).dropDuplicates(idCol, tsCol)
+    events.withWatermark(tsCol, watermarkDelay).dropDuplicatesWithinWatermark(idCol)
 }
