@@ -23,17 +23,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Materialize through the noop sink, not count(): count() lets
+    // ColumnPruning delete projection-only work (md5/regex/scoring columns
+    // that no downstream op reads), so q16/q17/q25-q28 measured scan+count
+    // instead of the query. The noop sink consumes every output column.
+    def run(name: String, dir: String): Unit =
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
     val names = SparkEntry.queries.keys.toSeq.sorted
     val warmDir = "/root/testdata/sf0.001"
     names.foreach { name =>
-      try { SparkEntry.queries(name)(spark, warmDir).count() } catch { case _: Throwable => () }
+      try { run(name, warmDir) } catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = names.map { name =>
       val reps = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() } catch {
+        try { run(name, sfDir) } catch {
           case e: Throwable =>
             // a swallowed failure must not read as a near-zero "win"
             if (!failed.contains(name)) {

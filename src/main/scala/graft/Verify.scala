@@ -34,9 +34,20 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Defensive keying: the round-1 driver looked up oracles by OUTPUT
+    // FILENAME ("qNN_name.parquet") while we keyed by bare query name, so
+    // zero comparisons ran. Emit every entry under BOTH key forms, plus a
+    // per-output "<name>.parquet.sql" sidecar holding the raw SQL, so any
+    // of the three lookup conventions resolves.
+    val entries = SparkEntry.oracleSql.toSeq.flatMap { case (k, v) =>
+      Seq(k -> v, s"$k.parquet" -> v)
+    }
+    val json = entries
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    SparkEntry.oracleSql.foreach { case (k, v) =>
+      Files.writeString(Paths.get(s"$outDir/$k.parquet.sql"), v)
+    }
     spark.stop()
   }
 }

@@ -146,21 +146,38 @@ object Similarity {
       .where(col("jaccard") >= minJaccard)
   }
 
-  /** SimHash signature (nBits <= 32) over the distinct word set:
+  /** SimHash signature (1 <= nBits <= 64) over the distinct word set:
     * bit b of the signature is 1 iff sum over words of ±1 (per word-hash
     * bit b) is positive. Expressed with a bit-position explode so the whole
     * computation is two codegen'd aggregations.
+    *
+    * Word hash: md5-based for nBits <= 32 (engine-portable — the DuckDB
+    * oracle reproduces it exactly) and xxhash64 for nBits > 32 (full
+    * 64-bit entropy; md5Long caps at 15 hex = 60 bits and would bias the
+    * top nibble). Bit extraction uses `& 1` (mask, not `% 2` — the sign
+    * bit of a negative xxhash64 value arithmetic-shifts to -1, and -1 % 2
+    * = -1 would misread every set high bit). Assembly uses a bitwise-OR
+    * aggregate, which cannot overflow: shiftleft(1L, 63) is Long.MinValue
+    * and a SUM of it is sign-garbage, but OR-ing distinct powers of two is
+    * exact for all 64 bit positions (and equals the old SUM construction
+    * for nBits <= 32, so 16-bit oracle outputs are unchanged).
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String, nBits: Int): DataFrame = {
+    require(nBits >= 1 && nBits <= 64, "simHash supports 1..64 bits")
+    val wh: Column =
+      if (nBits <= 32) HashFns.md5Long(col("word"), (nBits + 3) / 4)
+      else xxhash64(col("word"))
     val wordHash = docs
       .select(col(idCol).as("id"), explode(array_distinct(TextFns.words(col(textCol)))).as("word"))
-      .select(col("id"), HashFns.md5Long(col("word"), (nBits + 3) / 4).as("wh"))
+      .select(col("id"), wh.as("wh"))
     wordHash
       .select(col("id"), col("wh"), explode(sequence(lit(0), lit(nBits - 1))).as("b"))
-      .withColumn("contrib", when(expr("shiftright(wh, b)") % 2 === 1, 1).otherwise(-1))
+      .withColumn("contrib", when(expr("shiftright(wh, b) & 1") === 1, 1).otherwise(-1))
       .groupBy(col("id"), col("b")).agg(sum(col("contrib")).as("s"))
       .groupBy(col("id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+      .agg(expr(
+        "bit_or(CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)")
+        .as("simhash"))
   }
 
   /** SimHash near-dup pairs with pigeonhole blocking: signatures are split
@@ -168,6 +185,11 @@ object Similarity {
     * least one chunk, so candidates only form inside a (chunk index,
     * chunk value) bucket — exact for maxHamming <= 3, never the corpus
     * square. Output: id_a, id_b, hamming.
+    *
+    * Bucket selectivity scales with chunk width: 16-bit signatures (4-bit
+    * chunks, 16 values) collapse to huge buckets on a homogeneous corpus —
+    * measured ×40 runtime at 10× corpus. Production default is 64 bits
+    * (16-bit chunks, 65 536 values/chunk): use [[simHashNearDups64]].
     */
   def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       nBits: Int, maxHamming: Int): DataFrame = {
@@ -189,6 +211,15 @@ object Similarity {
         expr("CAST(bit_count(sig_a ^ sig_b) AS INT)").as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Production-scale simhash near-dup: 64-bit xxhash64 signatures, whose
+    * 16-bit pigeonhole chunks keep buckets sparse where 16-bit signatures
+    * degenerate (the 10×-corpus measurement in SURVEY §4). Same exactness
+    * contract (all pairs within maxHamming <= 3, no false negatives).
+    */
+  def simHashNearDups64(docs: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 3): DataFrame =
+    simHashNearDups(docs, idCol, textCol, nBits = 64, maxHamming = maxHamming)
 
   /** Brute-force cosine top-k: exact baseline. `queries` is expected to be
     * small (it is broadcast); similarity is ranked on the ROUNDED score with

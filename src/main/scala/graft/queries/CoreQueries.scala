@@ -49,15 +49,18 @@ object CoreQueries {
 
     "q05_enriched_lineitems" -> { (s, d) =>
       // nft_trx_union analog: the big fact joins on the orderkey shuffle;
-      // all dims broadcast; per-order distinct count reuses the same key.
+      // only the FIXED-cardinality dim (nation, 25 rows at every SF) gets a
+      // broadcast hint. part/customer grow linearly with SF — a forced
+      // broadcast OOMs executors at the 100 TB design point, so AQE picks
+      // broadcast-vs-shuffle for them from measured sizes at runtime.
       val t = Tables(s, d)
       val counts = t.lineitem.groupBy(col("l_orderkey"))
         .agg(countDistinct(col("l_partkey")).as("num_parts"))
       t.lineitem
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
         .join(counts, "l_orderkey")
-        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .join(t.part, col("l_partkey") === col("p_partkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
         .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
         .select(
           col("l_orderkey").as("orderkey"), col("l_linenumber").as("linenumber"),
@@ -76,8 +79,9 @@ object CoreQueries {
     },
 
     "q06_floor_price" -> { (s, d) =>
+      // part grows with SF — no forced broadcast; AQE decides (see q05).
       val t = Tables(s, d)
-      val priced = t.lineitem.join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      val priced = t.lineitem.join(t.part, col("l_partkey") === col("p_partkey"))
         .select(col("p_brand").as("brand"), col("l_extendedprice"))
       Rankings.percentileDisc(priced, Seq("brand"), "l_extendedprice", 0.2, "floor_price")
     },
@@ -130,8 +134,13 @@ object CoreQueries {
           count(lit(1)).as("n_events"),
           Portable.q4(sum(col("value"))).as("total_value"))
       val scalars = agg.agg(max(col("last_day")).as("maxd"), max(col("total_value")).as("max_total"))
+      // date outputs cast to timestamp: parquet DATE reaches the driver's
+      // pandas compare as `object` while DuckDB DATE arrives datetime64 —
+      // same values, dtype warning; timestamp lands identically on both.
       agg.crossJoin(broadcast(scalars))
-        .select(col("user_id"), col("event_type"), col("last_day"), col("n_events"), col("total_value"),
+        .select(col("user_id"), col("event_type"),
+          col("last_day").cast("timestamp").as("last_day"),
+          col("n_events"), col("total_value"),
           Portable.q6(pow(lit(0.8), datediff(col("maxd"), col("last_day")) + 1) * 1.2 +
             col("total_value") / col("max_total") * 2).as("score"))
     },
@@ -141,7 +150,8 @@ object CoreQueries {
       def leg(tpe: String, action: String) = ev.where(col("event_type") === tpe)
         .groupBy(to_date(col("ts")).as("d"), col("user_id"))
         .agg(count(lit(1)).as("n"), Portable.q4(sum(col("value"))).as("total"))
-        .select(col("d"), col("user_id"), lit(action).as("action"), col("n"), col("total"))
+        .select(col("d").cast("timestamp").as("d"), col("user_id"),
+          lit(action).as("action"), col("n"), col("total"))
       leg("purchase", "buy").unionAll(leg("view", "sell"))
     },
 
@@ -155,7 +165,10 @@ object CoreQueries {
 
     "q14_activity_gaps" -> { (s, d) =>
       Gaps.activitySummary(Tables(s, d).events, "user_id", "ts")
-        .select(col("user_id"), col("first_day"), col("last_day"), col("n_days_active"),
+        .select(col("user_id"),
+          col("first_day").cast("timestamp").as("first_day"),
+          col("last_day").cast("timestamp").as("last_day"),
+          col("n_days_active"),
           col("n_days_span").cast("bigint").as("n_days_span"),
           col("n_days_missing").cast("bigint").as("n_days_missing"))
     },
@@ -202,6 +215,7 @@ object CoreQueries {
       // the explicit per-key calendar holes (check_table_for_date_gaps
       // returning the actual gap dates, etl_utls.py:340)
       Gaps.missingDates(Tables(s, d).events, "user_id", "ts")
+        .withColumn("day", col("day").cast("timestamp"))
     },
 
     "q32_salted_rollup" -> { (s, d) =>
@@ -318,17 +332,17 @@ object CoreQueries {
         |         count(*) AS n_events, floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
         |  FROM events GROUP BY 1, 2),
         |scalars AS (SELECT max(last_day) AS maxd, max(total_value) AS max_total FROM agg)
-        |SELECT user_id, event_type, last_day, n_events, total_value,
+        |SELECT user_id, event_type, CAST(last_day AS TIMESTAMP) AS last_day, n_events, total_value,
         |  floor((power(0.8, datediff('day', last_day, maxd) + 1) * 1.2 +
         |        total_value / max_total * 2) * 1000000.0 + 0.5) / 1000000.0 AS score
         |FROM agg CROSS JOIN scalars""".stripMargin,
 
     "q12_daily_action_rollup" ->
-      """SELECT CAST(ts AS DATE) AS d, user_id, 'buy' AS action, count(*) AS n,
+      """SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d, user_id, 'buy' AS action, count(*) AS n,
         |  floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total
         |FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
         |UNION ALL
-        |SELECT CAST(ts AS DATE) AS d, user_id, 'sell' AS action, count(*) AS n,
+        |SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d, user_id, 'sell' AS action, count(*) AS n,
         |  floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total
         |FROM events WHERE event_type = 'view' GROUP BY 1, 2""".stripMargin,
 
@@ -338,7 +352,8 @@ object CoreQueries {
         |WHERE e.user_id IS NULL""".stripMargin,
 
     "q14_activity_gaps" ->
-      """SELECT user_id, min(CAST(ts AS DATE)) AS first_day, max(CAST(ts AS DATE)) AS last_day,
+      """SELECT user_id, CAST(min(CAST(ts AS DATE)) AS TIMESTAMP) AS first_day,
+        |  CAST(max(CAST(ts AS DATE)) AS TIMESTAMP) AS last_day,
         |  count(DISTINCT CAST(ts AS DATE)) AS n_days_active,
         |  CAST(datediff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) + 1 AS BIGINT) AS n_days_span,
         |  CAST(datediff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) + 1
@@ -398,7 +413,7 @@ object CoreQueries {
         |              FROM events GROUP BY 1),
         |cal AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM span),
         |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
-        |SELECT c.user_id, c.day FROM cal c
+        |SELECT c.user_id, CAST(c.day AS TIMESTAMP) AS day FROM cal c
         |LEFT JOIN act a ON c.user_id = a.user_id AND c.day = a.day
         |WHERE a.user_id IS NULL""".stripMargin,
 

@@ -35,8 +35,8 @@ object LLMQueries {
     },
 
     "q22_simhash" -> { (s, d) =>
-      // 16-bit signature for the oracle check; the library form supports
-      // up to 32 bits with the identical construction.
+      // 16-bit signature for the oracle check (md5 word hash — DuckDB can
+      // reproduce it); the library supports up to 64 bits (xxhash64 path).
       Similarity.simHash(Tables(s, d).documents, "doc_id", "text", 16)
         .select(col("id").as("doc_id"), col("simhash"))
     },
@@ -112,7 +112,9 @@ object LLMQueries {
 
     "q33_simhash_near_dup" -> { (s, d) =>
       // pigeonhole-blocked simhash near-dup (exact for hamming <= 3);
-      // the oracle checks the same set via the brute-force pair filter
+      // the oracle checks the same set via the brute-force pair filter.
+      // 16-bit here because the oracle must reproduce the md5 word hash;
+      // the production default is simHashNearDups64 (SURVEY §4).
       Similarity.simHashNearDups(Tables(s, d).documents, "doc_id", "text",
         nBits = 16, maxHamming = 3)
     }

@@ -167,6 +167,61 @@ class SimilaritySpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sig(1L) ^ sig(3L)) <= 6)
   }
 
+  test("simHash 16-bit matches a pure-Scala reference construction") {
+    // guards the bit_or assembly refactor: OR of distinct powers of two
+    // must equal the original SUM form for nBits <= 32
+    def md5Hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def ref(text: String): Long = {
+      val whs = text.split(" ").distinct.toSeq.map(w => java.lang.Long.parseLong(md5Hex(w).take(4), 16))
+      (0 until 16).map { b =>
+        val s = whs.map(wh => if (((wh >> b) & 1L) == 1L) 1 else -1).sum
+        if (s > 0) 1L << b else 0L
+      }.sum
+    }
+    val texts = Seq("a b c d e f", "the quick brown fox", "x", "dup dup dup word")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val sig = Similarity.simHash(docs, "doc_id", "text", 16)
+      .select("id", "simhash").as[(Long, Long)].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) => assert(sig(i.toLong) == ref(t), s"doc $i") }
+  }
+
+  test("simHash 64-bit exercises high bits safely and preserves near-dup structure") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, base + " changed"),
+      (4L, (200 to 260).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    val sig = Similarity.simHash(docs, "doc_id", "text", 64)
+      .select("id", "simhash").as[(Long, Long)].collect().toMap
+    assert(sig(1L) == sig(2L))
+    assert(java.lang.Long.bitCount(sig(1L) ^ sig(3L)) <= 8)
+    assert(java.lang.Long.bitCount(sig(1L) ^ sig(4L)) > 8)
+    // sign-bit determinism: a single-word doc's 64-bit signature is exactly
+    // xxhash64(word) (each bit's lone contribution is +1 iff the hash bit is
+    // set), including words whose hash is negative (bit 63 set) — the case
+    // the old sum-based assembly corrupted.
+    val words = (1 to 40).map(i => s"w$i")
+    val hashes = words.map(w => w -> Seq(w).toDF("x")
+      .select(xxhash64(col("x"))).as[Long].head()).toMap
+    assert(hashes.values.exists(_ < 0L), "test needs at least one negative hash")
+    val single = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val ssig = Similarity.simHash(single, "doc_id", "text", 64)
+      .select("id", "simhash").as[(Long, Long)].collect().toMap
+    words.zipWithIndex.foreach { case (w, i) => assert(ssig(i.toLong) == hashes(w), s"word $w") }
+  }
+
+  test("simHashNearDups64 finds planted near-dups, excludes distant docs") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base + " changed"),
+      (3L, (200 to 260).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Similarity.simHashNearDups64(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    val ham = Similarity.simHash(docs, "doc_id", "text", 64)
+      .select("id", "simhash").as[(Long, Long)].collect().toMap
+    val within = java.lang.Long.bitCount(ham(1L) ^ ham(2L)) <= 3
+    assert(out.contains((1L, 2L)) == within) // blocking is exact: pair iff hamming <= 3
+    assert(!out.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
   test("cosineTopK ranks neighbors by cosine with id tiebreak") {
     val e = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f))

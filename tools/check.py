@@ -70,7 +70,10 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    oracle_sql = json.load(open(f"{out_dir}/oracle_sql.json"))
+    raw = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Verify emits each oracle under BOTH "name" and "name.parquet" keys
+    # (the driver looks up by output filename); collapse to bare names.
+    oracle_sql = {k.removesuffix(".parquet"): v for k, v in raw.items()}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle_sql.items()):
         if only and name not in only:
