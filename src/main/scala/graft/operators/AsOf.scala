@@ -46,6 +46,46 @@ object AsOf {
         Portable.q4(col("sell_value") - col("buy_value")).as("gain"))
   }
 
+  /** Reference-parity variant of [[matchNext]] — the trade-ROI join as the
+    * reference actually writes it (update_etl.py:710): the sell bound is
+    * INCLUSIVE (`sell.date >= buy.date`, expressed here as a RANGE frame
+    * ordered by ts alone, so an equal-timestamp sell matches regardless of
+    * row order) and the join is LEFT OUTER — buys with no later sell are
+    * kept, their gain computed against `fallback` (the reference coalesces
+    * with the collection's current floor price; callers supply the
+    * current-price frame as (key, fallback_value)).
+    *
+    * Output adds `matched`; sell columns are null for unmatched buys, and
+    * gain is null when both the sell and the fallback are missing.
+    */
+  def matchNextLeft(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                    sideCol: String, buySide: String, sellSide: String,
+                    valueCol: String, fallback: DataFrame,
+                    fallbackKeyCol: String, fallbackValCol: String): DataFrame = {
+    val seq = events.where(col(sideCol).isin(buySide, sellSide))
+    // RANGE frame: peers (equal ts) are inside the frame, giving >= bounds
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+      .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    val withNext = seq.withColumn("__next_sell_ts",
+      min(when(col(sideCol) === sellSide, col(tsCol))).over(w))
+    val buys = withNext.where(col(sideCol) === buySide)
+      .select(col(keyCol), col(idCol).as("buy_event_id"), col(tsCol).as("buy_ts"),
+        col(valueCol).as("buy_value"), col("__next_sell_ts"))
+    val sells = seq.where(col(sideCol) === sellSide)
+      .select(col(keyCol).as("__sk"), col(idCol).as("sell_event_id"),
+        col(tsCol).as("sell_ts"), col(valueCol).as("sell_value"))
+    val matched = buys.join(sells,
+      buys(keyCol) === sells("__sk") && col("__next_sell_ts") === col("sell_ts"), "left")
+    val fb = fallback.select(col(fallbackKeyCol).as("__fk"),
+      col(fallbackValCol).as("__fallback_value"))
+    Dedup.oneByKey(matched, Seq("buy_event_id"), Seq(col("sell_event_id").asc_nulls_last))
+      .join(fb, col(keyCol) === col("__fk"), "left")
+      .select(col(keyCol), col("buy_event_id"), col("buy_ts"), col("buy_value"),
+        col("sell_event_id"), col("sell_ts"), col("sell_value"),
+        Portable.q4(coalesce(col("sell_value"), col("__fallback_value")) - col("buy_value")).as("gain"),
+        col("sell_event_id").isNotNull.as("matched"))
+  }
+
   /** Native-operator form of [[matchNext]]: plans through the custom
     * AsOfJoin LogicalPlan/SparkStrategy/SparkPlan (one shuffle+sort per
     * side, streaming two-pointer merge, O(1) state per key) instead of

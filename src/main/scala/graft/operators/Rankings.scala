@@ -33,4 +33,21 @@ object Rankings {
     df.orderBy(order: _*).limit(k)
       .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
   }
+
+  /** Top-k rows PER GROUP — the reference's `row_number() over (partition
+    * by collection_id order by feed_importance_score desc) <= 3` feed-score
+    * shape (update_etl.py:1182-1199). Adds `rnk` (1-based within group).
+    *
+    * Scale: the rank-filter-over-window pattern is recognized by Spark's
+    * InferWindowGroupLimit rule, which inserts a partial WindowGroupLimit
+    * BEFORE the shuffle — each map task keeps only its local top-k per
+    * group, so the shuffle carries O(groups × k) rows, not the full input.
+    * `order` must include a unique tiebreak for deterministic boundaries.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
+                   k: Int): DataFrame =
+    df.withColumn("rnk",
+        row_number().over(
+          Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)).cast("int"))
+      .where(col("rnk") <= k)
 }

@@ -18,9 +18,24 @@ object Similarity {
     * `sets` = (key, member) distinct pairs. Only key pairs sharing >= 1
     * member are materialized (never the full key × key square).
     * Output: key_a, key_b, size_a, size_b, intersection, jaccard.
+    *
+    * Heavy-hitter contract: a member present in m keys generates m² join
+    * rows, so one ubiquitous member regenerates the key square.
+    * `maxMemberDegree` drops members appearing in more keys than the cap
+    * BEFORE the self-join; set sizes are computed on the capped sets, so
+    * the output is the exact Jaccard of the filtered bipartite graph
+    * (pairs connected ONLY through dropped members are lost — that is the
+    * recall trade documented in SURVEY §4). Default: no cap.
     */
-  def jaccardPairs(sets: DataFrame, keyCol: String, memberCol: String): DataFrame = {
-    val s = sets.select(col(keyCol).as("key"), col(memberCol).as("member")).distinct()
+  def jaccardPairs(sets: DataFrame, keyCol: String, memberCol: String,
+                   maxMemberDegree: Int = Int.MaxValue): DataFrame = {
+    val s0 = sets.select(col(keyCol).as("key"), col(memberCol).as("member")).distinct()
+    val s =
+      if (maxMemberDegree == Int.MaxValue) s0
+      else s0.join(
+        s0.groupBy(col("member")).agg(count(lit(1)).as("__deg"))
+          .where(col("__deg") <= maxMemberDegree).select(col("member")),
+        Seq("member"), "left_semi")
     val sizes = s.groupBy(col("key")).agg(count(lit(1)).as("sz"))
     val inter = s.as("a").join(s.as("b"),
         col("a.member") === col("b.member") && col("a.key") < col("b.key"))
@@ -72,18 +87,19 @@ object Similarity {
   }
 
   /** LSH banding: group `rowsPerBand` consecutive signature rows into a band
-    * key; ids sharing any band key become candidate pairs.
+    * key; ids sharing any band key become candidate pairs. `persist` as in
+    * [[minHashNearDups]] (cache by default, checkpoint at scale).
     */
-  def lshCandidates(signatures: DataFrame, rowsPerBand: Int): DataFrame = {
-    // cached: both sides of the self-join read it (without this the whole
-    // signature pipeline is recomputed per side)
-    val banded = signatures
+  def lshCandidates(signatures: DataFrame, rowsPerBand: Int,
+                    persist: DataFrame => DataFrame = _.cache()): DataFrame = {
+    // persisted: both sides of the self-join read it (without this the
+    // whole signature pipeline is recomputed per side)
+    val banded = persist(signatures
       .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
       .groupBy(col("id"), col("band"))
       // deterministic band key: min-hash values in seed order
       .agg(concat_ws("_", sort_array(collect_list(struct(col("seed"), col("minh"))))
-        .getField("minh").cast("array<string>")).as("band_key"))
-      .cache()
+        .getField("minh").cast("array<string>")).as("band_key")))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id"))
@@ -93,13 +109,34 @@ object Similarity {
 
   /** Full MinHash-LSH near-dup pipeline: candidates + exact shingle-set
     * Jaccard verification of each candidate pair.
+    *
+    * `maxShingleDF` caps shingle document frequency (a shingle present in
+    * every doc of the corpus contributes nothing to similarity but
+    * dominates the intersection shuffle); applied BEFORE signatures so
+    * candidates and verification see the same shingle space — the output
+    * is the exact MinHash-LSH result over the capped sets. Default: no cap.
+    *
+    * `persist` materializes the two multiply-consumed intermediates;
+    * `_.cache()` (default) for interactive / memory-resident runs,
+    * `_.checkpoint()` or `_.localCheckpoint()` at production scale where
+    * recomputing a 100 TB shingle explosion on executor loss is worse
+    * than the disk write.
     */
   def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      shingleN: Int, numSeeds: Int, rowsPerBand: Int): DataFrame = {
+                      shingleN: Int, numSeeds: Int, rowsPerBand: Int,
+                      maxShingleDF: Int = Int.MaxValue,
+                      persist: DataFrame => DataFrame = _.cache()): DataFrame = {
     // sh feeds three consumers (signatures, intersection, sizes) and cands
-    // two — cache both; at production scale these become checkpoints.
-    val sh = shingleSets(docs, idCol, textCol, shingleN).cache()
-    val cands = lshCandidates(minHashSignatures(sh, numSeeds), rowsPerBand).cache()
+    // two — both are persisted via the caller-chosen strategy.
+    val sh0 = shingleSets(docs, idCol, textCol, shingleN)
+    val capped =
+      if (maxShingleDF == Int.MaxValue) sh0
+      else sh0.join(
+        sh0.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= maxShingleDF).select(col("shingle")),
+        Seq("shingle"), "left_semi")
+    val sh = persist(capped)
+    val cands = persist(lshCandidates(minHashSignatures(sh, numSeeds), rowsPerBand, persist))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     // intersection join runs on 64-bit shingle hashes: an 8-byte shuffle
     // key instead of the raw n-gram string (collisions ~2^-64 per pair)
@@ -120,17 +157,31 @@ object Similarity {
   /** Word n-gram Jaccard near-dups scoped to a blocking column (e.g.
     * source): pairs only form inside a block, so the join is bounded by the
     * largest block, never the corpus square. Exact within the block.
+    *
+    * `maxShingleDF` caps shingle document frequency WITHIN a block: a
+    * stop-shingle present in every doc of a block regenerates the block
+    * square; capped shingles are dropped before the join and set sizes
+    * are computed on the capped sets, so the output is the exact Jaccard
+    * of the filtered shingle space (recall contract as in
+    * [[jaccardPairs]]). Default: no cap.
     */
   def ngramNearDups(docs: DataFrame, idCol: String, textCol: String,
-                    blockCol: String, n: Int, minJaccard: Double): DataFrame = {
+                    blockCol: String, n: Int, minJaccard: Double,
+                    maxShingleDF: Int = Int.MaxValue): DataFrame = {
     // 64-bit shingle hash as the join key: 8-byte shuffle rows instead of
     // n-gram strings (collisions ~2^-64 per pair); words materialized
     // once (see shingleSets)
-    val sh = docs.select(col(idCol).as("id"), col(blockCol).as("block"),
+    val sh0 = docs.select(col(idCol).as("id"), col(blockCol).as("block"),
         TextFns.words(col(textCol)).as("__w"))
       .select(col("id"), col("block"),
         explode(array_distinct(TextFns.shinglesOfWords(col("__w"), n))).as("__shingle"))
       .select(col("id"), col("block"), xxhash64(col("__shingle")).as("shingle"))
+    val sh =
+      if (maxShingleDF == Int.MaxValue) sh0
+      else sh0.join(
+        sh0.groupBy(col("block"), col("shingle")).agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= maxShingleDF).select(col("block"), col("shingle")),
+        Seq("block", "shingle"), "left_semi")
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.block") === col("b.block") &&

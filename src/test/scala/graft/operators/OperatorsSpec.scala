@@ -349,3 +349,248 @@ class AsOfNativeSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 3L), (2L, 3L)))
   }
 }
+
+class TopKPerGroupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topKPerGroup keeps k rows per group with deterministic tiebreak") {
+    val df = Seq(
+      ("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, 9.0), ("a", 4L, 1.0),
+      ("b", 5L, 2.0)
+    ).toDF("g", "id", "score")
+    val out = Rankings.topKPerGroup(df, Seq("g"),
+        Seq(col("score").desc, col("id").asc), 2)
+      .select("g", "id", "rnk").as[(String, Long, Int)].collect().toSet
+    // group a: 9.0 first, then the 5.0 tie broken by id asc
+    assert(out == Set(("a", 3L, 1), ("a", 1L, 2), ("b", 5L, 1)))
+  }
+
+  test("rank filter plans as WindowGroupLimit (partial top-k before shuffle)") {
+    val df = (1 to 100).map(i => (i % 5, i.toLong, i * 1.1)).toDF("g", "id", "score")
+    val plan = Rankings.topKPerGroup(df, Seq("g"),
+      Seq(col("score").desc, col("id").asc), 3).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+}
+
+class SnapshotMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = java.sql.Date.valueOf(s)
+
+  test("snapshotMerge flips history to is_current=false and inserts today true") {
+    val history = Seq(
+      (1L, 1, d("2024-01-01"), true),
+      (2L, 2, d("2024-01-01"), true)
+    ).toDF("user_id", "rank", "created_at", "is_current")
+    val today = Seq((1L, 1, d("2024-01-02")), (3L, 2, d("2024-01-02")))
+      .toDF("user_id", "rank", "created_at")
+    val out = Merge.snapshotMerge(history, today, "created_at")
+      .select("user_id", "created_at", "is_current")
+      .as[(Long, java.sql.Date, Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, d("2024-01-01"), false), (2L, d("2024-01-01"), false),
+      (1L, d("2024-01-02"), true), (3L, d("2024-01-02"), true)))
+  }
+
+  test("snapshotMerge re-run is idempotent: same-date history rows are replaced") {
+    val history = Seq((1L, 1, d("2024-01-02"), true), (9L, 9, d("2024-01-01"), true))
+      .toDF("user_id", "rank", "created_at", "is_current")
+    val today = Seq((1L, 2, d("2024-01-02"))).toDF("user_id", "rank", "created_at")
+    val out = Merge.snapshotMerge(history, today, "created_at")
+      .select("user_id", "rank", "is_current").as[(Long, Int, Boolean)].collect().toSet
+    // the stale (1L, rank 1) row for 01-02 is gone, replaced by rank 2
+    assert(out == Set((9L, 9, false), (1L, 2, true)))
+  }
+}
+
+class Scd2MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = java.sql.Date.valueOf(s)
+
+  test("scd2Merge closes changed rows, keeps unchanged, inserts new keys") {
+    val current = Seq(
+      (1L, "low", d("2024-01-01"), None: Option[java.sql.Date]),
+      (2L, "high", d("2024-01-01"), None: Option[java.sql.Date]),
+      (3L, "low", d("2023-12-01"), Some(d("2024-01-01"))) // already closed
+    ).toDF("user_id", "tier", "started_at", "ended_at")
+    val incoming = Seq((1L, "high"), (2L, "high"), (4L, "low")).toDF("user_id", "tier")
+    val out = Merge.scd2Merge(current, incoming, "user_id", Seq("tier"), lit(d("2024-02-01")))
+      .select("user_id", "tier", "started_at", "ended_at")
+      .as[(Long, String, java.sql.Date, Option[java.sql.Date])].collect().toSet
+    assert(out == Set(
+      (1L, "low", d("2024-01-01"), Some(d("2024-02-01"))),  // closed
+      (1L, "high", d("2024-02-01"), None),                  // replacement
+      (2L, "high", d("2024-01-01"), None),                  // unchanged
+      (3L, "low", d("2023-12-01"), Some(d("2024-01-01"))),  // history passthrough
+      (4L, "low", d("2024-02-01"), None)))                  // new key
+  }
+
+  test("scd2Merge keeps open rows whose key is absent from incoming") {
+    val current = Seq((1L, "low", d("2024-01-01"), None: Option[java.sql.Date]))
+      .toDF("user_id", "tier", "started_at", "ended_at")
+    val incoming = Seq.empty[(Long, String)].toDF("user_id", "tier")
+    val out = Merge.scd2Merge(current, incoming, "user_id", Seq("tier"), lit(d("2024-02-01")))
+      .select("user_id", "ended_at").as[(Long, Option[java.sql.Date])].collect().toSeq
+    assert(out == Seq((1L, None)))
+  }
+}
+
+class JsonOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parseProfile extracts nested fields, null metadata branch, sameAs fallback") {
+    val docs = Seq(
+      (1L, """{"displayName":"Al","user":{"username":"al","balance":10.5},
+             |"metadata":{"twitterUsername":"al_tw","websiteUrl":"https://al.io"},
+             |"sameAs":["https://twitter.com/ignored"]}""".stripMargin.replace("\n", "")),
+      // no metadata object → twitter recovered from the sameAs list
+      (2L, """{"displayName":"Bo","user":{"username":"bo","balance":2.0},
+             |"sameAs":["https://blog.bo.io","https://twitter.com/bo_handle"]}"""
+        .stripMargin.replace("\n", "")),
+      // neither metadata nor a twitter URL → null handle
+      (3L, """{"displayName":"Cy","user":{"username":"cy","balance":0.0},"sameAs":[]}"""),
+      (4L, "not json at all")
+    ).toDF("id", "doc")
+    val out = JsonOps.parseProfile(docs, "doc")
+      .select("id", "display_name", "username", "twitter_username", "website", "has_metadata")
+      .as[(Long, Option[String], Option[String], Option[String], Option[String], Option[Boolean])]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, Some("Al"), Some("al"), Some("al_tw"), Some("https://al.io"), Some(true)),
+      (2L, Some("Bo"), Some("bo"), Some("bo_handle"), None, Some(false)),
+      (3L, Some("Cy"), Some("cy"), None, None, Some(false)),
+      // malformed → null fields + has_metadata=false (PERMISSIVE yields an
+      // all-null struct, not a null struct), never a task failure
+      (4L, None, None, None, None, Some(false))))
+  }
+}
+
+class DecodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("explodeHexArray decodes header and explodes the declared element count") {
+    // version 0x1f = 31; count byte 0x08 % 6 + 1 = 3 elements of 4 hex:
+    // 00ff=255, abcd=43981, 0001=1
+    val df = Seq((7L, "1f0800ffabcd0001ffffffff")).toDF("id", "payload")
+    val out = Decode.explodeHexArray(df, "id", "payload", maxElems = 6, elemHexWidth = 4)
+      .select("id", "version", "n_elems", "elem_idx", "elem_value")
+      .as[(Long, Int, Int, Int, Long)].collect().sortBy(_._4).toSeq
+    assert(out == Seq(
+      (7L, 31, 3, 0, 255L), (7L, 31, 3, 1, 43981L), (7L, 31, 3, 2, 1L)))
+  }
+
+  test("explodeHexArray row counts follow the per-row count byte") {
+    val df = Seq(
+      (1L, "00" + "00" + "1111" * 6), // count 0x00 → 1 elem
+      (2L, "00" + "05" + "2222" * 6)  // count 0x05 → 6 elems
+    ).toDF("id", "payload")
+    val out = Decode.explodeHexArray(df, "id", "payload", 6, 4)
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 6L))
+  }
+}
+
+class AsOfLeftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("matchNextLeft: inclusive ts bound, left-outer with fallback gain") {
+    val df = Seq(
+      // equal-ts sell with SMALLER id than the buy: inclusive bound matches it
+      (1L, ts("2024-01-01 10:00:00"), 5L, "buy", 100.0),
+      (1L, ts("2024-01-01 10:00:00"), 2L, "sell", 140.0),
+      // buy with no later sell on user 2 → kept, gain from fallback
+      (2L, ts("2024-01-01 10:00:00"), 7L, "buy", 50.0),
+      // user 3: no sell and no fallback → kept with null gain
+      (3L, ts("2024-01-01 10:00:00"), 8L, "buy", 10.0)
+    ).toDF("user_id", "ts", "event_id", "side", "value")
+    val fb = Seq((2L, 80.0)).toDF("fk", "fv")
+    val out = AsOf.matchNextLeft(df, "user_id", "ts", "event_id", "side",
+        "buy", "sell", "value", fb, "fk", "fv")
+      .select("buy_event_id", "sell_event_id", "gain", "matched")
+      .as[(Long, Option[Long], Option[Double], Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (5L, Some(2L), Some(40.0), true),   // inclusive: same-ts sell matched
+      (7L, None, Some(30.0), false),      // fallback gain 80-50
+      (8L, None, None, false)))           // no sell, no fallback
+  }
+
+  test("matchNextLeft equals matchNext (strict) when no ts ties and all matched") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "buy", 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 2L, "sell", 150.0),
+      (1L, ts("2024-01-01 12:00:00"), 3L, "buy", 90.0),
+      (1L, ts("2024-01-01 13:00:00"), 4L, "sell", 95.0)
+    ).toDF("user_id", "ts", "event_id", "side", "value")
+    val fb = Seq.empty[(Long, Double)].toDF("fk", "fv")
+    val left = AsOf.matchNextLeft(df, "user_id", "ts", "event_id", "side",
+        "buy", "sell", "value", fb, "fk", "fv")
+      .select("buy_event_id", "sell_event_id", "gain")
+      .as[(Long, Long, Double)].collect().toSet
+    val strict = AsOf.matchNext(df, "user_id", "ts", "event_id", "side",
+        "buy", "sell", "value")
+      .select("buy_event_id", "sell_event_id", "gain")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(left == strict && left.nonEmpty)
+  }
+}
+
+class SimilarityCapsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta", "s1"),
+    (2L, "alpha beta gamma delta epsilon eta", "s1"),
+    (3L, "one two three four five six", "s1"),
+    (4L, "one two three four five seven", "s2")
+  ).toDF("doc_id", "text", "source")
+
+  test("ngramNearDups with a non-binding DF cap is identical to uncapped") {
+    val base = Similarity.ngramNearDups(docs, "doc_id", "text", "source", 2, 0.0)
+      .collect().map(_.toSeq).toSet
+    val capped = Similarity.ngramNearDups(docs, "doc_id", "text", "source", 2, 0.0,
+      maxShingleDF = 1000).collect().map(_.toSeq).toSet
+    assert(capped == base && base.nonEmpty)
+  }
+
+  test("ngramNearDups DF cap drops ubiquitous shingles and rescales sizes") {
+    // 'x y' appears in every doc of the block; cap df<=2 removes it
+    val d = Seq(
+      (1L, "x y a b", "s"), (2L, "x y a b", "s"), (3L, "x y c d", "s")
+    ).toDF("doc_id", "text", "source")
+    val out = Similarity.ngramNearDups(d, "doc_id", "text", "source", 2, 0.0,
+        maxShingleDF = 2)
+      .select("id_a", "id_b", "size_a", "size_b", "intersection")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // docs 1-2 still share 'y a'/'a b'; pair (1,3)/(2,3) connected only via
+    // the dropped 'x y' disappears; sizes exclude the capped shingle
+    // (each doc's 3 bigrams shrink to 2 once 'x y' is dropped)
+    assert(out == Set((1L, 2L, 2L, 2L, 2L)))
+  }
+
+  test("jaccardPairs member-degree cap: non-binding cap identical, binding cap drops") {
+    val sets = Seq(
+      ("k1", 1L), ("k1", 2L), ("k2", 1L), ("k2", 3L), ("k3", 1L)
+    ).toDF("key", "member") // member 1 has degree 3
+    val base = Similarity.jaccardPairs(sets, "key", "member").collect().map(_.toSeq).toSet
+    val loose = Similarity.jaccardPairs(sets, "key", "member", maxMemberDegree = 10)
+      .collect().map(_.toSeq).toSet
+    assert(loose == base && base.nonEmpty)
+    val tight = Similarity.jaccardPairs(sets, "key", "member", maxMemberDegree = 2)
+      .select("key_a", "key_b").as[(String, String)].collect().toSet
+    assert(tight.isEmpty) // all pairs were connected only through member 1
+  }
+
+  test("minHashNearDups: DF cap non-binding and checkpoint persist give identical output") {
+    spark.sparkContext.setCheckpointDir("/tmp/graft-ckpt-spec")
+    val base = Similarity.minHashNearDups(docs, "doc_id", "text", 3, 12, 3)
+      .collect().map(_.toSeq).toSet
+    val alt = Similarity.minHashNearDups(docs, "doc_id", "text", 3, 12, 3,
+      maxShingleDF = 1000, persist = _.localCheckpoint())
+      .collect().map(_.toSeq).toSet
+    assert(alt == base && base.nonEmpty)
+  }
+}
