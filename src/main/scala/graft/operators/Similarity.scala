@@ -74,16 +74,22 @@ object Similarity {
     */
   def minHashSignatures(shingles: DataFrame, numSeeds: Int): DataFrame = {
     require(numSeeds % 4 == 0, "numSeeds must be a multiple of 4 (4 slices per digest)")
+    // the 4 slice-minima aggregate as 4 columns of one groupBy(id, g) —
+    // the shuffle carries numSeeds/4 rows per id instead of numSeeds
+    // (the slice explode happens AFTER the aggregation, on tiny data);
+    // results are identical to the explode-then-min formulation.
+    val mins = (0 until 4).map(k =>
+      min(conv(substring(col("h32"), 1 + 8 * k, 8), 16, 10).cast("bigint")).as(s"__m$k"))
     shingles
       .select(col("id"), explode(sequence(lit(0), lit(numSeeds / 4 - 1))).as("g"),
         col("shingle"))
       .select(col("id"), col("g"),
         md5(concat(col("shingle"), lit("#"), col("g").cast("string"))).as("h32"))
-      .select(col("id"), col("g"), posexplode(array((0 until 4).map(k =>
-        conv(substring(col("h32"), 1 + 8 * k, 8), 16, 10).cast("bigint")): _*)).as(Seq("k", "h")))
-      .select(col("id"), (col("g") * 4 + col("k")).as("seed"), col("h"))
-      .groupBy(col("id"), col("seed"))
-      .agg(min(col("h")).as("minh"))
+      .groupBy(col("id"), col("g"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), col("g"),
+        posexplode(array((0 until 4).map(k => col(s"__m$k")): _*)).as(Seq("k", "minh")))
+      .select(col("id"), (col("g") * 4 + col("k")).as("seed"), col("minh"))
   }
 
   /** LSH banding: group `rowsPerBand` consecutive signature rows into a band
@@ -305,32 +311,47 @@ object Similarity {
       .where(col("cosine") >= minCosine)
   }
 
-  /** IVF (inverted-file) approximate top-k: corpus vectors are
-    * coarse-quantized to their nearest of `numCentroids` deterministic
-    * seed centroids (the lowest-id corpus vectors — at production scale,
-    * k-means centroids trained offline and broadcast the same way);
-    * each query probes only the `nProbe` nearest centroid lists, so
-    * scanned candidates shrink by ~numCentroids/nProbe vs brute force.
-    * Centroids broadcast to both sides; the only shuffle is the final
-    * per-query top-k window. Recall < 1 by construction.
+  /** IVF (inverted-file) approximate top-k with deterministic seed
+    * centroids (the `numCentroids` lowest-id corpus vectors). For trained
+    * centroids, pass [[kMeansCentroids]] output to [[ivfTopKWith]].
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
               k: Int, numCentroids: Int, nProbe: Int): DataFrame = {
+    val seeds = corpus
+      .select(col(idCol).as("centroid_id"), VectorFns.asDouble(col(vecCol)).as("centv"))
+      .orderBy(col("centroid_id").asc).limit(numCentroids)
+    ivfTopKWith(queries, corpus, idCol, vecCol, k, nProbe, seeds)
+  }
+
+  /** IVF approximate top-k against a caller-supplied centroid table
+    * (centroid_id, centv: array<double>): corpus vectors are
+    * coarse-quantized to their nearest centroid; each query probes only
+    * the `nProbe` nearest centroid lists, so scanned candidates shrink by
+    * ~numCentroids/nProbe vs brute force. Centroids broadcast to both
+    * sides; the only shuffle is the final per-query top-k window. Recall
+    * < 1 by construction. All similarity comparisons (assignment argmax,
+    * probe ranking, final top-k) rank on ROUNDED cosine with id
+    * tiebreaks, so the result is reproducible across engines.
+    */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+                  k: Int, nProbe: Int, centroids: DataFrame): DataFrame = {
+    val cents = centroids.select(col("centroid_id"), col("centv"))
+      .withColumn("centn", VectorFns.norm2(col("centv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), VectorFns.asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", VectorFns.norm2(col("cv")))
-    val centroids = c.orderBy(col("neighbor_id").asc).limit(numCentroids)
-      .select(col("neighbor_id").as("centroid_id"), col("cv").as("centv"), col("cn").as("centn"))
     // corpus → nearest centroid (inverted lists)
     val assigned = Dedup.oneByKey(
-      c.crossJoin(broadcast(centroids))
-        .withColumn("sim", VectorFns.dot(col("cv"), col("centv")) / (col("cn") * col("centn"))),
+      c.crossJoin(broadcast(cents))
+        .withColumn("sim",
+          Portable.q6(VectorFns.dot(col("cv"), col("centv")) / (col("cn") * col("centn")))),
       Seq("neighbor_id"), Seq(col("sim").desc, col("centroid_id").asc))
       .select(col("neighbor_id"), col("cv"), col("cn"), col("centroid_id"))
     // query → nProbe nearest centroids
     val q = queries.select(col(idCol).as("query_id"), VectorFns.asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", VectorFns.norm2(col("qv")))
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("sim", VectorFns.dot(col("qv"), col("centv")) / (col("qn") * col("centn")))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("sim",
+        Portable.q6(VectorFns.dot(col("qv"), col("centv")) / (col("qn") * col("centn"))))
       .withColumn("__pr", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("centroid_id").asc)))
       .where(col("__pr") <= nProbe)
@@ -341,6 +362,49 @@ object Similarity {
         Portable.q6(VectorFns.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic Lloyd's k-means (cosine assignment, element-wise mean
+    * update) for IVF centroid training. Seeds are the k lowest-id vectors;
+    * each iteration assigns every vector to its nearest centroid (rounded
+    * cosine, centroid-id tiebreak — fully deterministic) and recomputes
+    * element-wise means. Per iteration the k × dim centroid table is
+    * pulled to the driver and re-broadcast (bounded driver state — same
+    * contract as the Incremental terminal-ts scalar), so the corpus is
+    * scanned `iters` times and never shuffled by more than a k-row
+    * aggregate. Returns (centroid_id, centv: array<double>).
+    */
+  def kMeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("vid"), VectorFns.asDouble(col(vecCol)).as("v"))
+      .withColumn("vn", VectorFns.norm2(col("v")))
+    var cents = c.orderBy(col("vid").asc).limit(k)
+      .select(col("vid").cast("int").as("centroid_id"), col("v").as("centv"))
+    for (_ <- 0 until iters) {
+      val withN = cents.withColumn("centn", VectorFns.norm2(col("centv")))
+      val assigned = Dedup.oneByKey(
+        c.crossJoin(broadcast(withN))
+          .withColumn("sim",
+            Portable.q6(VectorFns.dot(col("v"), col("centv")) / (col("vn") * col("centn")))),
+        Seq("vid"), Seq(col("sim").desc, col("centroid_id").asc))
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("centv"))
+      // empty clusters keep their previous centroid (means has no row)
+      val updated = cents.alias("c0").join(means.alias("m"), Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("m.centv"), col("c0.centv")).as("centv"))
+      // k × dim doubles to the driver, re-planned as a literal table: keeps
+      // the per-iteration lineage flat instead of k-deep
+      val rows = updated.collect()
+      import scala.jdk.CollectionConverters._
+      cents = spark.createDataFrame(rows.toSeq.asJava, updated.schema)
+    }
+    cents.select(col("centroid_id"), col("centv"))
   }
 
   /** Scale path for near-dup: SRP-bucket first (candidates only within the

@@ -117,6 +117,15 @@ object LLMQueries {
       // the production default is simHashNearDups64 (SURVEY §4).
       Similarity.simHashNearDups(Tables(s, d).documents, "doc_id", "text",
         nBits = 16, maxHamming = 3)
+    },
+
+    "q41_ivf_topk" -> { (s, d) =>
+      // IVF with deterministic seed centroids (lowest-id vectors) so the
+      // oracle can replay the identical assignment/probe/top-k ranking;
+      // trained centroids go through ivfTopKWith(kMeansCentroids(...)).
+      val emb = Tables(s, d).embeddings
+      Similarity.ivfTopK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding",
+        k = 5, numCentroids = 8, nProbe = 3)
     }
   )
 
@@ -250,6 +259,32 @@ object LLMQueries {
         |  CAST(('0x'||substr(md5(text),1,3))::BIGINT % 1280 AS INT) AS width,
         |  CAST(('0x'||substr(md5(text),4,3))::BIGINT % 720 AS INT) AS height,
         |  CAST(octet_length(text::BLOB) // 1024 + 1 AS BIGINT) AS n_frames
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q41_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS centroid_id, v AS centv FROM e ORDER BY vec_id LIMIT 8),
+        |asim AS (SELECT e.vec_id AS nid, e.v AS cv, c.centroid_id,
+        |    floor(list_cosine_similarity(e.v, c.centv) * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |  FROM e CROSS JOIN cents c),
+        |assigned AS (SELECT nid, cv, centroid_id FROM (
+        |    SELECT nid, cv, centroid_id,
+        |      row_number() OVER (PARTITION BY nid ORDER BY sim DESC, centroid_id) AS rn FROM asim)
+        |  WHERE rn = 1),
+        |qsim AS (SELECT q.vec_id AS qid, q.v AS qv, c.centroid_id,
+        |    floor(list_cosine_similarity(q.v, c.centv) * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |  FROM e q CROSS JOIN cents c WHERE q.vec_id < 10),
+        |probes AS (SELECT qid, qv, centroid_id FROM (
+        |    SELECT qid, qv, centroid_id,
+        |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, centroid_id) AS rn FROM qsim)
+        |  WHERE rn <= 3),
+        |scored AS (SELECT p.qid AS query_id, a.nid AS neighbor_id,
+        |    floor(list_cosine_similarity(p.qv, a.cv) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        |  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+        |  WHERE a.nid <> p.qid)
+        |SELECT * FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin
   )
 }

@@ -295,6 +295,46 @@ class IvfSpec extends SparkSpec {
       .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
     assert(ivf == brute) // nProbe = numCentroids → exact
   }
+
+  test("kMeansCentroids converges to per-cluster means") {
+    // two tight clusters; seeds (ids 0,1) land one per cluster, so one
+    // Lloyd iteration already yields the element-wise cluster means
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.2f)), (3L, Array(0.2f, 1.0f)),
+      (4L, Array(1.0f, 0.4f)), (5L, Array(0.4f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kMeansCentroids(vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .select("centroid_id", "centv").as[(Int, Seq[Double])].collect().toMap
+    assert(cents.keySet == Set(0, 1))
+    assert(cents(0).zip(Seq(1.0, 0.2)).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+    assert(cents(1).zip(Seq(0.2, 1.0)).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+  }
+
+  test("kMeansCentroids keeps a centroid whose cluster goes empty") {
+    // ids 0,1 identical → vector 1 assigns to centroid 0 (id tiebreak),
+    // leaving centroid 1's cluster empty; it must persist unchanged
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kMeansCentroids(vecs, "vec_id", "embedding", k = 2, iters = 3)
+      .select("centroid_id", "centv").as[(Int, Seq[Double])].collect().toMap
+    assert(cents.keySet == Set(0, 1))
+    assert(cents(1) == Seq(1.0, 0.0)) // survived three empty iterations
+  }
+
+  test("ivfTopKWith trained centroids still finds in-cluster neighbors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.00f)), (1L, Array(0.00f, 1.0f)),
+      (2L, Array(1.0f, 0.05f)), (3L, Array(0.05f, 1.0f)),
+      (4L, Array(1.0f, 0.10f)), (5L, Array(0.10f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val trained = Similarity.kMeansCentroids(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    val out = Similarity.ivfTopKWith(vecs.where(col("vec_id") === 0), vecs,
+      "vec_id", "embedding", k = 2, nProbe = 1, centroids = trained)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq((2L, 1), (4L, 2)))
+  }
 }
 
 class StreamingDedupSpec extends SparkSpec {
