@@ -44,6 +44,24 @@ object Formats {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Bucketed parquet table — the co-located-join layout for repeated big
+    * joins on the same key (e.g. events⋈events, trades⋈ownership). Both
+    * sides written with the same bucket count and key join with NO
+    * exchange: each task reads matching bucket files directly, so the
+    * 100 TB shuffle is paid once at write time and never again. `sortCols`
+    * additionally pre-sorts within buckets, letting sort-merge join skip
+    * its sort. Requires a table name (bucketing metadata lives in the
+    * catalog, not the parquet footer).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    ws.format("parquet").saveAsTable(table)
+  }
+
   /** Streaming file source over a landing directory: each new parquet file
     * becomes a micro-batch — the streaming replacement for the reference's
     * cron-driven "load whatever CSVs appeared" loop. `maxFilesPerTrigger`

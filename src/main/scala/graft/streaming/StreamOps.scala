@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -92,4 +92,77 @@ object StreamOps {
   def dedupByIdWithinWatermark(events: DataFrame, tsCol: String, idCol: String,
                                watermarkDelay: String): DataFrame =
     events.withWatermark(tsCol, watermarkDelay).dropDuplicatesWithinWatermark(idCol)
+
+  /** Stream-static enrichment: streaming facts joined to a slowly-changing
+    * dimension table (the streaming form of q05's enrichment). The static
+    * side is re-planned per micro-batch, so a dimension refresh (new
+    * parquet snapshot) is picked up without restarting the stream; Spark
+    * broadcasts it when it fits, exactly as in batch.
+    */
+  def enrichStream(facts: DataFrame, dim: DataFrame, factKey: String,
+                   dimKey: String, dimCols: Seq[String]): DataFrame =
+    facts.join(dim.select((dimKey +: dimCols).map(col): _*),
+      facts(factKey) === dim(dimKey), "left")
+      .drop(dim(dimKey))
+
+  /** Watermarked stream-stream interval join — the streaming twin of the
+    * batch as-of match (q09/q40): each left event pairs with right events
+    * in `(left.ts, left.ts + horizonSeconds]`. Both sides carry watermarks
+    * and the join condition is time-bounded in BOTH directions, so state
+    * eviction is provable and per-side state is O(events inside the
+    * horizon), never O(history). Inner by construction: an unmatched left
+    * row expires silently (streaming can't know "no later match" until the
+    * watermark passes — exactly the left-outer caveat documented for q40).
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         keyCol: String, tsCol: String,
+                         horizonSeconds: Long, watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(tsCol, watermarkDelay).alias("l")
+    val r = right.withWatermark(tsCol, watermarkDelay).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$tsCol") > col(s"l.$tsCol") &&
+        col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $horizonSeconds SECONDS"))
+  }
+
+  /** Streaming upsert sink: each micro-batch SCD1-merges into a parquet
+    * snapshot via [[graft.operators.Merge.coalesceMerge]] — the streaming
+    * replacement for the reference's cron upsert loop
+    * (etl_utls.py:141 upsert_postgres). foreachBatch gives exactly-once
+    * per-batch semantics against the rewritten snapshot; the target stays
+    * a plain parquet table (keyed `id`, coalesceMerge's output convention)
+    * readable by every batch query.
+    *
+    * The rewrite-the-snapshot pattern is correct while the target fits a
+    * daily rewrite budget (dimension-sized tables, like the reference's
+    * `address_metadata`); fact-sized targets belong in
+    * `Formats.writePartitioned` appends instead.
+    */
+  def upsertSink(updates: DataFrame, targetPath: String, updateKey: String,
+                 setCols: Map[String, String],
+                 checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val targetDir = new java.io.File(targetPath)
+        val merged =
+          if (!targetDir.exists())
+            batch.select(col(updateKey).as("id") +:
+              setCols.toSeq.sortBy(_._1).map { case (t, s) => col(s).as(t) }: _*)
+          else graft.operators.Merge.coalesceMerge(
+              spark.read.parquet(targetPath), batch, "id", updateKey, setCols)
+            .drop("is_new", "updated")
+        // write-then-swap: the live snapshot is never truncated before the
+        // replacement is fully materialized
+        val tmpDir = new java.io.File(targetPath + ".tmp")
+        val oldDir = new java.io.File(targetPath + ".old")
+        merged.write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
+        org.apache.spark.network.util.JavaUtils.deleteRecursively(oldDir)
+        if (targetDir.exists()) java.nio.file.Files.move(targetDir.toPath, oldDir.toPath)
+        java.nio.file.Files.move(tmpDir.toPath, targetDir.toPath)
+        org.apache.spark.network.util.JavaUtils.deleteRecursively(oldDir)
+      }
+      .start()
 }

@@ -11,6 +11,9 @@ object SparkTestSession {
     .master("local[4]")
     .appName("graft-tests")
     .config("spark.sql.shuffle.partitions", "4")
+    // bucketed-table specs saveAsTable; keep the warehouse out of the repo
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()

@@ -43,6 +43,25 @@ class FormatsSpec extends SparkSpec {
     val all = Formats.readParquet(spark, s"$dir/t").select("id").as[Long].collect().sorted
     assert(all.toSeq == Seq(1L, 3L))
   }
+
+  test("bucketed tables join with no shuffle exchange") {
+    val a = (1L to 100L).map(i => (i, s"u$i")).toDF("uid", "name")
+    val b = (1L to 100L).map(i => (i, i * 2.0)).toDF("uid", "worth")
+    Formats.writeBucketed(a, "bkt_a", Seq("uid"), 4, sortCols = Seq("uid"))
+    Formats.writeBucketed(b, "bkt_b", Seq("uid"), 4, sortCols = Seq("uid"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "uid")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join, got:\n$plan")
+      assert(joined.count() == 100)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
 }
 
 class ParquetStreamSpec extends graft.SparkSpec {

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 class StreamOpsSpec extends SparkSpec {
@@ -72,6 +73,63 @@ class StreamOpsSpec extends SparkSpec {
         .select("user_id", "n_events", "total_value")
         .as[(Long, Long, Double)].collect().toSet
       assert(rows == Set((5L, 2L, 2.0)))
+    } finally q.stop()
+  }
+
+  test("enrichStream joins streaming facts against a static dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val facts = input.toDF().toDF("uid", "value")
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
+    val q = StreamOps.enrichStream(facts, dim, "uid", "uid", Seq("tier"))
+      .writeStream.format("memory").queryName("enriched").outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, 5.0), (3L, 7.0)) // 3 has no dim row → left join null
+      q.processAllAvailable()
+      val rows = spark.table("enriched").select("uid", "value", "tier")
+        .as[(Long, Double, Option[String])].collect().toSet
+      assert(rows == Set((1L, 5.0, Some("gold")), (3L, 7.0, None)))
+    } finally q.stop()
+  }
+
+  test("intervalJoinStream pairs events within the horizon only") {
+    implicit val sqlCtx = spark.sqlContext
+    val buys = MemoryStream[(Long, Timestamp, Double)]
+    val sells = MemoryStream[(Long, Timestamp, Double)]
+    val l = buys.toDF().toDF("uid", "ts", "buy_price")
+    val r = sells.toDF().toDF("uid", "ts", "sell_price")
+    val q = StreamOps.intervalJoinStream(l, r, "uid", "ts",
+        horizonSeconds = 3600, watermarkDelay = "0 seconds")
+      .select(col("l.uid"), col("buy_price"), col("sell_price"))
+      .writeStream.format("memory").queryName("matched").outputMode(OutputMode.Append).start()
+    try {
+      buys.addData((1L, ts("2024-01-01 10:00:00"), 100.0))
+      sells.addData(
+        (1L, ts("2024-01-01 10:30:00"), 150.0), // inside horizon
+        (1L, ts("2024-01-01 12:30:00"), 999.0), // outside horizon
+        (2L, ts("2024-01-01 10:10:00"), 50.0))  // wrong key
+      q.processAllAvailable()
+      val rows = spark.table("matched").as[(Long, Double, Double)].collect().toSet
+      assert(rows == Set((1L, 100.0, 150.0)))
+    } finally q.stop()
+  }
+
+  test("upsertSink merges micro-batches into a parquet snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val target = s"$dir/snapshot"
+    val input = MemoryStream[(Long, Double)]
+    val updates = input.toDF().toDF("uid", "worth")
+    val q = StreamOps.upsertSink(updates, target, "uid",
+      Map("worth" -> "worth"), s"$dir/ckpt")
+    try {
+      input.addData((1L, 10.0), (2L, 20.0))
+      q.processAllAvailable()
+      input.addData((2L, 99.0), (3L, 30.0)) // update 2, insert 3
+      q.processAllAvailable()
+      val rows = spark.read.parquet(target).select("id", "worth")
+        .as[(Long, Double)].collect().toSet
+      assert(rows == Set((1L, 10.0), (2L, 99.0), (3L, 30.0)))
     } finally q.stop()
   }
 }
