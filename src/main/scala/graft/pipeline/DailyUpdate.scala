@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.operators.{Gaps, Incremental}
-import graft.queries.{CoreQueries, LLMQueries}
+import graft.queries.{CoreQueries, DerivedQueries, LLMQueries}
 import graft.sources.{Formats, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -40,7 +40,16 @@ object DailyUpdate {
     "collection_similarity" -> CoreQueries.queries("q18_cooccur_jaccard"),
     // data-quality / profile side tables
     "profile_merge" -> CoreQueries.queries("q15_profile_merge"),
-    "dedup_exact" -> LLMQueries.queries("q20_dedup_exact")
+    "dedup_exact" -> LLMQueries.queries("q20_dedup_exact"),
+    // round-2 derived tables, reference dependency order: membership
+    // snapshots feed the portfolio; metadata parse feeds profiles; the
+    // feed score is the terminal post table (update_post)
+    "membership_snapshot" -> DerivedQueries.queries("q36_membership_snapshot"),
+    "insider_portfolio" -> DerivedQueries.queries("q35_insider_portfolio"),
+    "metadata_profiles" -> DerivedQueries.queries("q37_metadata_json"),
+    "calldata_decoded" -> DerivedQueries.queries("q38_calldata_decode"),
+    "trading_roi_left" -> DerivedQueries.queries("q40_trading_roi_left"),
+    "feed_score" -> DerivedQueries.queries("q34_feed_score")
   )
 
   /** Run the full chain; write each derived table under `outDir`; return
