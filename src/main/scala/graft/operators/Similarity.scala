@@ -64,32 +64,37 @@ object Similarity {
         explode(array_distinct(TextFns.shinglesOfWords(col("__w"), n))).as("shingle"))
 
   /** MinHash signatures: one row per (id, seed) with the min 32-bit hash
-    * over the id's shingle set, for seeds 0..numSeeds-1 (numSeeds must be
-    * a multiple of 4).
+    * over the id's shingle set, for seeds 0..numSeeds-1.
     *
-    * Hash-once-slice-many: one md5 per (shingle, seed-group) yields four
-    * independent 32-bit hashes (8-hex slices), so the dominant hashing
-    * cost is numSeeds/4 digests per shingle instead of numSeeds. A single
-    * groupBy(id, seed) shuffle with map-side partial min follows.
+    * Hash-once, derive-many (Kirsch–Mitzenmacher double hashing): ONE md5
+    * per shingle yields two independent 32-bit halves (a, b); seed i's
+    * hash is (a + i·(2b+1)) mod 2^32 — the 2b+1 forces an odd, nonzero
+    * stride so b = 0 cannot collapse all seeds onto a. Per shingle row
+    * that is 1 digest + 2 hex parses + numSeeds adds, vs numSeeds/4
+    * digests before, and there is NO pre-aggregation row explosion: all
+    * numSeeds minima aggregate as columns of a single groupBy(id), so the
+    * map side streams each shingle exactly once and the shuffle carries
+    * one numSeeds-wide row per id. The explode to (id, seed) rows happens
+    * after aggregation, on tiny data. Double hashing is the standard LSH
+    * trick (Kirsch & Mitzenmacher 2006): pairwise hash quality is what
+    * banding needs, full mutual independence is not.
     */
   def minHashSignatures(shingles: DataFrame, numSeeds: Int): DataFrame = {
-    require(numSeeds % 4 == 0, "numSeeds must be a multiple of 4 (4 slices per digest)")
-    // the 4 slice-minima aggregate as 4 columns of one groupBy(id, g) —
-    // the shuffle carries numSeeds/4 rows per id instead of numSeeds
-    // (the slice explode happens AFTER the aggregation, on tiny data);
-    // results are identical to the explode-then-min formulation.
-    val mins = (0 until 4).map(k =>
-      min(conv(substring(col("h32"), 1 + 8 * k, 8), 16, 10).cast("bigint")).as(s"__m$k"))
+    require(numSeeds >= 1, "numSeeds must be positive")
+    val M = 4294967296L // 2^32
+    val mins = (0 until numSeeds).map(s =>
+      min((col("a") + lit(s.toLong) * (col("b") * 2 + 1)) % M).as(s"__m$s"))
     shingles
-      .select(col("id"), explode(sequence(lit(0), lit(numSeeds / 4 - 1))).as("g"),
-        col("shingle"))
-      .select(col("id"), col("g"),
-        md5(concat(col("shingle"), lit("#"), col("g").cast("string"))).as("h32"))
-      .groupBy(col("id"), col("g"))
+      // md5 materialized once per row in its own projection (CollapseProject
+      // keeps multi-referenced non-cheap aliases staged — see shingleSets)
+      .select(col("id"), md5(col("shingle")).as("__h"))
+      .select(col("id"),
+        conv(substring(col("__h"), 1, 8), 16, 10).cast("bigint").as("a"),
+        conv(substring(col("__h"), 9, 8), 16, 10).cast("bigint").as("b"))
+      .groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
-      .select(col("id"), col("g"),
-        posexplode(array((0 until 4).map(k => col(s"__m$k")): _*)).as(Seq("k", "minh")))
-      .select(col("id"), (col("g") * 4 + col("k")).as("seed"), col("minh"))
+      .select(col("id"),
+        posexplode(array((0 until numSeeds).map(s => col(s"__m$s")): _*)).as(Seq("seed", "minh")))
   }
 
   /** LSH banding: group `rowsPerBand` consecutive signature rows into a band

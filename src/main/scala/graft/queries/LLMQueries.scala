@@ -143,9 +143,11 @@ object LLMQueries {
         |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3
         |        THEN list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])
         |        ELSE [] END) AS shingle FROM toks),
-        |mh AS (SELECT doc_id, g*4 + k AS seed,
-        |        min(('0x'||substr(md5(shingle||'#'||CAST(g AS VARCHAR)), 1 + 8*k, 8))::BIGINT) AS minh
-        |       FROM sh, (SELECT unnest(range(0,3)) AS g), (SELECT unnest(range(0,4)) AS k) GROUP BY 1,2),
+        |ab AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,8))::BIGINT AS a,
+        |        ('0x'||substr(md5(shingle),9,8))::BIGINT AS b FROM sh),
+        |mh AS (SELECT doc_id, CAST(s AS INT) AS seed,
+        |        min((a + s*(2*b+1)) % 4294967296) AS minh
+        |       FROM ab, (SELECT unnest(range(0,12)) AS s) GROUP BY 1,2),
         |banded AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
         |        string_agg(CAST(minh AS VARCHAR), '_' ORDER BY seed) AS band_key
         |       FROM mh GROUP BY 1,2),
