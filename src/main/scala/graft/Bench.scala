@@ -30,7 +30,11 @@ object Bench {
     def run(name: String, dir: String): Unit =
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args restrict the run to named queries (iteration aid);
+    // the driver invokes with no args = full suite
+    val names =
+      if (args.nonEmpty) SparkEntry.queries.keys.toSeq.filter(args.contains).sorted
+      else SparkEntry.queries.keys.toSeq.sorted
     val warmDir = "/root/testdata/sf0.001"
     names.foreach { name =>
       try { run(name, warmDir) } catch { case _: Throwable => () }

@@ -175,10 +175,17 @@ object Similarity {
     * are computed on the capped sets, so the output is the exact Jaccard
     * of the filtered shingle space (recall contract as in
     * [[jaccardPairs]]). Default: no cap.
+    *
+    * `persist` materializes the shingle set, which is consumed three times
+    * (both self-join sides + sizes) — without it the scan+split+explode+
+    * hash lineage recomputes per consumer. `_.cache()` default;
+    * `_.checkpoint()` at production scale (contract as in
+    * [[minHashNearDups]]).
     */
   def ngramNearDups(docs: DataFrame, idCol: String, textCol: String,
                     blockCol: String, n: Int, minJaccard: Double,
-                    maxShingleDF: Int = Int.MaxValue): DataFrame = {
+                    maxShingleDF: Int = Int.MaxValue,
+                    persist: DataFrame => DataFrame = _.cache()): DataFrame = {
     // 64-bit shingle hash as the join key: 8-byte shuffle rows instead of
     // n-gram strings (collisions ~2^-64 per pair); words materialized
     // once (see shingleSets)
@@ -187,12 +194,12 @@ object Similarity {
       .select(col("id"), col("block"),
         explode(array_distinct(TextFns.shinglesOfWords(col("__w"), n))).as("__shingle"))
       .select(col("id"), col("block"), xxhash64(col("__shingle")).as("shingle"))
-    val sh =
+    val sh = persist(
       if (maxShingleDF == Int.MaxValue) sh0
       else sh0.join(
         sh0.groupBy(col("block"), col("shingle")).agg(count(lit(1)).as("__df"))
           .where(col("__df") <= maxShingleDF).select(col("block"), col("shingle")),
-        Seq("block", "shingle"), "left_semi")
+        Seq("block", "shingle"), "left_semi"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.block") === col("b.block") &&
