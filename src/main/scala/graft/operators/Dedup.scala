@@ -46,4 +46,51 @@ object Dedup {
     df.groupBy(md5(concat_ws(" ",
         array_sort(array_distinct(split(col(textCol), " "))))).as("text_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Connected components of the undirected pair graph — the step that
+    * turns near-dup PAIRS (minhash/simhash/ngram output) into dedup
+    * DECISIONS: every node gets the min node id of its component, so
+    * "keep one doc per duplicate cluster" is `node == component`.
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping —
+    * each round a node's label becomes the min of (its label, its
+    * neighbors' labels, its label's label). Neighbor propagation alone
+    * needs O(diameter) rounds (a 100 TB adversarial chain is O(n)); the
+    * pointer-jumping term halves label-chain height per round, giving
+    * O(log n) rounds on any topology (the Hash-to-Min bound). Each round
+    * is two hash joins + one groupBy-min over (node, lbl) pairs — state
+    * is one row per distinct node, never driver-resident. `persist`
+    * truncates the per-round lineage (default eager `localCheckpoint`;
+    * pass `_.checkpoint()` at production scale for executor-loss
+    * resilience). Deterministic: min over an unordered set.
+    *
+    * Output: (node, component) for every node appearing in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 30,
+                          persist: DataFrame => DataFrame = _.localCheckpoint())
+      : DataFrame = {
+    val sym = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct().cache()
+    var labels = persist(
+      sym.select(col("u").as("node")).distinct().withColumn("lbl", col("node")))
+    var iters = 0
+    var done = false
+    while (!done && iters < maxIters) {
+      val viaNeighbor = sym.join(labels, col("v") === col("node"))
+        .select(col("u").as("node"), col("lbl"))
+      val viaPointer = labels.as("x")
+        .join(labels.as("y"), col("x.lbl") === col("y.node"))
+        .select(col("x.node").as("node"), col("y.lbl").as("lbl"))
+      val next = persist(labels.union(viaNeighbor).union(viaPointer)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl")))
+      done = next.as("n").join(labels.as("p"), "node")
+        .where(col("n.lbl") =!= col("p.lbl")).isEmpty
+      labels = next
+      iters += 1
+    }
+    sym.unpersist()
+    labels.select(col("node"), col("lbl").as("component"))
+  }
 }

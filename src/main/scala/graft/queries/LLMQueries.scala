@@ -126,6 +126,22 @@ object LLMQueries {
       val emb = Tables(s, d).embeddings
       Similarity.ivfTopK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding",
         k = 5, numCentroids = 8, nProbe = 3)
+    },
+
+    "q42_dedup_clusters" -> { (s, d) =>
+      // pairs → decisions: minhash near-dup pairs at jaccard >= 0.5 become
+      // an undirected graph; connected components assign every doc its
+      // cluster (min doc id); `keep` marks the one survivor per cluster.
+      // Docs in no pair are their own singleton cluster.
+      val docs = Tables(s, d).documents
+      val edges = Similarity.minHashNearDups(docs, "doc_id", "text",
+        ShingleN, NumSeeds, RowsPerBand).where(col("jaccard") >= 0.5)
+      val comp = Dedup.connectedComponents(edges, "id_a", "id_b")
+        .withColumnRenamed("node", "doc_id")
+      docs.select(col("doc_id")).join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .withColumn("keep", col("doc_id") === col("cluster_id"))
     }
   )
 
@@ -287,6 +303,39 @@ object LLMQueries {
         |SELECT * FROM (
         |  SELECT query_id, neighbor_id, cosine,
         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-        |  FROM scored) WHERE rank <= 5""".stripMargin
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+
+    "q42_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3
+        |        THEN list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])
+        |        ELSE [] END) AS shingle FROM toks),
+        |ab AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,8))::BIGINT AS a,
+        |        ('0x'||substr(md5(shingle),9,8))::BIGINT AS b FROM sh),
+        |mh AS (SELECT doc_id, CAST(s AS INT) AS seed,
+        |        min((a + s*(2*b+1)) % 4294967296) AS minh
+        |       FROM ab, (SELECT unnest(range(0,12)) AS s) GROUP BY 1,2),
+        |banded AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+        |        string_agg(CAST(minh AS VARCHAR), '_' ORDER BY seed) AS band_key
+        |       FROM mh GROUP BY 1,2),
+        |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |       FROM banded a JOIN banded b
+        |         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT c.id_a, c.id_b, count(sb.shingle) AS intersection
+        |       FROM cands c
+        |       JOIN sh sa ON c.id_a = sa.doc_id
+        |       LEFT JOIN sh sb ON c.id_b = sb.doc_id AND sa.shingle = sb.shingle
+        |       GROUP BY 1,2),
+        |prs AS (SELECT i.id_a, i.id_b
+        |       FROM inter i JOIN sizes za ON i.id_a = za.doc_id JOIN sizes zb ON i.id_b = zb.doc_id
+        |       WHERE floor((i.intersection * 1.0 / (za.sz + zb.sz - i.intersection)) * 1000000.0 + 0.5) / 1000000.0 >= 0.5),
+        |edges AS (SELECT id_a AS ea, id_b AS eb FROM prs UNION SELECT id_b, id_a FROM prs),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.eb, r.lbl FROM reach r JOIN edges e ON e.ea = r.node)
+        |SELECT node AS doc_id, min(lbl) AS cluster_id, (node = min(lbl)) AS keep
+        |FROM reach GROUP BY node""".stripMargin
   )
 }

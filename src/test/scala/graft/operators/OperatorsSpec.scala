@@ -40,6 +40,27 @@ class DedupSpec extends SparkSpec {
       .select("doc_id", "n_copies").as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 3L, 4L -> 1L)) // min-id winner, 3 copies
   }
+
+  test("connectedComponents labels every node with its component min") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("connectedComponents converges on a long chain within the iteration cap") {
+    // a 64-node path is the worst case for plain neighbor propagation
+    // (O(n) rounds); pointer jumping must close it in O(log n)
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs, "id_a", "id_b", maxIters = 10)
+      .as[(Long, Long)].collect()
+    assert(out.length == 64 && out.forall(_._2 == 1L))
+  }
+
+  test("connectedComponents on empty pair set returns empty") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(pairs, "id_a", "id_b").isEmpty)
+  }
 }
 
 class AsOfSpec extends SparkSpec {
