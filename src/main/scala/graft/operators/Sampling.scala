@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-threshold sampling for training-data pipelines.
+  *
+  * Why not `df.sample(rate)`: Spark's sampler draws per-partition from a
+  * seeded RNG, so the selected SET changes whenever partitioning changes
+  * (repartition, AQE coalesce, a different file split at another SF) —
+  * a backfill re-run samples different rows than the original run.
+  * Hashing the row's stable id instead makes the decision a pure function
+  * of the data: reproducible across reruns, engines and cluster layouts,
+  * and CONSISTENT — the same id is either in or out of every table's
+  * sample, so independently sampled tables still join.
+  *
+  * The unit hash is the first 8 md5 hex digits of (id || salt) scaled to
+  * [0, 1): engine-portable (the DuckDB oracle reproduces it bit-for-bit)
+  * and uniform enough for rate control. The salt decorrelates different
+  * samples over the same ids — two pipelines sampling 10% with different
+  * salts overlap ~1%, with the same salt 100%.
+  *
+  * Scale: a codegen'd projection + filter, no shuffle, pushdown-friendly.
+  */
+object Sampling {
+
+  /** Uniform [0, 1) hash of `id` under `salt` — the sampling coin. */
+  def hashUnit(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit("#" + salt))), 1, 8), 16, 10)
+      .cast("bigint") / lit(4294967296.0)
+
+  /** Keep rows whose hash coin lands under `rate`. */
+  def hashSample(df: DataFrame, idCol: String, rate: Double, salt: String): DataFrame =
+    df.where(hashUnit(col(idCol), salt) < rate)
+
+  /** Per-stratum rates: rows in a stratum named in `rates` keep that rate,
+    * others `defaultRate`. One pass, no shuffle; the effective rate of
+    * each stratum is exact in expectation and deterministic in membership.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       salt: String): DataFrame = {
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (stratum, r)) => when(col(strataCol) === stratum, r).otherwise(acc)
+    }
+    df.where(hashUnit(col(idCol), salt) < rate)
+  }
+}

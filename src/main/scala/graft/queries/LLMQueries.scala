@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{HashFns, Portable, TextFns}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -142,6 +142,16 @@ object LLMQueries {
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("cluster_id"))
         .withColumn("keep", col("doc_id") === col("cluster_id"))
+    },
+
+    "q43_stratified_sample" -> { (s, d) =>
+      // deterministic md5-coin sampling: up-weight three sources, keep all
+      // of src5, 20% of the rest — membership is a pure function of
+      // (doc_id, salt), identical on re-run at any partitioning.
+      Sampling.stratifiedSample(Tables(s, d).documents, "source", "doc_id",
+        rates = Map("src0" -> 0.5, "src1" -> 0.5, "src2" -> 0.5, "src5" -> 1.0),
+        defaultRate = 0.2, salt = "q43")
+        .select(col("doc_id"), col("source"))
     }
   )
 
@@ -336,6 +346,12 @@ object LLMQueries {
         |  UNION
         |  SELECT e.eb, r.lbl FROM reach r JOIN edges e ON e.ea = r.node)
         |SELECT node AS doc_id, min(lbl) AS cluster_id, (node = min(lbl)) AS keep
-        |FROM reach GROUP BY node""".stripMargin
+        |FROM reach GROUP BY node""".stripMargin,
+
+    "q43_stratified_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#q43'),1,8))::BIGINT / 4294967296.0 <
+        |  CASE WHEN source IN ('src0','src1','src2') THEN 0.5
+        |       WHEN source = 'src5' THEN 1.0 ELSE 0.2 END""".stripMargin
   )
 }

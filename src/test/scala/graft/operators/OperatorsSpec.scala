@@ -63,6 +63,41 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ids = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+    .toDF("id", "stratum")
+
+  test("hashSample is deterministic, rate-accurate, and restriction-consistent") {
+    val s1 = Sampling.hashSample(ids, "id", 0.3, "s").select("id").as[Long].collect().toSet
+    val s2 = Sampling.hashSample(ids, "id", 0.3, "s").select("id").as[Long].collect().toSet
+    assert(s1 == s2)
+    assert(math.abs(s1.size / 2000.0 - 0.3) < 0.05)
+    // consistency: sampling a filtered table selects exactly the ids the
+    // full-table sample selected in that filter (joinable samples)
+    val sub = Sampling.hashSample(ids.where($"id" < 500), "id", 0.3, "s")
+      .select("id").as[Long].collect().toSet
+    assert(sub == s1.filter(_ < 500))
+  }
+
+  test("different salts decorrelate; same salt at higher rate nests") {
+    val a = Sampling.hashSample(ids, "id", 0.3, "s1").select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(ids, "id", 0.3, "s2").select("id").as[Long].collect().toSet
+    assert(a != b)
+    // nesting: the 30% sample is a subset of the 60% sample under one salt
+    val big = Sampling.hashSample(ids, "id", 0.6, "s1").select("id").as[Long].collect().toSet
+    assert(a.subsetOf(big))
+  }
+
+  test("stratifiedSample applies per-stratum rates") {
+    val out = Sampling.stratifiedSample(ids, "stratum", "id",
+      rates = Map("a" -> 1.0), defaultRate = 0.0, salt = "s")
+    val got = out.select("stratum").as[String].collect()
+    assert(got.length == 1000 && got.forall(_ == "a"))
+  }
+}
+
 class AsOfSpec extends SparkSpec {
   import spark.implicits._
 
