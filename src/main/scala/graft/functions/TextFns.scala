@@ -52,4 +52,21 @@ object TextFns {
   /** Number of tokens of `text` that appear in `keywords` (multiset count). */
   def keywordHits(text: Column, keywords: Seq[String]): Column =
     size(filter(words(text), w => w.isin(keywords.map(k => k: Any): _*)))
+
+  /** PII redaction patterns, applied in order (email before phone before
+    * generic digit runs, so the specific token wins over <NUM>). Kept in
+    * the Java-regex / RE2 common subset: the DuckDB oracle runs the same
+    * patterns verbatim (with its 'g' flag — Spark's regexp_replace is
+    * global by default, DuckDB's is first-match-only).
+    */
+  val piiRedactions: Seq[(String, String)] = Seq(
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}" -> "<EMAIL>",
+    "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}" -> "<PHONE>",
+    "[0-9]{4,}" -> "<NUM>")
+
+  /** Apply every redaction: a chain of codegen'd regexp_replace — a pure
+    * projection, no shuffle, linear in text length.
+    */
+  def scrubPII(text: Column): Column =
+    piiRedactions.foldLeft(text) { case (t, (re, tok)) => regexp_replace(t, re, tok) }
 }

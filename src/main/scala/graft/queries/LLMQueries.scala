@@ -152,6 +152,58 @@ object LLMQueries {
         rates = Map("src0" -> 0.5, "src1" -> 0.5, "src2" -> 0.5, "src5" -> 1.0),
         defaultRate = 0.2, salt = "q43")
         .select(col("doc_id"), col("source"))
+    },
+
+    "q44_repetition_score" -> { (s, d) =>
+      // Gopher-style repetition filters: duplicate-bigram fraction and
+      // most-frequent-word mass. The bigram ratio is a pure projection;
+      // the top-word mass needs a (doc, word) count — two keyed shuffles,
+      // never a driver loop. Flag thresholds compare the ROUNDED ratios so
+      // the boolean is reproducible across engines.
+      val docs = Tables(s, d).documents
+      val base = docs
+        .select(col("doc_id"), TextFns.words(col("text")).as("__w"))
+        .select(col("doc_id"),
+          size(col("__w")).cast("bigint").as("n_words"),
+          greatest(size(col("__w")) - 1, lit(0)).cast("bigint").as("n_bigrams"),
+          size(array_distinct(TextFns.shinglesOfWords(col("__w"), 2)))
+            .cast("bigint").as("n_distinct_bigrams"))
+      val topWord = docs
+        .select(col("doc_id"), explode(TextFns.words(col("text"))).as("__word"))
+        .groupBy(col("doc_id"), col("__word")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("doc_id")).agg(max(col("__c")).as("top_word_n"))
+      base.join(topWord, Seq("doc_id"))
+        .select(col("doc_id"), col("n_words"),
+          when(col("n_bigrams") > 0,
+            Portable.q6(lit(1.0) - col("n_distinct_bigrams") / col("n_bigrams")))
+            .otherwise(lit(0.0)).as("dup_bigram_ratio"),
+          Portable.q6(col("top_word_n") / col("n_words")).as("top_word_ratio"))
+        .withColumn("flagged",
+          col("dup_bigram_ratio") > 0.2 || col("top_word_ratio") > 0.1)
+    },
+
+    "q45_pii_scrub" -> { (s, d) =>
+      // PII redaction over the only PII-shaped strings in the test corpus:
+      // the customer profile blob (c_name carries a 9-digit run). Email and
+      // phone legitimately match zero rows here — the full pattern chain is
+      // behavior-checked in ScrubSpec; this query checks engine parity of
+      // the regex dialect on real data. Counts are taken stepwise on the
+      // progressively scrubbed string so a <PHONE> match can't also be
+      // counted as <NUM>.
+      val blob = concat_ws(" ", col("c_name"), col("c_mktsegment"))
+      val Seq((emailRe, emailTok), (phoneRe, phoneTok), (numRe, numTok)) =
+        TextFns.piiRedactions
+      Tables(s, d).customer
+        .select(col("c_custkey"), blob.as("__t0"))
+        .select(col("c_custkey"), col("__t0"),
+          regexp_replace(col("__t0"), emailRe, emailTok).as("__t1"))
+        .select(col("c_custkey"), col("__t0"), col("__t1"),
+          regexp_replace(col("__t1"), phoneRe, phoneTok).as("__t2"))
+        .select(col("c_custkey"),
+          size(regexp_extract_all(col("__t0"), lit(emailRe), lit(0))).cast("bigint").as("n_emails"),
+          size(regexp_extract_all(col("__t1"), lit(phoneRe), lit(0))).cast("bigint").as("n_phones"),
+          size(regexp_extract_all(col("__t2"), lit(numRe), lit(0))).cast("bigint").as("n_nums"),
+          regexp_replace(col("__t2"), numRe, numTok).as("clean_text"))
     }
   )
 
@@ -352,6 +404,40 @@ object LLMQueries {
       """SELECT doc_id, source FROM documents
         |WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#q43'),1,8))::BIGINT / 4294967296.0 <
         |  CASE WHEN source IN ('src0','src1','src2') THEN 0.5
-        |       WHEN source = 'src5' THEN 1.0 ELSE 0.2 END""".stripMargin
+        |       WHEN source = 'src5' THEN 1.0 ELSE 0.2 END""".stripMargin,
+
+    "q44_repetition_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(greatest(len(w)-1, 0) AS BIGINT) AS n_bigrams,
+        |    CAST(CASE WHEN len(w) >= 2
+        |      THEN len(list_distinct(list_transform(range(1, len(w)), i -> w[i]||' '||w[i+1])))
+        |      ELSE 0 END AS BIGINT) AS n_distinct_bigrams
+        |  FROM toks),
+        |topw AS (SELECT doc_id, max(c) AS top_word_n FROM (
+        |    SELECT doc_id, count(*) AS c FROM (SELECT doc_id, unnest(w) AS word FROM toks)
+        |    GROUP BY doc_id, word) GROUP BY doc_id),
+        |r AS (SELECT b.doc_id, b.n_words,
+        |    CASE WHEN b.n_bigrams > 0
+        |      THEN floor((1.0 - b.n_distinct_bigrams * 1.0 / b.n_bigrams) * 1000000.0 + 0.5) / 1000000.0
+        |      ELSE 0.0 END AS dup_bigram_ratio,
+        |    floor((t.top_word_n * 1.0 / b.n_words) * 1000000.0 + 0.5) / 1000000.0 AS top_word_ratio
+        |  FROM base b JOIN topw t ON b.doc_id = t.doc_id)
+        |SELECT doc_id, n_words, dup_bigram_ratio, top_word_ratio,
+        |  (dup_bigram_ratio > 0.2 OR top_word_ratio > 0.1) AS flagged
+        |FROM r""".stripMargin,
+
+    "q45_pii_scrub" ->
+      """WITH t0 AS (SELECT c_custkey, c_name||' '||c_mktsegment AS s FROM customer),
+        |t1 AS (SELECT c_custkey, s AS s0,
+        |    regexp_replace(s, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS s1 FROM t0),
+        |t2 AS (SELECT c_custkey, s0, s1,
+        |    regexp_replace(s1, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS s2 FROM t1)
+        |SELECT c_custkey,
+        |  CAST(len(regexp_extract_all(s0, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(s1, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(s2, '[0-9]{4,}')) AS BIGINT) AS n_nums,
+        |  regexp_replace(s2, '[0-9]{4,}', '<NUM>', 'g') AS clean_text
+        |FROM t2""".stripMargin
   )
 }

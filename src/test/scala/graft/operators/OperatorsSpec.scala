@@ -63,6 +63,18 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class ScrubSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scrubPII redacts email before phone before digit runs") {
+    val df = Seq(
+      "mail bob.smith@corp.example.com office 25-989-741-2988 badge 123456 pin 123"
+    ).toDF("t")
+    val out = df.select(graft.functions.TextFns.scrubPII($"t")).as[String].head()
+    assert(out == "mail <EMAIL> office <PHONE> badge <NUM> pin 123")
+  }
+}
+
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
 
