@@ -70,13 +70,23 @@ object Dedup {
                           maxIters: Int = 30,
                           persist: DataFrame => DataFrame = _.localCheckpoint())
       : DataFrame = {
-    val sym = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    // the projected pair list is read twice by the symmetrizing union —
+    // cache it so an expensive upstream (a full near-dup pipeline) does
+    // not run once per direction
+    val p = pairs.select(col(aCol).as("pa"), col(bCol).as("pb")).cache()
+    val sym = p.select(col("pa").as("u"), col("pb").as("v"))
+      .union(p.select(col("pb").as("u"), col("pa").as("v")))
       .distinct().cache()
     var labels = persist(
       sym.select(col("u").as("node")).distinct().withColumn("lbl", col("node")))
+    // convergence probe: labels only ever decrease (min over a set that
+    // includes the current label), so sum(lbl) is strictly decreasing
+    // until the fixpoint — one scalar aggregate per round, no join
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var iters = 0
-    var done = false
+    var done = prevSum == null // empty graph: nothing to propagate
     while (!done && iters < maxIters) {
       val viaNeighbor = sym.join(labels, col("v") === col("node"))
         .select(col("u").as("node"), col("lbl"))
@@ -85,12 +95,13 @@ object Dedup {
         .select(col("x.node").as("node"), col("y.lbl").as("lbl"))
       val next = persist(labels.union(viaNeighbor).union(viaPointer)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl")))
-      done = next.as("n").join(labels.as("p"), "node")
-        .where(col("n.lbl") =!= col("p.lbl")).isEmpty
+      val nextSum = labelSum(next)
+      done = nextSum == prevSum
+      prevSum = nextSum
       labels = next
       iters += 1
     }
-    sym.unpersist()
+    sym.unpersist(); p.unpersist()
     labels.select(col("node"), col("lbl").as("component"))
   }
 }

@@ -97,6 +97,15 @@ object Similarity {
         posexplode(array((0 until numSeeds).map(s => col(s"__m$s")): _*)).as(Seq("seed", "minh")))
   }
 
+  /** (id, band, band_key) rows: `rowsPerBand` consecutive signature rows
+    * concatenated (in seed order) into a deterministic band key.
+    */
+  def bandKeys(signatures: DataFrame, rowsPerBand: Int): DataFrame = signatures
+    .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+    .groupBy(col("id"), col("band"))
+    .agg(concat_ws("_", sort_array(collect_list(struct(col("seed"), col("minh"))))
+      .getField("minh").cast("array<string>")).as("band_key"))
+
   /** LSH banding: group `rowsPerBand` consecutive signature rows into a band
     * key; ids sharing any band key become candidate pairs. `persist` as in
     * [[minHashNearDups]] (cache by default, checkpoint at scale).
@@ -105,12 +114,7 @@ object Similarity {
                     persist: DataFrame => DataFrame = _.cache()): DataFrame = {
     // persisted: both sides of the self-join read it (without this the
     // whole signature pipeline is recomputed per side)
-    val banded = persist(signatures
-      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
-      .groupBy(col("id"), col("band"))
-      // deterministic band key: min-hash values in seed order
-      .agg(concat_ws("_", sort_array(collect_list(struct(col("seed"), col("minh"))))
-        .getField("minh").cast("array<string>")).as("band_key")))
+    val banded = persist(bandKeys(signatures, rowsPerBand))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id"))
@@ -152,6 +156,62 @@ object Similarity {
     // intersection join runs on 64-bit shingle hashes: an 8-byte shuffle
     // key instead of the raw n-gram string (collisions ~2^-64 per pair)
     val shh = sh.select(col("id"), xxhash64(col("shingle")).as("sh64"))
+    val inter = cands
+      .join(shh.as("sa"), col("id_a") === col("sa.id"))
+      .join(shh.as("sb"), col("id_b") === col("sb.id") && col("sa.sh64") === col("sb.sh64"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("intersection"))
+    cands.join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("intersection"))
+      .join(sizes.withColumnRenamed("sz", "size_a").withColumnRenamed("id", "__ia"), col("id_a") === col("__ia"))
+      .join(sizes.withColumnRenamed("sz", "size_b").withColumnRenamed("id", "__ib"), col("id_b") === col("__ib"))
+      .select(col("id_a"), col("id_b"), col("size_a"), col("size_b"), col("intersection"),
+        Portable.q6(col("intersection") * lit(1.0) /
+          (col("size_a") + col("size_b") - col("intersection"))).as("jaccard"))
+  }
+
+  /** Incremental MinHash-LSH near-dup for daily ingestion: find all pairs
+    * that INVOLVE an incoming doc (incoming×base and incoming×incoming) —
+    * base×base pairs are yesterday's output and are not recomputed.
+    *
+    * What stays cheap at 100 TB: only incoming text is shingled and
+    * signed; the base corpus contributes through `baseSignatures` (the
+    * persisted output of [[minHashSignatures]] — numSeeds small rows per
+    * doc, no text). Base TEXT is touched only for docs that appear in a
+    * candidate pair (semi-join before shingling), so verification cost
+    * scales with candidates, not corpus. With `baseSignatures = None` the
+    * base signatures are computed inline (first run / backfill).
+    *
+    * Output: same schema and semantics as [[minHashNearDups]], restricted
+    * to pairs with >= 1 incoming member; pairs are (id_a < id_b)
+    * normalized regardless of which side is incoming.
+    */
+  def minHashNearDupsIncremental(base: DataFrame, incoming: DataFrame,
+                                 idCol: String, textCol: String,
+                                 shingleN: Int, numSeeds: Int, rowsPerBand: Int,
+                                 baseSignatures: Option[DataFrame] = None,
+                                 persist: DataFrame => DataFrame = _.cache()): DataFrame = {
+    val incSh = persist(shingleSets(incoming, idCol, textCol, shingleN))
+    val baseSig = baseSignatures.getOrElse(
+      minHashSignatures(shingleSets(base, idCol, textCol, shingleN), numSeeds))
+    val incSig = minHashSignatures(incSh, numSeeds)
+    val incBands = persist(bandKeys(incSig, rowsPerBand))
+    val allBands = bandKeys(baseSig, rowsPerBand).union(incBands)
+    val cands = persist(incBands.as("a").join(allBands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct())
+    // verification shingles: only docs that appear in a candidate pair
+    val candIds = cands.select(col("id_a").as("id"))
+      .union(cands.select(col("id_b").as("id"))).distinct()
+    val touchedBase = base
+      .join(candIds, base(idCol) === candIds("id"), "left_semi")
+    val vSh = persist(
+      shingleSets(touchedBase, idCol, textCol, shingleN)
+        .union(incSh.join(candIds, Seq("id"), "left_semi")))
+    val sizes = vSh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val shh = vSh.select(col("id"), xxhash64(col("shingle")).as("sh64"))
     val inter = cands
       .join(shh.as("sa"), col("id_a") === col("sa.id"))
       .join(shh.as("sb"), col("id_b") === col("sb.id") && col("sa.sh64") === col("sb.sh64"))

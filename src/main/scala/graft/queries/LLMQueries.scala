@@ -204,6 +204,22 @@ object LLMQueries {
           size(regexp_extract_all(col("__t1"), lit(phoneRe), lit(0))).cast("bigint").as("n_phones"),
           size(regexp_extract_all(col("__t2"), lit(numRe), lit(0))).cast("bigint").as("n_nums"),
           regexp_replace(col("__t2"), numRe, numTok).as("clean_text"))
+    },
+
+    "q46_incremental_neardup" -> { (s, d) =>
+      // daily-ingest dedup: odd doc_ids arrive today, even ids are the
+      // existing corpus whose signatures are precomputed — only pairs
+      // involving an incoming doc are produced, and base text is shingled
+      // only for candidate docs. Signatures are identical to the batch
+      // construction, so the oracle is q21's SQL restricted to pairs with
+      // an odd member.
+      val docs = Tables(s, d).documents
+      val base = docs.where(col("doc_id") % 2 === 0)
+      val incoming = docs.where(col("doc_id") % 2 === 1)
+      val baseSig = Similarity.minHashSignatures(
+        Similarity.shingleSets(base, "doc_id", "text", ShingleN), NumSeeds)
+      Similarity.minHashNearDupsIncremental(base, incoming, "doc_id", "text",
+        ShingleN, NumSeeds, RowsPerBand, baseSignatures = Some(baseSig))
     }
   )
 
@@ -438,6 +454,33 @@ object LLMQueries {
         |  CAST(len(regexp_extract_all(s1, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
         |  CAST(len(regexp_extract_all(s2, '[0-9]{4,}')) AS BIGINT) AS n_nums,
         |  regexp_replace(s2, '[0-9]{4,}', '<NUM>', 'g') AS clean_text
-        |FROM t2""".stripMargin
+        |FROM t2""".stripMargin,
+
+    "q46_incremental_neardup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3
+        |        THEN list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])
+        |        ELSE [] END) AS shingle FROM toks),
+        |ab AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,8))::BIGINT AS a,
+        |        ('0x'||substr(md5(shingle),9,8))::BIGINT AS b FROM sh),
+        |mh AS (SELECT doc_id, CAST(s AS INT) AS seed,
+        |        min((a + s*(2*b+1)) % 4294967296) AS minh
+        |       FROM ab, (SELECT unnest(range(0,12)) AS s) GROUP BY 1,2),
+        |banded AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+        |        string_agg(CAST(minh AS VARCHAR), '_' ORDER BY seed) AS band_key
+        |       FROM mh GROUP BY 1,2),
+        |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |       FROM banded a JOIN banded b
+        |         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |       WHERE a.doc_id % 2 = 1 OR b.doc_id % 2 = 1),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT c.id_a, c.id_b, count(sb.shingle) AS intersection
+        |       FROM cands c
+        |       JOIN sh sa ON c.id_a = sa.doc_id
+        |       LEFT JOIN sh sb ON c.id_b = sb.doc_id AND sa.shingle = sb.shingle
+        |       GROUP BY 1,2)
+        |SELECT i.id_a, i.id_b, za.sz AS size_a, zb.sz AS size_b, i.intersection,
+        |  floor((i.intersection * 1.0 / (za.sz + zb.sz - i.intersection)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+        |FROM inter i JOIN sizes za ON i.id_a = za.doc_id JOIN sizes zb ON i.id_b = zb.doc_id""".stripMargin
   )
 }

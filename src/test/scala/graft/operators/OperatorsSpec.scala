@@ -63,6 +63,29 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class IncrementalNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("incremental near-dup equals the batch pipeline restricted to incoming pairs") {
+    val docs = (
+      (1L until 40L).map(i => (i, s"w$i x$i y$i z$i common tail words here now then")) :+
+        (101L, "w7 x7 y7 z7 common tail words here now then") :+ // near-dup of doc 7
+        (102L, "w8 x8 y8 z8 common tail words here now then")    // near-dup of doc 8
+      ).toDF("doc_id", "text")
+    val batch = Similarity.minHashNearDups(docs, "doc_id", "text", 3, 12, 3)
+      .where($"id_a" % 2 === 1 || $"id_b" % 2 === 1)
+      .collect().map(_.toSeq).toSet
+    val base = docs.where($"doc_id" % 2 === 0)
+    val incoming = docs.where($"doc_id" % 2 === 1)
+    val baseSig = Similarity.minHashSignatures(
+      Similarity.shingleSets(base, "doc_id", "text", 3), 12)
+    val inc = Similarity.minHashNearDupsIncremental(base, incoming, "doc_id", "text",
+      3, 12, 3, baseSignatures = Some(baseSig))
+      .collect().map(_.toSeq).toSet
+    assert(inc == batch && inc.nonEmpty)
+  }
+}
+
 class ScrubSpec extends SparkSpec {
   import spark.implicits._
 
