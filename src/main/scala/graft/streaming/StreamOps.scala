@@ -125,6 +125,57 @@ object StreamOps {
         col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $horizonSeconds SECONDS"))
   }
 
+  /** Streaming near-duplicate detection sink: each micro-batch is deduped
+    * against the ACCUMULATED corpus via
+    * [[graft.operators.Similarity.minHashNearDupsIncremental]] — the
+    * streaming form of the daily-ingest dedup (q46). The sink maintains
+    * three stores under `storeDir`, all partitioned by batch_id and
+    * written with dynamic partition overwrite, so a replayed micro-batch
+    * rewrites exactly its own partitions (idempotent — foreachBatch
+    * at-least-once becomes effectively-once):
+    *   docs/       — accumulated (id, text), read back only for docs that
+    *                 land in a candidate pair
+    *   signatures/ — accumulated minhash signatures; each batch hashes
+    *                 ONLY its own text against this store
+    *   pairs/      — near-dup pairs involving each batch's arrivals
+    * Per-batch cost scales with the batch and its candidates, never the
+    * corpus — the property that lets the stream run forever.
+    */
+  def nearDupSink(docs: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int, numSeeds: Int, rowsPerBand: Int,
+                  storeDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.Similarity
+        import graft.sources.Formats
+        val spark = batch.sparkSession
+        val (docsPath, sigPath, pairsPath) =
+          (s"$storeDir/docs", s"$storeDir/signatures", s"$storeDir/pairs")
+        val b = batch.select(col(idCol), col(textCol)).cache()
+        val haveBase = new java.io.File(docsPath).exists()
+        val base = if (haveBase) spark.read.parquet(docsPath).select(col(idCol), col(textCol))
+                   else b.limit(0)
+        val baseSig =
+          if (haveBase) Some(spark.read.parquet(sigPath).select(col("id"), col("seed"), col("minh")))
+          else None
+        val pairs = Similarity.minHashNearDupsIncremental(base, b, idCol, textCol,
+          shingleN, numSeeds, rowsPerBand, baseSignatures = baseSig)
+        Formats.writePartitioned(pairs.withColumn("batch_id", lit(batchId)),
+          pairsPath, Seq("batch_id"))
+        val sigs = Similarity.minHashSignatures(
+          Similarity.shingleSets(b, idCol, textCol, shingleN), numSeeds)
+        Formats.writePartitioned(sigs.withColumn("batch_id", lit(batchId)),
+          sigPath, Seq("batch_id"))
+        Formats.writePartitioned(b.withColumn("batch_id", lit(batchId)),
+          docsPath, Seq("batch_id"))
+        b.unpersist()
+        ()
+      }
+      .start()
+
   /** Streaming upsert sink: each micro-batch SCD1-merges into a parquet
     * snapshot via [[graft.operators.Merge.coalesceMerge]] — the streaming
     * replacement for the reference's cron upsert loop

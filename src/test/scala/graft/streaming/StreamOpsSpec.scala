@@ -132,4 +132,35 @@ class StreamOpsSpec extends SparkSpec {
       assert(rows == Set((1L, 10.0), (2L, 99.0), (3L, 30.0)))
     } finally q.stop()
   }
+
+  test("nearDupSink dedups each micro-batch against the accumulated corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamOps.nearDupSink(docs, "doc_id", "text",
+      shingleN = 3, numSeeds = 12, rowsPerBand = 3,
+      storeDir = s"$dir/store", checkpointDir = s"$dir/ckpt")
+    try {
+      input.addData(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2L, "one two three four five six seven eight nine ten"))
+      q.processAllAvailable()
+      // batch 2: doc 3 is a near-dup of batch-1 doc 1 (cross-batch), doc 4
+      // is novel, doc 5 near-dups doc 4 (intra-batch)
+      input.addData(
+        (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        (4L, "red orange yellow green blue indigo violet black white gray"),
+        (5L, "red orange yellow green blue indigo violet black white silver"))
+      q.processAllAvailable()
+      val pairs = spark.read.parquet(s"$dir/store/pairs")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 3L)) && pairs.contains((4L, 5L)))
+      assert(!pairs.exists(p => Set(p._1, p._2) == Set(1L, 2L)))
+      // signature store accumulated every doc
+      val sigIds = spark.read.parquet(s"$dir/store/signatures")
+        .select("id").distinct().as[Long].collect().toSet
+      assert(sigIds == Set(1L, 2L, 3L, 4L, 5L))
+    } finally q.stop()
+  }
 }
