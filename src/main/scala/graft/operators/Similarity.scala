@@ -85,12 +85,15 @@ object Similarity {
     val mins = (0 until numSeeds).map(s =>
       min((col("a") + lit(s.toLong) * (col("b") * 2 + 1)) % M).as(s"__m$s"))
     shingles
-      // md5 materialized once per row in its own projection (CollapseProject
-      // keeps multi-referenced non-cheap aliases staged — see shingleSets)
-      .select(col("id"), md5(col("shingle")).as("__h"))
+      // native digest-to-longs (value-identical to conv(substring(md5)) —
+      // the oracle re-derives from hex slices); materialized once per row
+      // in its own projection (CollapseProject keeps multi-referenced
+      // non-cheap aliases staged — see shingleSets)
       .select(col("id"),
-        conv(substring(col("__h"), 1, 8), 16, 10).cast("bigint").as("a"),
-        conv(substring(col("__h"), 9, 8), 16, 10).cast("bigint").as("b"))
+        org.apache.spark.sql.graft.HashExprs.md5Halves(col("shingle")).as("__h"))
+      .select(col("id"),
+        element_at(col("__h"), 1).as("a"),
+        element_at(col("__h"), 2).as("b"))
       .groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("id"),

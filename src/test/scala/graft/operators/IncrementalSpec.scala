@@ -55,4 +55,18 @@ class ArrayMathSpec extends SparkSpec {
       .as[Double].collect().head
     assert(v == 11.0)
   }
+
+  test("md5Halves matches the portable conv(substring(md5)) construction") {
+    import org.apache.spark.sql.functions._
+    val strs = Seq("", "a", "hello world", "shingle one two", "ünïcodé ∂øc",
+      "x" * 1000) ++ (0 until 200).map(i => s"doc $i tail")
+    val df = strs.toDF("s")
+    val mismatches = df.select(
+        org.apache.spark.sql.graft.HashExprs.md5Halves(col("s")).as("h"),
+        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("bigint").as("a"),
+        conv(substring(md5(col("s")), 9, 8), 16, 10).cast("bigint").as("b"))
+      .where(element_at(col("h"), 1) =!= col("a") || element_at(col("h"), 2) =!= col("b"))
+      .count()
+    assert(mismatches == 0)
+  }
 }
