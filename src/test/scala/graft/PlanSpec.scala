@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.{Sampling, Similarity}
+import graft.queries.CoreQueries
+import org.apache.spark.sql.functions._
+
+/** Physical/optimized-plan contracts: the scale properties SURVEY §4
+  * promises, asserted in CI so a refactor that silently regresses them
+  * (a lost pushdown, a new forced broadcast, an extra shuffle) fails a
+  * spec instead of an executor at 100 TB. Queries run against the tiny
+  * sf0.001 parquet so plans are real FileScans, not LocalRelations.
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q01: filter and projection push down to the parquet scan") {
+    val plan = CoreQueries.queries("q01_ingest_clean")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(event_type,error)"),
+      s"event_type filter not pushed:\n$plan")
+    // column pruning: the unused JSON props column must not be read
+    assert(!plan.contains("props"), s"props survived pruning:\n$plan")
+  }
+
+  test("q05: only the fixed-cardinality dim carries a forced broadcast hint") {
+    val optimized = CoreQueries.queries("q05_enriched_lineitems")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val forced = "strategy=broadcast".r.findAllIn(optimized).length
+    // nation only — part/customer must stay AQE-decided (a forced hint
+    // overrides size checks and OOMs when the dim grows with SF)
+    assert(forced == 1, s"expected exactly 1 forced broadcast, found $forced:\n$optimized")
+  }
+
+  test("minHashSignatures aggregates all seed minima through a single shuffle") {
+    val docs = Seq((1L, "a b c d e"), (2L, "c d e f g")).toDF("doc_id", "text")
+    val sig = Similarity.minHashSignatures(
+      Similarity.shingleSets(docs, "doc_id", "text", 3), 12)
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(sig.queryExecution.executedPlan.toString).length
+    assert(exchanges == 1, s"expected 1 shuffle, found $exchanges")
+  }
+
+  test("hashSample is a pure scan-side filter: zero shuffles") {
+    val out = Sampling.hashSample(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", 0.3, "s")
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("q43 sampling reads only the projected columns") {
+    val plan = graft.queries.LLMQueries.queries("q43_stratified_sample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("text"), s"text column read by a doc_id/source query:\n$plan")
+  }
+}

@@ -63,6 +63,30 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("approxDistinct tracks exact distinct within rsd on skewed keys") {
+    // key "hot": 5000 distinct values; key "cold": 3
+    val rows = (0 until 5000).map(i => ("hot", s"v$i")) ++
+      Seq(("cold", "a"), ("cold", "b"), ("cold", "c"), ("cold", "a"))
+    val df = rows.toDF("k", "v")
+    val approx = Sketches.approxDistinct(df, Seq("k"), "v")
+      .as[(String, Long)].collect().toMap
+    assert(approx("cold") == 3L) // tiny cardinalities are exact in HLL++
+    assert(math.abs(approx("hot") - 5000.0) / 5000.0 < 0.1)
+  }
+
+  test("approxPercentile at max accuracy matches percentile_disc on a small group") {
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("k", "x")
+    val approx = Sketches.approxPercentile(df, Seq("k"), "x", 0.2, "p")
+      .select("p").as[Double].head()
+    val exact = Rankings.percentileDisc(df, Seq("k"), "x", 0.2, "p")
+      .select("p").as[Double].head()
+    assert(approx == exact)
+  }
+}
+
 class IncrementalNearDupSpec extends SparkSpec {
   import spark.implicits._
 
