@@ -84,4 +84,26 @@ object DailyUpdate {
     counts + ("fact_events_clean" -> Formats.readParquet(spark, factPath).count()) +
       ("date_gaps_found" -> gaps)
   }
+
+  /** Gap-driven backfill — the reference's `backfill.py`, which loops
+    * `check_table_for_date_gaps` → per-date delete+reload. Spark form:
+    * diff the target's partition dates against the dates `full` can
+    * produce, recompute ONLY the missing dates, and write them with
+    * dynamic partition overwrite — present partitions are never touched
+    * (no delete phase, idempotent re-run). The date diff is collected to
+    * the driver: bounded by calendar days, the same bounded-scalar
+    * contract as `Incremental.terminalTs`. Returns the backfilled dates.
+    */
+  def backfillDates(spark: SparkSession, full: DataFrame, dateCol: String,
+                    targetPath: String): Seq[java.sql.Date] = {
+    val expected = full.select(col(dateCol)).distinct()
+    val present =
+      try spark.read.parquet(targetPath).select(col(dateCol)).distinct()
+      catch { case _: Throwable => expected.limit(0) }
+    val missing = expected.except(present).collect().map(_.getDate(0)).toSeq.sortBy(_.getTime)
+    if (missing.nonEmpty)
+      Formats.writePartitioned(
+        full.where(col(dateCol).isin(missing: _*)), targetPath, Seq(dateCol))
+    missing
+  }
 }

@@ -18,4 +18,25 @@ class DailyUpdateSpec extends SparkSpec {
     val counts2 = DailyUpdate.run(spark, "/root/testdata/sf0.001", out)
     assert(counts2 == counts)
   }
+
+  test("backfillDates recomputes only missing partitions, never present ones") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val target = Files.createTempDirectory("graft-backfill").toString + "/t"
+    def frame(v: String) = Seq(
+      ("2024-01-01", 1L), ("2024-01-02", 2L), ("2024-01-03", 3L), ("2024-01-05", 5L)
+    ).toDF("ds", "x").select(to_date($"ds").as("d"), $"x", lit(v).as("tag"))
+    // seed the target with days 1 and 2 tagged "orig"
+    graft.sources.Formats.writePartitioned(
+      frame("orig").where($"d" < "2024-01-03"), target, Seq("d"))
+    // backfill from a source tagged "fill": must add days 3 and 5 only
+    val filled = DailyUpdate.backfillDates(spark, frame("fill"), "d", target)
+    assert(filled.map(_.toString) == Seq("2024-01-03", "2024-01-05"))
+    val byDay = spark.read.parquet(target).select($"d".cast("string"), $"tag")
+      .as[(String, String)].collect().toMap
+    assert(byDay == Map("2024-01-01" -> "orig", "2024-01-02" -> "orig",
+      "2024-01-03" -> "fill", "2024-01-05" -> "fill"))
+    // idempotent: nothing missing on re-run
+    assert(DailyUpdate.backfillDates(spark, frame("again"), "d", target).isEmpty)
+  }
 }
