@@ -4,6 +4,7 @@ import graft.functions.{HashFns, Portable, TextFns}
 import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline surface (SURVEY.md §2, rows 20-30): dedup
@@ -220,6 +221,43 @@ object LLMQueries {
         Similarity.shingleSets(base, "doc_id", "text", ShingleN), NumSeeds)
       Similarity.minHashNearDupsIncremental(base, incoming, "doc_id", "text",
         ShingleN, NumSeeds, RowsPerBand, baseSignatures = Some(baseSig))
+    },
+
+    "q47_corpus_pipeline" -> { (s, d) =>
+      // the end-to-end pre-training corpus clean, each stage feeding the
+      // next: quality gate → exact canonical dedup → minhash near-dup
+      // clustering (keep cluster minimum) → deterministic 80% sample.
+      // Every stage is an operator proven alone by q26/q20/q42/q43; this
+      // query proves the COMPOSITION against a single DuckDB oracle.
+      val docs = Tables(s, d).documents
+      val w = TextFns.words(col("text"))
+      val nWords = size(w).cast("bigint")
+      val uniqRatio = Portable.q6(size(array_distinct(w)) / nWords)
+      val stopRatio = Portable.q6(
+        TextFns.keywordHits(col("text"), Seq("the", "a")) / nWords)
+      val avgWl = Portable.q6((col("n_chars") - nWords + 1) / nWords)
+      val quality = Portable.q6(uniqRatio * 0.3 + (lit(1.0) - stopRatio) * 0.3 +
+        least(nWords / 100.0, lit(1.0)) * 0.2 + least(avgWl / 8.0, lit(1.0)) * 0.2)
+      val gated = docs.withColumn("quality_score", quality)
+        .where(col("quality_score") >= 0.5)
+      // exact dedup: keep the min doc_id of each canonical word set
+      val keepExact = gated
+        .withColumn("__canon", md5(concat_ws(" ",
+          array_sort(array_distinct(split(col("text"), " "))))))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("__canon")).orderBy(col("doc_id").asc)))
+        .where(col("__rn") === 1)
+        .select(col("doc_id"), col("source"), col("quality_score"), col("text"))
+      // near-dup clustering among exact survivors; keep cluster minima
+      val edges = Similarity.minHashNearDups(keepExact, "doc_id", "text",
+        ShingleN, NumSeeds, RowsPerBand).where(col("jaccard") >= 0.5)
+      val comp = Dedup.connectedComponents(edges, "id_a", "id_b")
+        .withColumnRenamed("node", "doc_id")
+      val keepNear = keepExact.join(comp, Seq("doc_id"), "left")
+        .where(col("component").isNull || col("component") === col("doc_id"))
+      // deterministic sample of the cleaned corpus
+      Sampling.hashSample(keepNear, "doc_id", 0.8, "corpus")
+        .select(col("doc_id"), col("source"), col("quality_score"))
     }
   )
 
@@ -481,6 +519,58 @@ object LLMQueries {
         |       GROUP BY 1,2)
         |SELECT i.id_a, i.id_b, za.sz AS size_a, zb.sz AS size_b, i.intersection,
         |  floor((i.intersection * 1.0 / (za.sz + zb.sz - i.intersection)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
-        |FROM inter i JOIN sizes za ON i.id_a = za.doc_id JOIN sizes zb ON i.id_b = zb.doc_id""".stripMargin
+        |FROM inter i JOIN sizes za ON i.id_a = za.doc_id JOIN sizes zb ON i.id_b = zb.doc_id""".stripMargin,
+
+    "q47_corpus_pipeline" ->
+      """WITH RECURSIVE
+        |f AS (SELECT doc_id, source, text,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+        |  floor((len(list_distinct(string_split(text,' '))) / len(string_split(text,' '))) * 1000000.0 + 0.5) / 1000000.0 AS uniq_ratio,
+        |  floor((len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) / len(string_split(text,' '))) * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
+        |  floor(((n_chars - len(string_split(text,' ')) + 1) / len(string_split(text,' '))) * 1000000.0 + 0.5) / 1000000.0 AS avg_word_len
+        | FROM documents),
+        |g AS (SELECT doc_id, source, text,
+        |  floor((uniq_ratio * 0.3 + (1.0 - stop_ratio) * 0.3 +
+        |         least(n_words / 100.0, 1.0) * 0.2 + least(avg_word_len / 8.0, 1.0) * 0.2) * 1000000.0 + 0.5) / 1000000.0 AS quality_score
+        | FROM f),
+        |gated AS (SELECT * FROM g WHERE quality_score >= 0.5),
+        |ex AS (SELECT doc_id, source, text, quality_score,
+        |    row_number() OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) ORDER BY doc_id) AS rn
+        |  FROM gated),
+        |ke AS (SELECT doc_id, source, text, quality_score FROM ex WHERE rn = 1),
+        |toks AS (SELECT doc_id, string_split(text,' ') AS w FROM ke),
+        |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3
+        |        THEN list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])
+        |        ELSE [] END) AS shingle FROM toks),
+        |ab AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,8))::BIGINT AS a,
+        |        ('0x'||substr(md5(shingle),9,8))::BIGINT AS b FROM sh),
+        |mh AS (SELECT doc_id, CAST(s AS INT) AS seed,
+        |        min((a + s*(2*b+1)) % 4294967296) AS minh
+        |       FROM ab, (SELECT unnest(range(0,12)) AS s) GROUP BY 1,2),
+        |banded AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+        |        string_agg(CAST(minh AS VARCHAR), '_' ORDER BY seed) AS band_key
+        |       FROM mh GROUP BY 1,2),
+        |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |       FROM banded a JOIN banded b
+        |         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT c.id_a, c.id_b, count(sb.shingle) AS intersection
+        |       FROM cands c
+        |       JOIN sh sa ON c.id_a = sa.doc_id
+        |       LEFT JOIN sh sb ON c.id_b = sb.doc_id AND sa.shingle = sb.shingle
+        |       GROUP BY 1,2),
+        |prs AS (SELECT i.id_a, i.id_b
+        |       FROM inter i JOIN sizes za ON i.id_a = za.doc_id JOIN sizes zb ON i.id_b = zb.doc_id
+        |       WHERE floor((i.intersection * 1.0 / (za.sz + zb.sz - i.intersection)) * 1000000.0 + 0.5) / 1000000.0 >= 0.5),
+        |edges AS (SELECT id_a AS ea, id_b AS eb FROM prs UNION SELECT id_b, id_a FROM prs),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM ke
+        |  UNION
+        |  SELECT e.eb, r.lbl FROM reach r JOIN edges e ON e.ea = r.node),
+        |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+        |SELECT k.doc_id, k.source, k.quality_score
+        |FROM ke k JOIN comp c ON k.doc_id = c.node
+        |WHERE c.cluster_id = k.doc_id
+        |  AND ('0x'||substr(md5(CAST(k.doc_id AS VARCHAR)||'#corpus'),1,8))::BIGINT / 4294967296.0 < 0.8""".stripMargin
   )
 }
