@@ -77,8 +77,12 @@ object Dedup {
     val sym = p.select(col("pa").as("u"), col("pb").as("v"))
       .union(p.select(col("pb").as("u"), col("pa").as("v")))
       .distinct().cache()
+    // seed with min(node, min neighbor) rather than node: for the typical
+    // near-dup topology (pairs and stars around a low-id survivor) the
+    // seed already IS the fixpoint, so the loop pays one confirming round
+    // instead of propagate + confirm
     var labels = persist(
-      sym.select(col("u").as("node")).distinct().withColumn("lbl", col("node")))
+      sym.groupBy(col("u").as("node")).agg(min(least(col("u"), col("v"))).as("lbl")))
     // convergence probe: labels only ever decrease (min over a set that
     // includes the current label), so sum(lbl) is strictly decreasing
     // until the fixpoint — one scalar aggregate per round, no join
