@@ -168,6 +168,62 @@ object DerivedQueries {
         sideCol = "event_type", buySide = "purchase", sellSide = "view",
         valueCol = "value", fallback = curr,
         fallbackKeyCol = "curr_user", fallbackValCol = "curr_value")
+    },
+
+    "q48_shadow_trades" -> { (s, d) =>
+      // shadow_trade (adhoc create_shadow_trade.sql): the paper-trading
+      // ledger. Each entry leg (cohort member's purchase, composite key
+      // user × token k) matches its FIRST later exit on the same key;
+      // open positions mark to the latest market value of the token.
+      // P/L is realized (exit) or unrealized (mark), relative to entry.
+      // The cohort is an ordered-LIMIT top-20 (bounded k → broadcast-safe
+      // at every SF); the as-of match is the composite-key window form.
+      val ev = Tables(s, d).events
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      val purch = ev.where(col("event_type") === "purchase" && col("value") > 0)
+      val cohort = Rankings.topK(
+          purch.groupBy(col("user_id"))
+            .agg(Portable.q4(sum(col("value"))).as("tot")),
+          Seq(col("tot").desc, col("user_id").asc), 20)
+        .select(col("user_id"))
+      val entries = purch.join(broadcast(cohort), Seq("user_id"))
+        .select(col("user_id"), col("k"), col("event_id").as("entry_event_id"),
+          col("ts").as("entry_ts"), col("value").as("entry_value"))
+      val exits = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("k"), col("ts").as("exit_ts"),
+          col("event_id").as("exit_event_id"), col("value").as("exit_value"))
+      val matched = entries.as("e")
+        .join(exits.as("x"),
+          col("e.user_id") === col("x.user_id") && col("e.k") === col("x.k") &&
+            col("x.exit_ts") > col("e.entry_ts"), "left")
+        .select(col("e.user_id"), col("e.k"), col("entry_event_id"),
+          col("entry_ts"), col("entry_value"),
+          col("exit_event_id"), col("exit_ts"), col("exit_value"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("entry_event_id"))
+            .orderBy(col("exit_ts").asc_nulls_last, col("exit_event_id").asc_nulls_last)))
+        .where(col("__rn") === 1).drop("__rn")
+      val marks = Dedup.latestByKey(ev.where(col("event_type") === "view"),
+          Seq("k"), "ts", "event_id")
+        .select(col("k"), col("value").as("mark_value"))
+      matched.join(marks, Seq("k"), "left")
+        .select(col("user_id"), col("k"), col("entry_event_id"), col("entry_ts"),
+          col("entry_value"), col("exit_event_id"), col("exit_ts"), col("exit_value"),
+          col("mark_value"),
+          Portable.q6((coalesce(col("exit_value"), col("mark_value")) - col("entry_value"))
+            / col("entry_value")).as("pnl_pct"),
+          when(col("exit_event_id").isNotNull, "realized").otherwise("open").as("status"))
+        .where(col("pnl_pct").isNotNull && col("pnl_pct") >= -1)
+    },
+
+    "q49_shadow_summary" -> { (s, d) =>
+      // shadow_trade_summary: per (insider, token) position rollup —
+      // earliest entry and mean P/L over the ledger.
+      queries("q48_shadow_trades")(s, d)
+        .groupBy(col("user_id"), col("k"))
+        .agg(min(col("entry_ts")).as("first_entry_ts"),
+          Portable.q6(avg(col("pnl_pct"))).as("avg_pnl_pct"),
+          count(lit(1)).as("n_positions"))
     }
   )
 
@@ -318,6 +374,50 @@ object DerivedQueries {
         |  floor((coalesce(m.sell_value, c.curr_value) - m.buy_value) * 10000.0 + 0.5) / 10000.0 AS gain,
         |  m.sell_event_id IS NOT NULL AS matched
         |FROM m LEFT JOIN curr c ON m.user_id = c.cu
-        |WHERE m.rn = 1""".stripMargin
+        |WHERE m.rn = 1""".stripMargin,
+
+    "q48_shadow_trades" ->
+      (ShadowLedgerSql +
+        "\nSELECT * FROM led WHERE pnl_pct IS NOT NULL AND pnl_pct >= -1"),
+
+    "q49_shadow_summary" ->
+      (ShadowLedgerSql + """
+        |SELECT user_id, k, min(entry_ts) AS first_entry_ts,
+        |  floor(avg(pnl_pct) * 1000000.0 + 0.5) / 1000000.0 AS avg_pnl_pct,
+        |  count(*) AS n_positions
+        |FROM (SELECT * FROM led WHERE pnl_pct IS NOT NULL AND pnl_pct >= -1)
+        |GROUP BY user_id, k""".stripMargin)
   )
+
+  /** Shared CTE chain of the shadow-trade ledger (q48 full table, q49
+    * summary): one SQL body, two terminal SELECTs. (`def`, not `val`: the
+    * oracles map above initializes first during object construction.)
+    */
+  private def ShadowLedgerSql: String =
+    """WITH ev AS (SELECT user_id, event_id, ts, event_type, value,
+      |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k FROM events),
+      |purch AS (SELECT * FROM ev WHERE event_type = 'purchase' AND value > 0),
+      |cohort AS (SELECT user_id FROM (
+      |    SELECT user_id,
+      |      row_number() OVER (ORDER BY floor(sum(value) * 10000.0 + 0.5) / 10000.0 DESC, user_id) AS rnk
+      |    FROM purch GROUP BY user_id) WHERE rnk <= 20),
+      |entries AS (SELECT p.user_id, p.k, p.event_id AS entry_event_id,
+      |    p.ts AS entry_ts, p.value AS entry_value
+      |  FROM purch p JOIN cohort c ON p.user_id = c.user_id),
+      |exits AS (SELECT user_id, k, ts AS exit_ts, event_id AS exit_event_id, value AS exit_value
+      |  FROM ev WHERE event_type = 'view'),
+      |m AS (SELECT e.user_id, e.k, e.entry_event_id, e.entry_ts, e.entry_value,
+      |    x.exit_event_id, x.exit_ts, x.exit_value,
+      |    row_number() OVER (PARTITION BY e.entry_event_id
+      |      ORDER BY x.exit_ts ASC NULLS LAST, x.exit_event_id ASC NULLS LAST) AS rn
+      |  FROM entries e LEFT JOIN exits x
+      |    ON e.user_id = x.user_id AND e.k = x.k AND x.exit_ts > e.entry_ts),
+      |marks AS (SELECT k, value AS mark_value FROM (
+      |    SELECT k, value, row_number() OVER (PARTITION BY k ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM ev WHERE event_type = 'view') WHERE rn = 1),
+      |led AS (SELECT m.user_id, m.k, m.entry_event_id, m.entry_ts, m.entry_value,
+      |    m.exit_event_id, m.exit_ts, m.exit_value, mk.mark_value,
+      |    floor(((coalesce(m.exit_value, mk.mark_value) - m.entry_value) / m.entry_value) * 1000000.0 + 0.5) / 1000000.0 AS pnl_pct,
+      |    CASE WHEN m.exit_event_id IS NOT NULL THEN 'realized' ELSE 'open' END AS status
+      |  FROM m LEFT JOIN marks mk ON m.k = mk.k WHERE m.rn = 1)""".stripMargin
 }
