@@ -67,4 +67,32 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: connectedComponents = sequential union-find on random graphs") {
+    val edgeGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(0, 40)
+      as <- Gen.listOfN(n, Gen.choose(1L, 25L))
+      bs <- Gen.listOfN(n, Gen.choose(1L, 25L))
+    } yield as.zip(bs).filter { case (a, b) => a != b }
+    (1 to 12).map(i => edgeGen(Gen.Parameters.default, Seed(100L + i)).getOrElse(Nil))
+      .foreach { edges =>
+        // reference: plain driver-side union-find with path compression
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        // normalize: component id = min node of the set, as the operator promises
+        val byRoot = nodes.groupBy(find)
+        val expected = byRoot.values.flatMap(g => g.map(_ -> g.min)).toMap
+        val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+          .as[(Long, Long)].collect().toMap
+        assert(got == expected, s"edges=$edges")
+      }
+  }
 }
