@@ -31,7 +31,10 @@ object Bench {
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
     // optional args restrict the run to named queries (iteration aid);
-    // the driver invokes with no args = full suite
+    // the driver invokes with no args = full suite. Unknown names abort:
+    // a typo must not report a green no-op bench.
+    val unknown = args.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val names =
       if (args.nonEmpty) SparkEntry.queries.keys.toSeq.filter(args.contains).sorted
       else SparkEntry.queries.keys.toSeq.sorted

@@ -53,6 +53,30 @@ object TextFns {
   def keywordHits(text: Column, keywords: Seq[String]): Column =
     size(filter(words(text), w => w.isin(keywords.map(k => k: Any): _*)))
 
+  /** The q26 quality features over (text, n_chars) as a struct
+    * (n_words, uniq_ratio, stop_ratio, avg_word_len, quality_score):
+    * unique-word ratio, stopword ratio, length and word-length
+    * saturations, score weighted 0.3/0.3/0.2/0.2. ONE definition shared
+    * by q26 and the q47 corpus pipeline so the formula can't drift
+    * between them; every term is q6-quantized for cross-engine
+    * determinism.
+    */
+  def qualityFeatures(text: Column, nChars: Column): Column = {
+    val w = words(text)
+    val nWords = size(w).cast("bigint")
+    val uniqRatio = Portable.q6(size(array_distinct(w)) / nWords)
+    val stopRatio = Portable.q6(keywordHits(text, Seq("the", "a")) / nWords)
+    val avgWl = Portable.q6((nChars - nWords + 1) / nWords)
+    struct(
+      nWords.as("n_words"),
+      uniqRatio.as("uniq_ratio"),
+      stopRatio.as("stop_ratio"),
+      avgWl.as("avg_word_len"),
+      Portable.q6(uniqRatio * 0.3 + (lit(1.0) - stopRatio) * 0.3 +
+        least(nWords / 100.0, lit(1.0)) * 0.2 +
+        least(avgWl / 8.0, lit(1.0)) * 0.2).as("quality_score"))
+  }
+
   /** PII redaction patterns, applied in order (email before phone before
     * generic digit runs, so the specific token wins over <NUM>). Kept in
     * the Java-regex / RE2 common subset: the DuckDB oracle runs the same

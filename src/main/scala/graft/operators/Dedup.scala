@@ -37,14 +37,20 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Canonical word-set hash: md5 of the sorted distinct words. The ONE
+    * definition of text canonicalization, shared by [[exactByCanonicalWords]]
+    * and the q47 corpus pipeline (and mirrored in their oracles).
+    */
+  def canonicalWordsHash(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(split(text, " ")))))
+
   /** Exact dedup after word-set canonicalization (sorted distinct words):
     * catches reorder/repeat edits that raw-byte hashing misses while still
     * being a single hash-groupBy — the standard cheap normalization step
     * before MinHash in a training-data dedup cascade.
     */
   def exactByCanonicalWords(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(md5(concat_ws(" ",
-        array_sort(array_distinct(split(col(textCol), " "))))).as("text_hash"))
+    df.groupBy(canonicalWordsHash(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
   /** Connected components of the undirected pair graph — the step that
@@ -102,10 +108,18 @@ object Dedup {
       val nextSum = labelSum(next)
       done = nextSum == prevSum
       prevSum = nextSum
+      // release the previous round's materialization: peak storage stays
+      // O(2 × nodes), not O(rounds × nodes)
+      labels.unpersist()
       labels = next
       iters += 1
     }
     sym.unpersist(); p.unpersist()
+    // a silent non-fixpoint would emit multiple keep-survivors inside one
+    // duplicate cluster downstream — refuse rather than return wrong labels
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge within maxIters=$maxIters rounds; " +
+        "pointer jumping needs ~log2(longest chain) — raise maxIters")
     labels.select(col("node"), col("lbl").as("component"))
   }
 }

@@ -182,7 +182,12 @@ object Similarity {
     * doc, no text). Base TEXT is touched only for docs that appear in a
     * candidate pair (semi-join before shingling), so verification cost
     * scales with candidates, not corpus. With `baseSignatures = None` the
-    * base signatures are computed inline (first run / backfill).
+    * base signatures are computed inline (first run / backfill). Pass
+    * `baseBands` (persisted [[bandKeys]] output) to skip even the
+    * corpus-wide band aggregation — with stored bands the base side is a
+    * pure scan, which is what makes the per-day cost truly independent of
+    * corpus age (the contract [[graft.streaming.StreamOps.nearDupSink]]
+    * relies on).
     *
     * Output: same schema and semantics as [[minHashNearDups]], restricted
     * to pairs with >= 1 incoming member; pairs are (id_a < id_b)
@@ -192,13 +197,16 @@ object Similarity {
                                  idCol: String, textCol: String,
                                  shingleN: Int, numSeeds: Int, rowsPerBand: Int,
                                  baseSignatures: Option[DataFrame] = None,
+                                 baseBands: Option[DataFrame] = None,
                                  persist: DataFrame => DataFrame = _.cache()): DataFrame = {
     val incSh = persist(shingleSets(incoming, idCol, textCol, shingleN))
-    val baseSig = baseSignatures.getOrElse(
-      minHashSignatures(shingleSets(base, idCol, textCol, shingleN), numSeeds))
     val incSig = minHashSignatures(incSh, numSeeds)
     val incBands = persist(bandKeys(incSig, rowsPerBand))
-    val allBands = bandKeys(baseSig, rowsPerBand).union(incBands)
+    val bBands = baseBands.getOrElse(bandKeys(
+      baseSignatures.getOrElse(
+        minHashSignatures(shingleSets(base, idCol, textCol, shingleN), numSeeds)),
+      rowsPerBand))
+    val allBands = bBands.select(col("id"), col("band"), col("band_key")).union(incBands)
     val cands = persist(incBands.as("a").join(allBands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.id") =!= col("b.id"))

@@ -96,10 +96,21 @@ object DailyUpdate {
     */
   def backfillDates(spark: SparkSession, full: DataFrame, dateCol: String,
                     targetPath: String): Seq[java.sql.Date] = {
-    val expected = full.select(col(dateCol)).distinct()
+    // null dates can't name a partition: isin(null) never matches, so they
+    // would be "missing" forever — drop them rather than NPE in the sort
+    val expected = full.select(col(dateCol)).where(col(dateCol).isNotNull).distinct()
+    // ONLY path-not-found means "empty target". Any other read failure
+    // (corrupt footer, transient FS error) must abort: treating it as
+    // empty would dynamic-overwrite EVERY partition — exactly the rewrite
+    // of history this function promises never to do.
     val present =
       try spark.read.parquet(targetPath).select(col(dateCol)).distinct()
-      catch { case _: Throwable => expected.limit(0) }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.toLowerCase.contains("path does not exist") =>
+          expected.limit(0)
+      }
     val missing = expected.except(present).collect().map(_.getDate(0)).toSeq.sortBy(_.getTime)
     if (missing.nonEmpty)
       Formats.writePartitioned(

@@ -66,18 +66,11 @@ object LLMQueries {
     },
 
     "q26_quality_score" -> { (s, d) =>
-      val w = TextFns.words(col("text"))
-      val nWords = size(w).cast("bigint")
-      val uniqRatio = Portable.q6(size(array_distinct(w)) / nWords)
-      val stopRatio = Portable.q6(
-        TextFns.keywordHits(col("text"), Seq("the", "a")) / nWords)
-      val avgWl = Portable.q6((col("n_chars") - nWords + 1) / nWords)
-      Tables(s, d).documents.select(
-        col("doc_id"), nWords.as("n_words"),
-        uniqRatio.as("uniq_ratio"), stopRatio.as("stop_ratio"), avgWl.as("avg_word_len"),
-        Portable.q6(uniqRatio * 0.3 + (lit(1.0) - stopRatio) * 0.3 +
-          least(nWords / 100.0, lit(1.0)) * 0.2 +
-          least(avgWl / 8.0, lit(1.0)) * 0.2).as("quality_score"))
+      Tables(s, d).documents
+        .select(col("doc_id"),
+          TextFns.qualityFeatures(col("text"), col("n_chars")).as("__q"))
+        .select(col("doc_id"), col("__q.n_words"), col("__q.uniq_ratio"),
+          col("__q.stop_ratio"), col("__q.avg_word_len"), col("__q.quality_score"))
     },
 
     "q27_token_count" -> { (s, d) =>
@@ -230,20 +223,12 @@ object LLMQueries {
       // Every stage is an operator proven alone by q26/q20/q42/q43; this
       // query proves the COMPOSITION against a single DuckDB oracle.
       val docs = Tables(s, d).documents
-      val w = TextFns.words(col("text"))
-      val nWords = size(w).cast("bigint")
-      val uniqRatio = Portable.q6(size(array_distinct(w)) / nWords)
-      val stopRatio = Portable.q6(
-        TextFns.keywordHits(col("text"), Seq("the", "a")) / nWords)
-      val avgWl = Portable.q6((col("n_chars") - nWords + 1) / nWords)
-      val quality = Portable.q6(uniqRatio * 0.3 + (lit(1.0) - stopRatio) * 0.3 +
-        least(nWords / 100.0, lit(1.0)) * 0.2 + least(avgWl / 8.0, lit(1.0)) * 0.2)
-      val gated = docs.withColumn("quality_score", quality)
+      val gated = docs.withColumn("quality_score",
+          TextFns.qualityFeatures(col("text"), col("n_chars")).getField("quality_score"))
         .where(col("quality_score") >= 0.5)
       // exact dedup: keep the min doc_id of each canonical word set
       val keepExact = gated
-        .withColumn("__canon", md5(concat_ws(" ",
-          array_sort(array_distinct(split(col("text"), " "))))))
+        .withColumn("__canon", Dedup.canonicalWordsHash(col("text")))
         .withColumn("__rn", row_number().over(
           Window.partitionBy(col("__canon")).orderBy(col("doc_id").asc)))
         .where(col("__rn") === 1)

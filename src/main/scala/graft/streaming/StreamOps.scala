@@ -133,13 +133,19 @@ object StreamOps {
     * written with dynamic partition overwrite, so a replayed micro-batch
     * rewrites exactly its own partitions (idempotent — foreachBatch
     * at-least-once becomes effectively-once):
-    *   docs/       — accumulated (id, text), read back only for docs that
-    *                 land in a candidate pair
-    *   signatures/ — accumulated minhash signatures; each batch hashes
-    *                 ONLY its own text against this store
-    *   pairs/      — near-dup pairs involving each batch's arrivals
-    * Per-batch cost scales with the batch and its candidates, never the
-    * corpus — the property that lets the stream run forever.
+    *   docs/  — accumulated (id, text), read back only for docs that
+    *            land in a candidate pair
+    *   bands/ — accumulated LSH band keys; the base side of every batch
+    *            is a pure partition-pruned scan of this store (bands are
+    *            stored, not recomputed from signatures, so per-batch cost
+    *            is independent of corpus age)
+    *   pairs/ — near-dup pairs involving each batch's arrivals
+    * Replay safety: store reads filter to `batch_id < current` — a
+    * replayed batch that already wrote its partitions before the
+    * checkpoint commit failed must not see its own docs as "base"
+    * (shingle sets would double and jaccards corrupt). Store existence is
+    * probed through the Hadoop FileSystem of the path, so the sink works
+    * on hdfs:/s3a: as well as local disk.
     */
   def nearDupSink(docs: DataFrame, idCol: String, textCol: String,
                   shingleN: Int, numSeeds: Int, rowsPerBand: Int,
@@ -152,23 +158,28 @@ object StreamOps {
         import graft.operators.Similarity
         import graft.sources.Formats
         val spark = batch.sparkSession
-        val (docsPath, sigPath, pairsPath) =
-          (s"$storeDir/docs", s"$storeDir/signatures", s"$storeDir/pairs")
+        val (docsPath, bandsPath, pairsPath) =
+          (s"$storeDir/docs", s"$storeDir/bands", s"$storeDir/pairs")
         val b = batch.select(col(idCol), col(textCol)).cache()
-        val haveBase = new java.io.File(docsPath).exists()
-        val base = if (haveBase) spark.read.parquet(docsPath).select(col(idCol), col(textCol))
-                   else b.limit(0)
-        val baseSig =
-          if (haveBase) Some(spark.read.parquet(sigPath).select(col("id"), col("seed"), col("minh")))
+        val hPath = new org.apache.hadoop.fs.Path(docsPath)
+        val haveBase =
+          hPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hPath)
+        val base =
+          if (haveBase) spark.read.parquet(docsPath)
+            .where(col("batch_id") < batchId).select(col(idCol), col(textCol))
+          else b.limit(0)
+        val baseBands =
+          if (haveBase) Some(spark.read.parquet(bandsPath)
+            .where(col("batch_id") < batchId))
           else None
         val pairs = Similarity.minHashNearDupsIncremental(base, b, idCol, textCol,
-          shingleN, numSeeds, rowsPerBand, baseSignatures = baseSig)
+          shingleN, numSeeds, rowsPerBand, baseBands = baseBands)
         Formats.writePartitioned(pairs.withColumn("batch_id", lit(batchId)),
           pairsPath, Seq("batch_id"))
-        val sigs = Similarity.minHashSignatures(
-          Similarity.shingleSets(b, idCol, textCol, shingleN), numSeeds)
-        Formats.writePartitioned(sigs.withColumn("batch_id", lit(batchId)),
-          sigPath, Seq("batch_id"))
+        val bands = Similarity.bandKeys(Similarity.minHashSignatures(
+          Similarity.shingleSets(b, idCol, textCol, shingleN), numSeeds), rowsPerBand)
+        Formats.writePartitioned(bands.withColumn("batch_id", lit(batchId)),
+          bandsPath, Seq("batch_id"))
         Formats.writePartitioned(b.withColumn("batch_id", lit(batchId)),
           docsPath, Seq("batch_id"))
         b.unpersist()

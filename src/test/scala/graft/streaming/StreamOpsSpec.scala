@@ -157,10 +157,10 @@ class StreamOpsSpec extends SparkSpec {
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       assert(pairs.contains((1L, 3L)) && pairs.contains((4L, 5L)))
       assert(!pairs.exists(p => Set(p._1, p._2) == Set(1L, 2L)))
-      // signature store accumulated every doc
-      val sigIds = spark.read.parquet(s"$dir/store/signatures")
+      // band store accumulated every doc
+      val bandIds = spark.read.parquet(s"$dir/store/bands")
         .select("id").distinct().as[Long].collect().toSet
-      assert(sigIds == Set(1L, 2L, 3L, 4L, 5L))
+      assert(bandIds == Set(1L, 2L, 3L, 4L, 5L))
     } finally q.stop()
   }
 }
