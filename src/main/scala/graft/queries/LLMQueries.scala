@@ -243,6 +243,17 @@ object LLMQueries {
       // deterministic sample of the cleaned corpus
       Sampling.hashSample(keepNear, "doc_id", 0.8, "corpus")
         .select(col("doc_id"), col("source"), col("quality_score"))
+    },
+
+    "q50_distinct_users" -> { (s, d) =>
+      // exact per-key distinct counting (owner-set sizes, the collection-
+      // similarity denominators): two-phase distinct aggregation on the
+      // key shuffle. This is the ORACLE-CHECKED exact twin of
+      // Sketches.approxDistinct — at 100 TB the HLL++ form replaces the
+      // O(distinct) per-group state with a fixed register array.
+      Tables(s, d).events.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_distinct_users"),
+          count(lit(1)).as("n_events"))
     }
   )
 
@@ -438,6 +449,11 @@ object LLMQueries {
         |  SELECT e.eb, r.lbl FROM reach r JOIN edges e ON e.ea = r.node)
         |SELECT node AS doc_id, min(lbl) AS cluster_id, (node = min(lbl)) AS keep
         |FROM reach GROUP BY node""".stripMargin,
+
+    "q50_distinct_users" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q43_stratified_sample" ->
       """SELECT doc_id, source FROM documents
