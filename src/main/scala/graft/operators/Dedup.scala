@@ -72,6 +72,22 @@ object Dedup {
     *
     * Output: (node, component) for every node appearing in `pairs`.
     */
+  /** Release a frame materialized by [[connectedComponents]]'s `persist`:
+    * `Dataset.unpersist` only drops cache-manager entries (`.cache()`),
+    * while a `localCheckpoint()`/`checkpoint()` frame stores its rows as
+    * RDD blocks behind a `LogicalRDD` leaf that the cache manager never
+    * sees — without this, per-round label frames accumulate for the life
+    * of the session (O(rounds × nodes), not the documented O(2 × nodes)).
+    */
+  private def release(df: DataFrame): Unit = {
+    df.unpersist()
+    df.queryExecution.logical.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 30,
                           persist: DataFrame => DataFrame = _.localCheckpoint())
@@ -110,7 +126,7 @@ object Dedup {
       prevSum = nextSum
       // release the previous round's materialization: peak storage stays
       // O(2 × nodes), not O(rounds × nodes)
-      labels.unpersist()
+      release(labels)
       labels = next
       iters += 1
     }

@@ -213,11 +213,18 @@ object Similarity {
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .distinct())
-    // verification shingles: only docs that appear in a candidate pair
+    // verification shingles: only docs that appear in a candidate pair.
+    // A doc id present in BOTH base and incoming (re-ingest) must
+    // contribute exactly one version's shingles — otherwise the union
+    // doubles its (id, shingle) rows, inflating sizes and intersections
+    // into corrupt jaccards. The incoming text wins (it is the current
+    // version), so base rows for incoming ids are anti-joined away.
     val candIds = cands.select(col("id_a").as("id"))
       .union(cands.select(col("id_b").as("id"))).distinct()
+    val incIds = incoming.select(col(idCol).as("id")).distinct()
     val touchedBase = base
       .join(candIds, base(idCol) === candIds("id"), "left_semi")
+      .join(incIds, col(idCol) === incIds("id"), "left_anti")
     val vSh = persist(
       shingleSets(touchedBase, idCol, textCol, shingleN)
         .union(incSh.join(candIds, Seq("id"), "left_semi")))
@@ -462,8 +469,11 @@ object Similarity {
     val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("vid"), VectorFns.asDouble(col(vecCol)).as("v"))
       .withColumn("vn", VectorFns.norm2(col("v")))
+    // centroid_id stays the seed vector's id at its ORIGINAL width: a
+    // cast("int") would wrap ids above 2^31 (or fail under ANSI mode) and
+    // wrapped ids can collide, silently merging distinct seed centroids
     var cents = c.orderBy(col("vid").asc).limit(k)
-      .select(col("vid").cast("int").as("centroid_id"), col("v").as("centv"))
+      .select(col("vid").as("centroid_id"), col("v").as("centv"))
     for (_ <- 0 until iters) {
       val withN = cents.withColumn("centn", VectorFns.norm2(col("centv")))
       val assigned = Dedup.oneByKey(

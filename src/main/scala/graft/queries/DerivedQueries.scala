@@ -312,37 +312,7 @@ object DerivedQueries {
         |    i -> ('0x' || substr(payload, CAST(5 + i * 4 AS INT), 4))::BIGINT)) AS elem_value
         |FROM h""".stripMargin,
 
-    "q39_scd2_tier" ->
-      """WITH bounds AS (
-        |  SELECT max(CAST(ts AS DATE)) AS maxd, max(CAST(ts AS DATE)) - 4 AS cutoff FROM events),
-        |early AS (
-        |  SELECT user_id,
-        |    CASE WHEN floor((sum(value)) * 10000.0 + 0.5) / 10000.0 >= 300 THEN 'high' ELSE 'low' END AS tier
-        |  FROM events WHERE CAST(ts AS DATE) <= (SELECT cutoff FROM bounds) GROUP BY 1),
-        |incoming AS (
-        |  SELECT user_id,
-        |    CASE WHEN floor((sum(value)) * 10000.0 + 0.5) / 10000.0 >= 300 THEN 'high' ELSE 'low' END AS tier
-        |  FROM events GROUP BY 1)
-        |SELECT e.user_id, e.tier,
-        |  CAST((SELECT cutoff FROM bounds) AS TIMESTAMP) AS started_at,
-        |  CAST(NULL AS TIMESTAMP) AS ended_at
-        |FROM early e JOIN incoming i ON e.user_id = i.user_id AND e.tier = i.tier
-        |UNION ALL
-        |SELECT e.user_id, e.tier,
-        |  CAST((SELECT cutoff FROM bounds) AS TIMESTAMP) AS started_at,
-        |  CAST((SELECT maxd FROM bounds) AS TIMESTAMP) AS ended_at
-        |FROM early e JOIN incoming i ON e.user_id = i.user_id AND e.tier <> i.tier
-        |UNION ALL
-        |SELECT i.user_id, i.tier,
-        |  CAST((SELECT maxd FROM bounds) AS TIMESTAMP) AS started_at,
-        |  CAST(NULL AS TIMESTAMP) AS ended_at
-        |FROM incoming i JOIN early e ON i.user_id = e.user_id AND e.tier <> i.tier
-        |UNION ALL
-        |SELECT i.user_id, i.tier,
-        |  CAST((SELECT maxd FROM bounds) AS TIMESTAMP) AS started_at,
-        |  CAST(NULL AS TIMESTAMP) AS ended_at
-        |FROM incoming i LEFT JOIN early e ON i.user_id = e.user_id
-        |WHERE e.user_id IS NULL""".stripMargin,
+    "q39_scd2_tier" -> Scd2TierSql,
 
     "q40_trading_roi_left" ->
       """WITH seq AS (
@@ -388,6 +358,43 @@ object DerivedQueries {
         |FROM (SELECT * FROM led WHERE pnl_pct IS NOT NULL AND pnl_pct >= -1)
         |GROUP BY user_id, k""".stripMargin)
   )
+
+  /** q39's oracle as a shared fragment: ExtendedQueries' q53 point-in-time
+    * lookup embeds the identical SCD2 table as a CTE, so both oracles stay
+    * one definition. (`def`, not `val`: the oracles map initializes first
+    * during object construction.)
+    */
+  private[queries] def Scd2TierSql: String =
+      """WITH bounds AS (
+        |  SELECT max(CAST(ts AS DATE)) AS maxd, max(CAST(ts AS DATE)) - 4 AS cutoff FROM events),
+        |early AS (
+        |  SELECT user_id,
+        |    CASE WHEN floor((sum(value)) * 10000.0 + 0.5) / 10000.0 >= 300 THEN 'high' ELSE 'low' END AS tier
+        |  FROM events WHERE CAST(ts AS DATE) <= (SELECT cutoff FROM bounds) GROUP BY 1),
+        |incoming AS (
+        |  SELECT user_id,
+        |    CASE WHEN floor((sum(value)) * 10000.0 + 0.5) / 10000.0 >= 300 THEN 'high' ELSE 'low' END AS tier
+        |  FROM events GROUP BY 1)
+        |SELECT e.user_id, e.tier,
+        |  CAST((SELECT cutoff FROM bounds) AS TIMESTAMP) AS started_at,
+        |  CAST(NULL AS TIMESTAMP) AS ended_at
+        |FROM early e JOIN incoming i ON e.user_id = i.user_id AND e.tier = i.tier
+        |UNION ALL
+        |SELECT e.user_id, e.tier,
+        |  CAST((SELECT cutoff FROM bounds) AS TIMESTAMP) AS started_at,
+        |  CAST((SELECT maxd FROM bounds) AS TIMESTAMP) AS ended_at
+        |FROM early e JOIN incoming i ON e.user_id = i.user_id AND e.tier <> i.tier
+        |UNION ALL
+        |SELECT i.user_id, i.tier,
+        |  CAST((SELECT maxd FROM bounds) AS TIMESTAMP) AS started_at,
+        |  CAST(NULL AS TIMESTAMP) AS ended_at
+        |FROM incoming i JOIN early e ON i.user_id = e.user_id AND e.tier <> i.tier
+        |UNION ALL
+        |SELECT i.user_id, i.tier,
+        |  CAST((SELECT maxd FROM bounds) AS TIMESTAMP) AS started_at,
+        |  CAST(NULL AS TIMESTAMP) AS ended_at
+        |FROM incoming i LEFT JOIN early e ON i.user_id = e.user_id
+        |WHERE e.user_id IS NULL""".stripMargin
 
   /** Shared CTE chain of the shadow-trade ledger (q48 full table, q49
     * summary): one SQL body, two terminal SELECTs. (`def`, not `val`: the

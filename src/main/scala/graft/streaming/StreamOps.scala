@@ -199,6 +199,18 @@ object StreamOps {
     * daily rewrite budget (dimension-sized tables, like the reference's
     * `address_metadata`); fact-sized targets belong in
     * `Formats.writePartitioned` appends instead.
+    *
+    * Filesystem contract: all probes/renames go through the Hadoop
+    * `FileSystem` resolved from `targetPath` (as `nearDupSink` does), so
+    * the sink works unchanged on hdfs:/s3a: paths, not just local disk.
+    *
+    * Crash safety of the swap: the swap sequence is
+    * `write tmp → (target → .old) → (tmp → target) → delete .old`. A
+    * crash between the two renames leaves no `target` but a complete
+    * `.old`; on the next batch the sink RESTORES `.old` to `target`
+    * before merging, so the replayed batch merges into the full prior
+    * snapshot rather than rebuilding from one batch (and `.old` is only
+    * deleted after `tmp → target` has succeeded).
     */
   def upsertSink(updates: DataFrame, targetPath: String, updateKey: String,
                  setCols: Map[String, String],
@@ -208,9 +220,17 @@ object StreamOps {
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val targetDir = new java.io.File(targetPath)
+        val target = new org.apache.hadoop.fs.Path(targetPath)
+        val tmp = new org.apache.hadoop.fs.Path(targetPath + ".tmp")
+        val old = new org.apache.hadoop.fs.Path(targetPath + ".old")
+        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // crash recovery: a prior run died mid-swap (target moved to .old,
+        // tmp not yet promoted) — restore the full snapshot first
+        if (!fs.exists(target) && fs.exists(old)) {
+          require(fs.rename(old, target), s"failed to restore $old to $target")
+        }
         val merged =
-          if (!targetDir.exists())
+          if (!fs.exists(target))
             batch.select(col(updateKey).as("id") +:
               setCols.toSeq.sortBy(_._1).map { case (t, s) => col(s).as(t) }: _*)
           else graft.operators.Merge.coalesceMerge(
@@ -218,13 +238,14 @@ object StreamOps {
             .drop("is_new", "updated")
         // write-then-swap: the live snapshot is never truncated before the
         // replacement is fully materialized
-        val tmpDir = new java.io.File(targetPath + ".tmp")
-        val oldDir = new java.io.File(targetPath + ".old")
-        merged.write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
-        org.apache.spark.network.util.JavaUtils.deleteRecursively(oldDir)
-        if (targetDir.exists()) java.nio.file.Files.move(targetDir.toPath, oldDir.toPath)
-        java.nio.file.Files.move(tmpDir.toPath, targetDir.toPath)
-        org.apache.spark.network.util.JavaUtils.deleteRecursively(oldDir)
+        merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        fs.delete(old, true)
+        if (fs.exists(target)) {
+          require(fs.rename(target, old), s"failed to stage $target to $old")
+        }
+        require(fs.rename(tmp, target), s"failed to promote $tmp to $target")
+        fs.delete(old, true)
+        ()
       }
       .start()
 }

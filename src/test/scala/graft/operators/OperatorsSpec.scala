@@ -108,6 +108,27 @@ class IncrementalNearDupSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(inc == batch && inc.nonEmpty)
   }
+
+  test("re-ingested id (present in base AND incoming) uses the incoming text only") {
+    // doc 2 exists in base with OLD text and arrives again with text that
+    // near-dups doc 9; doubling its shingles (old ∪ new) would corrupt the
+    // jaccard, and using the old text would miss the pair entirely
+    val base = Seq(
+      (2L, "ancient version of the document body entirely different words"),
+      (4L, "unrelated corpus filler text that matches nothing else at all"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (9L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val out = Similarity.minHashNearDupsIncremental(base, incoming, "doc_id", "text",
+        3, 12, 3)
+      .select("id_a", "id_b", "size_a", "size_b").as[(Long, Long, Long, Long)]
+      .collect().toSet
+    // both docs have 8 distinct trigrams from the NEW text; the merged
+    // old∪new set would show size 16 for doc 2
+    assert(out == Set((2L, 9L, 8L, 8L)))
+  }
 }
 
 class ScrubSpec extends SparkSpec {
@@ -420,8 +441,8 @@ class IvfSpec extends SparkSpec {
       (4L, Array(1.0f, 0.4f)), (5L, Array(0.4f, 1.0f))
     ).toDF("vec_id", "embedding")
     val cents = Similarity.kMeansCentroids(vecs, "vec_id", "embedding", k = 2, iters = 2)
-      .select("centroid_id", "centv").as[(Int, Seq[Double])].collect().toMap
-    assert(cents.keySet == Set(0, 1))
+      .select("centroid_id", "centv").as[(Long, Seq[Double])].collect().toMap
+    assert(cents.keySet == Set(0L, 1L))
     assert(cents(0).zip(Seq(1.0, 0.2)).forall { case (a, b) => math.abs(a - b) < 1e-6 })
     assert(cents(1).zip(Seq(0.2, 1.0)).forall { case (a, b) => math.abs(a - b) < 1e-6 })
   }
@@ -433,8 +454,8 @@ class IvfSpec extends SparkSpec {
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f))
     ).toDF("vec_id", "embedding")
     val cents = Similarity.kMeansCentroids(vecs, "vec_id", "embedding", k = 2, iters = 3)
-      .select("centroid_id", "centv").as[(Int, Seq[Double])].collect().toMap
-    assert(cents.keySet == Set(0, 1))
+      .select("centroid_id", "centv").as[(Long, Seq[Double])].collect().toMap
+    assert(cents.keySet == Set(0L, 1L))
     assert(cents(1) == Seq(1.0, 0.0)) // survived three empty iterations
   }
 
