@@ -1,0 +1,186 @@
+package graft.queries
+
+import graft.functions.{Portable, TextFns}
+import graft.operators.{Decontaminate, Rankings, Similarity, Temporal}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 surface (SURVEY.md §2, rows 51-56): benchmark decontamination,
+  * containment (asymmetric) near-dup, SCD2 point-in-time lookup, rolling
+  * event-time windows, pivoted action rollups, and corpus vocabulary
+  * statistics.
+  *
+  * Same determinism contract as CoreQueries: unique-id tiebreaks in every
+  * window, floor-quantized floats, identical aliases on both engines.
+  */
+object ExtendedQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Eval/benchmark slice of the documents table for q51: one source
+    * plays the held-out benchmark whose n-grams must not leak. */
+  private val EvalSource = "src9"
+
+  val queries: Map[String, Q] = Map(
+    "q51_decontaminate" -> { (s, d) =>
+      // Benchmark decontamination: training docs (every source but src9)
+      // scored by how many of their word trigrams appear anywhere in the
+      // src9 "benchmark" slice. The eval side collapses to a distinct
+      // 64-bit hash set before the left-semi probe — linear in training
+      // n-grams, never pairwise.
+      val docs = Tables(s, d).documents
+      Decontaminate.ngramOverlap(
+        docs.where(col("source") =!= EvalSource),
+        docs.where(col("source") === EvalSource),
+        "doc_id", "text", n = 3, minRatio = 0.1)
+    },
+
+    "q52_containment_pairs" -> { (s, d) =>
+      // Asymmetric near-dup: containment = |A∩B| / min(|A|,|B|) catches a
+      // short doc quoted inside a longer one where symmetric jaccard
+      // stays low. Same LSH candidate machinery as q21 — only the final
+      // score differs, so the blocking/scale story is q21's.
+      Similarity.minHashNearDups(Tables(s, d).documents, "doc_id", "text",
+          shingleN = 3, numSeeds = 12, rowsPerBand = 3)
+        .withColumn("containment",
+          Portable.q6(col("intersection") * lit(1.0) /
+            least(col("size_a"), col("size_b"))))
+        .where(col("containment") >= 0.5)
+    },
+
+    "q53_tier_at_event" -> { (s, d) =>
+      // Point-in-time enrichment: each purchase event joined to the SCD2
+      // tier (q39's table) valid AT the event's timestamp — the read side
+      // of the reference's started_at/ended_at mappings (update_etl.py:
+      // 1094-1124). Equi-join on user_id with the interval predicate as a
+      // join filter; events before the key's first interval keep tier null.
+      val purchases = Tables(s, d).events
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val tiers = DerivedQueries.queries("q39_scd2_tier")(s, d)
+      Temporal.intervalLookup(purchases, tiers, "user_id", "ts",
+          "started_at", "ended_at")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("tier"), col("started_at").as("tier_started_at"))
+    },
+
+    "q54_rolling_value" -> { (s, d) =>
+      // 7-day rolling per-user activity: daily totals then a RANGE frame
+      // over the integer day index (6 preceding .. current), so days with
+      // no activity still widen the window correctly — the reference's
+      // past-90-days rollups (update_etl.py:635) as a window, not a
+      // self-join. One shuffle on user_id; per-key state is the frame.
+      val daily = Tables(s, d).events
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(Portable.q4(sum(col("value"))).as("day_value"),
+          count(lit(1)).as("n_events"))
+        .withColumn("day_i", datediff(col("day"), lit("1970-01-01").cast("date")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day_i"))
+        .rangeBetween(-6, Window.currentRow)
+      daily
+        .withColumn("roll_7d_value", Portable.q4(sum(col("day_value")).over(w)))
+        .withColumn("roll_7d_days", count(lit(1)).over(w))
+        .select(col("user_id"), col("day").cast("timestamp").as("day"),
+          col("day_value"), col("n_events"), col("roll_7d_value"), col("roll_7d_days"))
+    },
+
+    "q55_action_pivot" -> { (s, d) =>
+      // Wide-format per-user action profile: pivot with an EXPLICIT value
+      // list plans as one aggregate (no extra distinct-values job, stable
+      // schema at any SF); absent combinations coalesce to 0.
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables(s, d).events.groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("user_id") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+        .withColumn("n_total",
+          types.map(t => col(s"n_$t")).reduce(_ + _))
+    },
+
+    "q56_vocab_topk" -> { (s, d) =>
+      // Corpus vocabulary statistics: top-50 words by occurrence count
+      // with document frequency. Two-phase aggregation (map-side partial
+      // on (word) and (word, doc)); the global top-k sorts only the
+      // aggregated vocabulary, plans as TakeOrderedAndProject.
+      val words = Tables(s, d).documents
+        .select(col("doc_id"), explode(TextFns.words(col("text"))).as("word"))
+      val vocab = words.groupBy(col("word"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+      Rankings.topK(vocab, Seq(col("n_occurrences").desc, col("word").asc), 50)
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q51_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source, unnest(CASE WHEN len(w) >= 3
+        |        THEN list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])
+        |        ELSE [] END) AS shingle FROM toks),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE source = '$EvalSource'),
+        |tr AS (SELECT doc_id, shingle FROM sh WHERE source <> '$EvalSource'),
+        |sizes AS (SELECT doc_id, count(*) AS n_ngrams FROM tr GROUP BY 1),
+        |shared AS (SELECT doc_id, count(*) AS n_shared FROM tr
+        |           WHERE shingle IN (SELECT shingle FROM ev) GROUP BY 1)
+        |SELECT *, contamination_ratio >= 0.1 AS flagged FROM (
+        |  SELECT s.doc_id, s.n_ngrams, coalesce(h.n_shared, 0) AS n_shared,
+        |    floor((coalesce(h.n_shared, 0) * 1.0 / s.n_ngrams) * 1000000.0 + 0.5) / 1000000.0
+        |      AS contamination_ratio
+        |  FROM sizes s LEFT JOIN shared h ON s.doc_id = h.doc_id)""".stripMargin,
+
+    "q52_containment_pairs" ->
+      s"""SELECT * FROM (
+        |  SELECT t.*,
+        |    floor((intersection * 1.0 / least(size_a, size_b)) * 1000000.0 + 0.5) / 1000000.0
+        |      AS containment
+        |  FROM (
+        |${LLMQueries.oracles("q21_minhash_pairs")}
+        |  ) t)
+        |WHERE containment >= 0.5""".stripMargin,
+
+    "q53_tier_at_event" ->
+      s"""WITH tiers AS (
+        |${DerivedQueries.Scd2TierSql}
+        |)
+        |SELECT e.event_id, e.user_id, e.ts, e.value, t.tier,
+        |  t.started_at AS tier_started_at
+        |FROM events e LEFT JOIN tiers t ON e.user_id = t.user_id
+        |  AND e.ts >= t.started_at AND (t.ended_at IS NULL OR e.ts < t.ended_at)
+        |WHERE e.event_type = 'purchase'""".stripMargin,
+
+    "q54_rolling_value" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS day_value,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |wd AS (SELECT *, date_diff('day', DATE '1970-01-01', day) AS day_i FROM daily)
+        |SELECT user_id, CAST(day AS TIMESTAMP) AS day, day_value, n_events,
+        |  floor((sum(day_value) OVER (PARTITION BY user_id ORDER BY day_i
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) * 10000.0 + 0.5) / 10000.0 AS roll_7d_value,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY day_i
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll_7d_days
+        |FROM wd""".stripMargin,
+
+    "q55_action_pivot" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+        |  count(*) AS n_total
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q56_vocab_topk" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+        |v AS (SELECT word, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+        |      FROM w GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT word, n_occurrences, n_docs,
+        |    CAST(row_number() OVER (ORDER BY n_occurrences DESC, word) AS INT) AS rank
+        |  FROM v) WHERE rank <= 50""".stripMargin
+  )
+}

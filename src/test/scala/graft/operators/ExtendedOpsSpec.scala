@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("intervalLookup resolves the dim row valid at each fact timestamp") {
+    // user 1: tier changes at 2024-01-10 (closed interval then open);
+    // user 2: single open interval; user 3: no dim rows at all
+    val dim = Seq(
+      (1L, "low", ts("2024-01-01 00:00:00"), Some(ts("2024-01-10 00:00:00"))),
+      (1L, "high", ts("2024-01-10 00:00:00"), None),
+      (2L, "mid", ts("2024-01-05 00:00:00"), None)
+    ).toDF("user_id", "tier", "started_at", "ended_at")
+    val facts = Seq(
+      (100L, 1L, ts("2024-01-03 12:00:00")), // inside closed interval
+      (101L, 1L, ts("2024-01-10 00:00:00")), // boundary: start of next (half-open)
+      (102L, 1L, ts("2023-12-25 00:00:00")), // before first interval
+      (103L, 2L, ts("2024-02-01 00:00:00")), // open interval
+      (104L, 3L, ts("2024-01-15 00:00:00"))  // key absent from dim
+    ).toDF("event_id", "user_id", "ts")
+    val out = Temporal.intervalLookup(facts, dim, "user_id", "ts",
+        "started_at", "ended_at")
+      .select($"event_id", $"tier").as[(Long, Option[String])].collect().toMap
+    assert(out == Map(
+      100L -> Some("low"), 101L -> Some("high"), 102L -> None,
+      103L -> Some("mid"), 104L -> None))
+    // disjoint intervals → exactly one output row per fact row
+    assert(out.size == 5)
+  }
+}
+
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ngramOverlap counts distinct shared trigrams against the eval set") {
+    val eval = Seq((900L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    // doc 1: trigrams {alpha beta gamma, beta gamma delta} — both shared;
+    // doc 2: one of three trigrams shared; doc 3: nothing shared;
+    // doc 4: under 3 words → no trigrams → absent from the output
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "x alpha beta gamma y"),
+      (3L, "one two three four"),
+      (4L, "too short")
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.ngramOverlap(train, eval, "doc_id", "text",
+        n = 3, minRatio = 0.5)
+      .select($"doc_id", $"n_ngrams", $"n_shared", $"flagged")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, 2L, 2L, true),   // ratio 1.0
+      (2L, 3L, 1L, false),  // ratio 0.333
+      (3L, 2L, 0L, false)))
+  }
+}
