@@ -86,17 +86,17 @@ object ExtendedQueries {
     },
 
     "q55_action_pivot" -> { (s, d) =>
-      // Wide-format per-user action profile: pivot with an EXPLICIT value
-      // list plans as one aggregate (no extra distinct-values job, stable
-      // schema at any SF); absent combinations coalesce to 0.
+      // Wide-format per-user action profile as CONDITIONAL aggregation:
+      // one groupBy(user) with a sum(when) column per known value — a
+      // single shuffle with map-side partials (PlanSpec pins it). The
+      // Dataset.pivot helper is NOT used even with an explicit value
+      // list: it plans groupBy(user, type) + pivotfirst = two shuffles.
       val types = Seq("click", "error", "purchase", "signup", "view")
+      val aggs = types.map(t =>
+        sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")) :+
+        count(lit(1)).as("n_total")
       Tables(s, d).events.groupBy(col("user_id"))
-        .pivot("event_type", types)
-        .agg(count(lit(1)))
-        .select(col("user_id") +:
-          types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
-        .withColumn("n_total",
-          types.map(t => col(s"n_$t")).reduce(_ + _))
+        .agg(aggs.head, aggs.tail: _*)
     },
 
     "q56_vocab_topk" -> { (s, d) =>

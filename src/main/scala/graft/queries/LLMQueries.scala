@@ -226,13 +226,20 @@ object LLMQueries {
       val gated = docs.withColumn("quality_score",
           TextFns.qualityFeatures(col("text"), col("n_chars")).getField("quality_score"))
         .where(col("quality_score") >= 0.5)
-      // exact dedup: keep the min doc_id of each canonical word set
+      // exact dedup: keep the min doc_id of each canonical word set.
+      // min_by over a hash aggregate, not row_number over a window: same
+      // survivor (doc_id is unique), but map-side partial min_by collapses
+      // duplicates before the shuffle and there is no per-partition sort.
+      // Cached: consumed twice (the near-dup edge pipeline and the final
+      // survivor join).
       val keepExact = gated
-        .withColumn("__canon", Dedup.canonicalWordsHash(col("text")))
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(col("__canon")).orderBy(col("doc_id").asc)))
-        .where(col("__rn") === 1)
-        .select(col("doc_id"), col("source"), col("quality_score"), col("text"))
+        .groupBy(Dedup.canonicalWordsHash(col("text")).as("__canon"))
+        .agg(min_by(
+          struct(col("doc_id"), col("source"), col("quality_score"), col("text")),
+          col("doc_id")).as("__r"))
+        .select(col("__r.doc_id").as("doc_id"), col("__r.source").as("source"),
+          col("__r.quality_score").as("quality_score"), col("__r.text").as("text"))
+        .cache()
       // near-dup clustering among exact survivors; keep cluster minima
       val edges = Similarity.minHashNearDups(keepExact, "doc_id", "text",
         ShingleN, NumSeeds, RowsPerBand).where(col("jaccard") >= 0.5)

@@ -53,4 +53,30 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("text"), s"text column read by a doc_id/source query:\n$plan")
   }
+
+  test("q53 temporal lookup plans as a hash/merge equi-join, never a nested loop") {
+    // intervalLookup's contract: the key equality drives the join; the
+    // interval bounds are a post-match filter. A BroadcastNestedLoopJoin
+    // (what a pure ts-BETWEEN condition plans as) is the 100 TB failure.
+    val plan = graft.queries.ExtendedQueries.queries("q53_tier_at_event")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"temporal lookup degenerated to a nested-loop join:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"no equi-join in the temporal lookup plan:\n$plan")
+  }
+
+  test("q55 pivot with an explicit value list is one aggregate, one shuffle") {
+    val plan = graft.queries.ExtendedQueries.queries("q55_action_pivot")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 shuffle for the pivot, found $exchanges:\n$plan")
+  }
+
+  test("q51 decontamination probes the eval set with a semi join, not an inner pair join") {
+    val plan = graft.queries.ExtendedQueries.queries("q51_decontaminate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"eval probe is not a semi join (would duplicate rows per eval match):\n$plan")
+  }
 }
