@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{Portable, TextFns}
-import graft.operators.{Decontaminate, Rankings, Similarity, Temporal}
+import graft.operators.{Decontaminate, Funnel, Fuzzy, Rankings, Similarity, Temporal}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -99,6 +99,81 @@ object ExtendedQueries {
         .agg(aggs.head, aggs.tail: _*)
     },
 
+    "q57_data_quality" -> { (s, d) =>
+      // The reference's validation pass (adhoc queries/validation_query
+      // .sql: cross-field consistency %, zero-price share) as a one-table
+      // quality report: one row per check with its violation count and
+      // rate. All single-pass checks are ONE conditional aggregate; the
+      // referential check is a left-anti probe; stack() unpivots the
+      // scalar row — no per-check scan of the fact table.
+      val ev = Tables(s, d).events
+      val cust = Tables(s, d).customer.select(col("c_custkey"))
+      val base = ev.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_user_id"),
+        (count(lit(1)) - countDistinct(col("event_id"))).as("duplicate_event_id"),
+        sum(when(col("value") <= 0, 1L).otherwise(0L)).as("nonpositive_value"),
+        sum(when(col("value") < 1, 1L).otherwise(0L)).as("micro_value"))
+      val orphan = ev.join(cust, ev("user_id") === cust("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_user_id"))
+      base.crossJoin(orphan)
+        .selectExpr("n_rows",
+          """stack(5,
+            |'duplicate_event_id', duplicate_event_id,
+            |'micro_value', micro_value,
+            |'nonpositive_value', nonpositive_value,
+            |'null_user_id', null_user_id,
+            |'orphan_user_id', orphan_user_id) AS (check_name, n_violations)""".stripMargin)
+        .select(col("check_name"), col("n_rows"), col("n_violations"),
+          Portable.q6(col("n_violations") * lit(1.0) / col("n_rows")).as("violation_rate"))
+    },
+
+    "q58_retention" -> { (s, d) =>
+      // Cohort retention: users grouped by first-activity day; for each
+      // (cohort day, day offset) the distinct users still active. Two
+      // keyed shuffles (per-user min, then per-cell distinct count) —
+      // the daily-metrics analog of the reference's mark_new_contracts
+      // novelty split (update_etl.py:177).
+      val ev = Tables(s, d).events
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active_users"))
+        .select(col("cohort_day").cast("timestamp").as("cohort_day"),
+          col("day_offset"), col("n_active_users"))
+    },
+
+    "q59_funnel" -> { (s, d) =>
+      // Ordered funnel view → click → purchase: stage k counts only
+      // strictly after the user's stage k-1 time. Per-user stage times
+      // are one shuffle + stacked same-partitioning windows
+      // (Funnel.stageTimes); the stage rollup is a scalar aggregate.
+      val stages = Seq("view", "click", "purchase")
+      val times = Funnel.stageTimes(Tables(s, d).events, "user_id", "ts",
+        "event_type", stages)
+      val counts = times.agg(
+        count(col("ts_view")).as("view"),
+        count(col("ts_click")).as("click"),
+        count(col("ts_purchase")).as("purchase"))
+      counts.selectExpr(
+          """stack(3,
+            |1, 'view', view, view,
+            |2, 'click', click, view,
+            |3, 'purchase', purchase, click)
+            |AS (stage_order, funnel_stage, n_users, n_prev)""".stripMargin)
+        .select(col("stage_order"), col("funnel_stage"), col("n_users"),
+          Portable.q6(col("n_users") * lit(1.0) / col("n_prev")).as("conversion_rate"))
+    },
+
+    "q60_fuzzy_match" -> { (s, d) =>
+      // Blocked entity resolution: customer names within a nation block,
+      // Levenshtein <= 2. The threshold form of levenshtein early-exits
+      // past the bound; pairs only form inside the block.
+      Fuzzy.blockedLevenshtein(Tables(s, d).customer, "c_custkey", "c_name",
+        "c_nationkey", maxDist = 2)
+    },
+
     "q56_vocab_topk" -> { (s, d) =>
       // Corpus vocabulary statistics: top-50 words by occurrence count
       // with document frequency. Two-phase aggregation (map-side partial
@@ -173,6 +248,69 @@ object ExtendedQueries {
         |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
         |  count(*) AS n_total
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q57_data_quality" ->
+      """WITH base AS (
+        |  SELECT count(*) AS n_rows,
+        |    sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user_id,
+        |    count(*) - count(DISTINCT event_id) AS duplicate_event_id,
+        |    sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS nonpositive_value,
+        |    sum(CASE WHEN value < 1 THEN 1 ELSE 0 END) AS micro_value
+        |  FROM events),
+        |orph AS (
+        |  SELECT count(*) AS orphan_user_id FROM events e
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)),
+        |checks AS (
+        |  SELECT 'duplicate_event_id' AS check_name, n_rows, duplicate_event_id AS n_violations FROM base
+        |  UNION ALL SELECT 'micro_value', n_rows, micro_value FROM base
+        |  UNION ALL SELECT 'nonpositive_value', n_rows, nonpositive_value FROM base
+        |  UNION ALL SELECT 'null_user_id', n_rows, null_user_id FROM base
+        |  UNION ALL SELECT 'orphan_user_id', b.n_rows, o.orphan_user_id FROM base b CROSS JOIN orph o)
+        |SELECT check_name, n_rows, n_violations,
+        |  floor((n_violations * 1.0 / n_rows) * 1000000.0 + 0.5) / 1000000.0 AS violation_rate
+        |FROM checks""".stripMargin,
+
+    "q58_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT CAST(c.cohort_day AS TIMESTAMP) AS cohort_day,
+        |  CAST(date_diff('day', c.cohort_day, e.day) AS INT) AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_active_users
+        |FROM ev e JOIN cohort c ON e.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q59_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS ts_view
+        |  FROM events GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS ts_click FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.ts_view GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS ts_purchase FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.ts_click GROUP BY 1),
+        |c AS (SELECT
+        |  (SELECT count(ts_view) FROM s1) AS n_view,
+        |  (SELECT count(*) FROM s2) AS n_click,
+        |  (SELECT count(*) FROM s3) AS n_purchase)
+        |SELECT 1 AS stage_order, 'view' AS funnel_stage, n_view AS n_users,
+        |  floor((n_view * 1.0 / n_view) * 1000000.0 + 0.5) / 1000000.0 AS conversion_rate FROM c
+        |UNION ALL
+        |SELECT 2, 'click', n_click,
+        |  floor((n_click * 1.0 / n_view) * 1000000.0 + 0.5) / 1000000.0 FROM c
+        |UNION ALL
+        |SELECT 3, 'purchase', n_purchase,
+        |  floor((n_purchase * 1.0 / n_click) * 1000000.0 + 0.5) / 1000000.0 FROM c""".stripMargin,
+
+    "q60_fuzzy_match" ->
+      """SELECT a.c_nationkey AS block, a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  a.c_name AS str_a, b.c_name AS str_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
 
     "q56_vocab_topk" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),

@@ -34,6 +34,55 @@ class TemporalSpec extends SparkSpec {
   }
 }
 
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("stageTimes requires each stage strictly after the previous one") {
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      // user 2: purchase BEFORE click → stage 3 not reached
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 10:30:00"), "purchase"),
+      (2L, ts("2024-01-01 11:00:00"), "click"),
+      // user 3: click but never viewed → no stages at all
+      (3L, ts("2024-01-01 10:00:00"), "click"),
+      // user 4: equal timestamps do NOT satisfy the strict order
+      (4L, ts("2024-01-01 10:00:00"), "view"),
+      (4L, ts("2024-01-01 10:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Funnel.stageTimes(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .select($"user_id", $"ts_view".isNotNull, $"ts_click".isNotNull,
+        $"ts_purchase".isNotNull)
+      .as[(Long, Boolean, Boolean, Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, true, true, true),
+      (2L, true, true, false),
+      (3L, false, false, false),
+      (4L, true, false, false)))
+  }
+}
+
+class FuzzySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("blockedLevenshtein pairs only inside the block, bounded by maxDist") {
+    val df = Seq(
+      (1L, "alpha", "x"), (2L, "alphb", "x"),   // distance 1, same block
+      (3L, "alpha", "y"),                        // identical to 1 but other block
+      (4L, "zzzzz", "x")                         // distance 4 from alpha
+    ).toDF("id", "name", "grp")
+    val out = Fuzzy.blockedLevenshtein(df, "id", "name", "grp", maxDist = 2)
+      .select($"id_a", $"id_b", $"distance").as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((1L, 2L, 1)))
+  }
+}
+
 class DecontaminateSpec extends SparkSpec {
   import spark.implicits._
 
