@@ -45,6 +45,9 @@ object Bench {
     }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = names.map { name =>
+      // stderr marker so engine warnings in the surrounding log (GC, large
+      // task binaries, skew) can be attributed to a query after the fact
+      System.err.println(s"[bench] start $name")
       val reps = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { run(name, sfDir) } catch {

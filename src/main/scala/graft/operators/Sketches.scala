@@ -37,4 +37,44 @@ object Sketches {
                        accuracy: Int = 10000): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(percentile_approx(col(valueCol), lit(pct), lit(accuracy)).as(outCol))
+
+  /** Approximate heavy hitters via count-min sketch — the scale path for
+    * q56's exact vocabulary top-k: the exact form's aggregation state is
+    * O(vocabulary) (every distinct term in the hash map), while a CMS is
+    * a fixed depth×width counter matrix mergeable across partitions.
+    *
+    * Two passes: (1) build ONE sketch per partition and merge (state is
+    * the matrix, not the terms); (2) re-scan only the `candidates` frame
+    * (typically: terms seen in a small uniform sample, or yesterday's
+    * top-k) and read their estimated counts from the broadcast sketch.
+    * Estimates overcount with probability <= `confidence` by at most
+    * `eps × total`, never undercount — so the true top-k is a subset of
+    * the returned top-(k + slack) for modest slack.
+    */
+  def cmsTopK(df: DataFrame, termCol: String, candidates: DataFrame,
+              k: Int, eps: Double = 0.0001, confidence: Double = 0.99,
+              seed: Int = 42): DataFrame = {
+    val sketch = df.stat.countMinSketch(col(termCol), eps, confidence, seed)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      sketch.writeTo(bos)
+      bos.toByteArray
+    }
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(bytes)
+    // @transient lazy: the sketch deserializes ONCE per executor (on first
+    // use after the closure ships), not once per row
+    val estimateFn = new (String => Long) with Serializable {
+      @transient private lazy val cms =
+        org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(bc.value))
+      def apply(term: String): Long = cms.estimateCount(term)
+    }
+    val estimate = udf(estimateFn)
+    candidates.select(col(termCol))
+      .distinct()
+      .withColumn("est_count", estimate(col(termCol)))
+      .orderBy(col("est_count").desc, col(termCol).asc)
+      .limit(k)
+  }
 }

@@ -125,6 +125,49 @@ object StreamOps {
         col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $horizonSeconds SECONDS"))
   }
 
+  final case class FunnelEvent(user_id: Long, ts: Timestamp, event_type: String)
+  final case class FunnelHit(user_id: Long, funnel_stage: String, stage_order: Int,
+                             ts: Timestamp)
+  final case class FunnelProgress(reachedTimes: List[Long])
+
+  /** Streaming ordered funnel — the streaming twin of the batch
+    * [[graft.operators.Funnel.stageTimes]]: emit a row the moment a user
+    * first reaches each stage, where stage k counts only strictly after
+    * the user's stage k-1 time. State per user is the list of reached
+    * stage times — O(nStages) forever, independent of event volume.
+    *
+    * Contract vs batch: emissions are MONOTONE — once a stage is reached
+    * it is never retracted, so a late-arriving earlier event that would
+    * have enabled an earlier stage time in batch is ignored (the standard
+    * emit-once streaming trade; the batch operator is the exact form).
+    * Events are processed in event-time order within each micro-batch.
+    */
+  def funnelStream(events: Dataset[FunnelEvent], stages: Seq[String])
+      : Dataset[FunnelHit] = {
+    require(stages.nonEmpty, "at least one funnel stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(userId: Long, rows: Iterator[FunnelEvent],
+               state: GroupState[FunnelProgress]): Iterator[FunnelHit] = {
+      var reached = state.getOption.map(_.reachedTimes).getOrElse(Nil)
+      val hits = scala.collection.mutable.ListBuffer.empty[FunnelHit]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
+        val next = reached.length
+        if (next < stages.length && e.event_type == stages(next) &&
+            (reached.isEmpty || e.ts.getTime > reached.last)) {
+          reached = reached :+ e.ts.getTime
+          hits += FunnelHit(userId, stages(next), next + 1, e.ts)
+        }
+      }
+      if (hits.nonEmpty) state.update(FunnelProgress(reached))
+      hits.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Streaming near-duplicate detection sink: each micro-batch is deduped
     * against the ACCUMULATED corpus via
     * [[graft.operators.Similarity.minHashNearDupsIncremental]] — the

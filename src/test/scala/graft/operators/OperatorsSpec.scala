@@ -85,6 +85,17 @@ class SketchesSpec extends SparkSpec {
       .select("p").as[Double].head()
     assert(approx == exact)
   }
+
+  test("cmsTopK recovers the exact top-k on a Zipf-ish term stream") {
+    // term t_i appears (50 - i) times: clear frequency ranking
+    val rows = (0 until 50).flatMap(i => Seq.fill(50 - i)(s"t$i")).toDF("term")
+    val exactTop = (0 until 5).map(i => (s"t$i", (50 - i).toLong))
+    val cms = Sketches.cmsTopK(rows, "term", candidates = rows, k = 5)
+      .as[(String, Long)].collect().toSeq
+    // CMS never undercounts; at this scale (eps bound ~0.2 counts) the
+    // estimates are exact and the ranking matches the true top-5
+    assert(cms == exactTop)
+  }
 }
 
 class IncrementalNearDupSpec extends SparkSpec {

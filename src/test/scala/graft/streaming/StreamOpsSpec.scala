@@ -114,6 +114,37 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream emits each stage once, strictly ordered, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val events = input.toDS()
+      .map { case (u, t, e) => StreamOps.FunnelEvent(u, t, e) }
+    val q = StreamOps.funnelStream(events, Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel").outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: user 1 views; user 2 clicks without viewing (no hit)
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), "view"),
+        (2L, ts("2024-01-01 10:00:00"), "click"))
+      q.processAllAvailable()
+      // batch 2: user 1 clicks then purchases (both advance, in-batch
+      // event-time order); a second click must not re-emit; user 2's
+      // view NOW starts their funnel
+      input.addData(
+        (1L, ts("2024-01-01 11:00:00"), "click"),
+        (1L, ts("2024-01-01 11:30:00"), "click"),
+        (1L, ts("2024-01-01 12:00:00"), "purchase"),
+        (2L, ts("2024-01-01 11:00:00"), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel")
+        .select("user_id", "funnel_stage", "stage_order")
+        .as[(Long, String, Int)].collect().toSet
+      assert(rows == Set(
+        (1L, "view", 1), (1L, "click", 2), (1L, "purchase", 3),
+        (2L, "view", 1)))
+    } finally q.stop()
+  }
+
   test("upsertSink merges micro-batches into a parquet snapshot") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
