@@ -29,7 +29,7 @@ object ExtendedQueries {
       // src9 "benchmark" slice. The eval side collapses to a distinct
       // 64-bit hash set before the left-semi probe — linear in training
       // n-grams, never pairwise.
-      val docs = Tables(s, d).documents
+      val docs = Tables(s, d).documentsSpread
       Decontaminate.ngramOverlap(
         docs.where(col("source") =!= EvalSource),
         docs.where(col("source") === EvalSource),
@@ -41,7 +41,7 @@ object ExtendedQueries {
       // short doc quoted inside a longer one where symmetric jaccard
       // stays low. Same LSH candidate machinery as q21 — only the final
       // score differs, so the blocking/scale story is q21's.
-      Similarity.minHashNearDups(Tables(s, d).documents, "doc_id", "text",
+      Similarity.minHashNearDups(Tables(s, d).documentsSpread, "doc_id", "text",
           shingleN = 3, numSeeds = 12, rowsPerBand = 3)
         .withColumn("containment",
           Portable.q6(col("intersection") * lit(1.0) /
@@ -179,7 +179,7 @@ object ExtendedQueries {
       // with document frequency. Two-phase aggregation (map-side partial
       // on (word) and (word, doc)); the global top-k sorts only the
       // aggregated vocabulary, plans as TakeOrderedAndProject.
-      val words = Tables(s, d).documents
+      val words = Tables(s, d).documentsSpread
         .select(col("doc_id"), explode(TextFns.words(col("text"))).as("word"))
       val vocab = words.groupBy(col("word"))
         .agg(count(lit(1)).as("n_occurrences"),

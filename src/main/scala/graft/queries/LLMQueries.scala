@@ -27,23 +27,23 @@ object LLMQueries {
 
   val queries: Map[String, Q] = Map(
     "q20_dedup_exact" -> { (s, d) =>
-      Dedup.exactByCanonicalWords(Tables(s, d).documents, "doc_id", "text")
+      Dedup.exactByCanonicalWords(Tables(s, d).documentsSpread, "doc_id", "text")
     },
 
     "q21_minhash_pairs" -> { (s, d) =>
-      Similarity.minHashNearDups(Tables(s, d).documents, "doc_id", "text",
+      Similarity.minHashNearDups(Tables(s, d).documentsSpread, "doc_id", "text",
         ShingleN, NumSeeds, RowsPerBand)
     },
 
     "q22_simhash" -> { (s, d) =>
       // 16-bit signature for the oracle check (md5 word hash — DuckDB can
       // reproduce it); the library supports up to 64 bits (xxhash64 path).
-      Similarity.simHash(Tables(s, d).documents, "doc_id", "text", 16)
+      Similarity.simHash(Tables(s, d).documentsSpread, "doc_id", "text", 16)
         .select(col("id").as("doc_id"), col("simhash"))
     },
 
     "q23_ngram_jaccard" -> { (s, d) =>
-      Similarity.ngramNearDups(Tables(s, d).documents, "doc_id", "text",
+      Similarity.ngramNearDups(Tables(s, d).documentsSpread, "doc_id", "text",
         blockCol = "source", n = 2, minJaccard = 0.05)
     },
 
@@ -87,7 +87,7 @@ object LLMQueries {
       // single codegen'd projection — no shuffle at all.
       val hashed = transform(TextFns.words(col("text")),
         (word, i) => HashFns.md5Long(concat(word, lit(":"), i.cast("string")), 15))
-      Tables(s, d).documents.select(
+      Tables(s, d).documentsSpread.select(
         col("doc_id"),
         aggregate(hashed, lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("fingerprint"))
     },
@@ -109,7 +109,7 @@ object LLMQueries {
       // the oracle checks the same set via the brute-force pair filter.
       // 16-bit here because the oracle must reproduce the md5 word hash;
       // the production default is simHashNearDups64 (SURVEY §4).
-      Similarity.simHashNearDups(Tables(s, d).documents, "doc_id", "text",
+      Similarity.simHashNearDups(Tables(s, d).documentsSpread, "doc_id", "text",
         nBits = 16, maxHamming = 3)
     },
 
@@ -127,7 +127,7 @@ object LLMQueries {
       // an undirected graph; connected components assign every doc its
       // cluster (min doc id); `keep` marks the one survivor per cluster.
       // Docs in no pair are their own singleton cluster.
-      val docs = Tables(s, d).documents
+      val docs = Tables(s, d).documentsSpread
       val edges = Similarity.minHashNearDups(docs, "doc_id", "text",
         ShingleN, NumSeeds, RowsPerBand).where(col("jaccard") >= 0.5)
       val comp = Dedup.connectedComponents(edges, "id_a", "id_b")
@@ -154,7 +154,7 @@ object LLMQueries {
       // the top-word mass needs a (doc, word) count — two keyed shuffles,
       // never a driver loop. Flag thresholds compare the ROUNDED ratios so
       // the boolean is reproducible across engines.
-      val docs = Tables(s, d).documents
+      val docs = Tables(s, d).documentsSpread
       val base = docs
         .select(col("doc_id"), TextFns.words(col("text")).as("__w"))
         .select(col("doc_id"),
@@ -207,7 +207,7 @@ object LLMQueries {
       // only for candidate docs. Signatures are identical to the batch
       // construction, so the oracle is q21's SQL restricted to pairs with
       // an odd member.
-      val docs = Tables(s, d).documents
+      val docs = Tables(s, d).documentsSpread
       val base = docs.where(col("doc_id") % 2 === 0)
       val incoming = docs.where(col("doc_id") % 2 === 1)
       val baseSig = Similarity.minHashSignatures(
@@ -222,7 +222,7 @@ object LLMQueries {
       // clustering (keep cluster minimum) → deterministic 80% sample.
       // Every stage is an operator proven alone by q26/q20/q42/q43; this
       // query proves the COMPOSITION against a single DuckDB oracle.
-      val docs = Tables(s, d).documents
+      val docs = Tables(s, d).documentsSpread
       val gated = docs.withColumn("quality_score",
           TextFns.qualityFeatures(col("text"), col("n_chars")).getField("quality_score"))
         .where(col("quality_score") >= 0.5)

@@ -28,6 +28,23 @@ final case class Tables(spark: SparkSession, dir: String) {
   }
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
+
+  /** Documents spread across the session's shuffle-partition count for
+    * scan-side compute-heavy consumers (shingling, per-shingle digests,
+    * signature assembly). The benchmark files are single-row-group
+    * parquet, so the scan arrives as ONE split and everything before the
+    * first exchange would run on one task; production tables arrive as
+    * thousands of splits, which this repartition models. The count is
+    * explicit because the exchange is compute-bound, not size-bound —
+    * AQE's size-based coalescing would fold a sub-MB text shuffle back to
+    * one partition (same lesson as `Fuzzy.blockedLevenshtein`, SURVEY §4).
+    * At true production scale callers should use `documents` directly:
+    * re-shuffling a 100 TB corpus that is already split is pure waste.
+    */
+  def documentsSpread: DataFrame = {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    documents.repartition(parts, col("doc_id"))
+  }
 }
 
 object Tables {
