@@ -72,4 +72,44 @@ object Multimodal {
   def frameSamplePlan(features: DataFrame, stride: Int): DataFrame =
     features.select(col("doc_id"), col("n_frames"),
       sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)).as("sampled_frames"))
+
+  /** Byte-chunk the opaque payload into fixed-size frames: one output row
+    * per (doc_id, frame_idx, frame) with the raw frame bytes — the
+    * "container demux" step of a video pipeline, expressed ENTIRELY in
+    * codegen'd expressions (sequence + transform + substring on binary +
+    * posexplode); no UDF, no stub. The last frame may be short. A real
+    * codec consumes these rows partition-wise exactly like [[decodeStub]].
+    */
+  def explodeFrames(withBinary: DataFrame, frameBytes: Int): DataFrame = {
+    require(frameBytes >= 1, "frameBytes must be positive")
+    // CASE guard: sequence(0, -1) would COUNT DOWN on an empty payload
+    withBinary
+      .select(col("doc_id"),
+        expr(
+          s"""CASE WHEN length(payload) = 0 THEN CAST(array() AS ARRAY<BINARY>)
+             |ELSE transform(
+             |  sequence(0, CAST(ceil(length(payload) / $frameBytes.0) AS INT) - 1),
+             |  i -> substring(payload, i * $frameBytes + 1, $frameBytes)) END""".stripMargin)
+          .as("__frames"))
+      .select(col("doc_id"), posexplode(col("__frames")).as(Seq("frame_idx", "frame")))
+  }
+
+  /** Overlapping byte windows (audio-style framing): window w starts at
+    * byte w × hop and spans `width` bytes; windows are emitted while their
+    * START lies inside the payload (trailing windows may be short). Same
+    * all-codegen contract as [[explodeFrames]]; hop < width yields the
+    * overlap an STFT-style feature extractor expects.
+    */
+  def slidingWindows(withBinary: DataFrame, width: Int, hop: Int): DataFrame = {
+    require(width >= 1 && hop >= 1, "width and hop must be positive")
+    withBinary
+      .select(col("doc_id"),
+        expr(
+          s"""CASE WHEN length(payload) = 0 THEN CAST(array() AS ARRAY<BINARY>)
+             |ELSE transform(
+             |  sequence(0, CAST(ceil(length(payload) / $hop.0) AS INT) - 1),
+             |  w -> substring(payload, w * $hop + 1, $width)) END""".stripMargin)
+          .as("__wins"))
+      .select(col("doc_id"), posexplode(col("__wins")).as(Seq("window_idx", "window")))
+  }
 }

@@ -174,6 +174,21 @@ object ExtendedQueries {
         "c_nationkey", maxDist = 2)
     },
 
+    "q61_frame_sample" -> { (s, d) =>
+      // Media chunking pipeline, all-real (no stub): payload → fixed
+      // 32-byte frames (codegen'd sequence/substring/posexplode) → every
+      // 4th frame kept. The payload is the utf-8 text bytes, so the
+      // DuckDB oracle replays the identical slicing on the string —
+      // proving the byte-chunk plumbing a codec would consume.
+      val withBin = graft.operators.Multimodal.withPayload(
+        Tables(s, d).documentsSpread, "doc_id", "text")
+      graft.operators.Multimodal.explodeFrames(withBin, frameBytes = 32)
+        .where(col("frame_idx") % 4 === 0)
+        .select(col("doc_id"), col("frame_idx"),
+          col("frame").cast("string").as("frame_text"),
+          length(col("frame")).cast("bigint").as("n_frame_bytes"))
+    },
+
     "q56_vocab_topk" -> { (s, d) =>
       // Corpus vocabulary statistics: top-50 words by occurrence count
       // with document frequency. Two-phase aggregation (map-side partial
@@ -311,6 +326,16 @@ object ExtendedQueries {
         |FROM customer a JOIN customer b
         |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+
+    "q61_frame_sample" ->
+      """WITH idx AS (
+        |  SELECT doc_id, text,
+        |    CAST(unnest(range(0, CAST(ceil(length(text) / 32.0) AS INT))) AS INT) AS frame_idx
+        |  FROM documents)
+        |SELECT doc_id, frame_idx,
+        |  substr(text, frame_idx * 32 + 1, 32) AS frame_text,
+        |  CAST(length(substr(text, frame_idx * 32 + 1, 32)) AS BIGINT) AS n_frame_bytes
+        |FROM idx WHERE frame_idx % 4 = 0""".stripMargin,
 
     "q56_vocab_topk" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),

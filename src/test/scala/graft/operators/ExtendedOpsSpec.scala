@@ -83,6 +83,31 @@ class FuzzySpec extends SparkSpec {
   }
 }
 
+class MultimodalChunkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("explodeFrames slices exact fixed-size frames with a short tail") {
+    val df = Multimodal.withPayload(
+      Seq((1L, "abcdefgh"), (2L, "xy"), (3L, "")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val out = Multimodal.explodeFrames(df, frameBytes = 3)
+      .select($"doc_id", $"frame_idx", $"frame".cast("string"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(out == Set(
+      (1L, 0, "abc"), (1L, 1, "def"), (1L, 2, "gh"),
+      (2L, 0, "xy"))) // doc 3 (empty payload) emits no frames
+  }
+
+  test("slidingWindows overlap by width - hop") {
+    val df = Multimodal.withPayload(
+      Seq((1L, "abcdef")).toDF("doc_id", "text"), "doc_id", "text")
+    val out = Multimodal.slidingWindows(df, width = 4, hop = 2)
+      .select($"window_idx", $"window".cast("string"))
+      .as[(Int, String)].collect().toSet
+    assert(out == Set((0, "abcd"), (1, "cdef"), (2, "ef")))
+  }
+}
+
 class DecontaminateSpec extends SparkSpec {
   import spark.implicits._
 
