@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.operators.{Gaps, Incremental}
-import graft.queries.{CoreQueries, DerivedQueries, LLMQueries}
+import graft.queries.{CoreQueries, DerivedQueries, ExtendedQueries, LLMQueries}
 import graft.sources.{Formats, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -49,7 +49,17 @@ object DailyUpdate {
     "metadata_profiles" -> DerivedQueries.queries("q37_metadata_json"),
     "calldata_decoded" -> DerivedQueries.queries("q38_calldata_decode"),
     "trading_roi_left" -> DerivedQueries.queries("q40_trading_roi_left"),
-    "feed_score" -> DerivedQueries.queries("q34_feed_score")
+    "feed_score" -> DerivedQueries.queries("q34_feed_score"),
+    // round-3 derived tables: the quality report gates the day (the
+    // reference's validation pass), the SCD2 history feeds the
+    // point-in-time enrichment, and the analytics tables are terminal
+    "data_quality" -> ExtendedQueries.queries("q57_data_quality"),
+    "tier_history" -> DerivedQueries.queries("q39_scd2_tier"),
+    "tier_at_event" -> ExtendedQueries.queries("q53_tier_at_event"),
+    "rolling_value" -> ExtendedQueries.queries("q54_rolling_value"),
+    "action_pivot" -> ExtendedQueries.queries("q55_action_pivot"),
+    "retention" -> ExtendedQueries.queries("q58_retention"),
+    "funnel" -> ExtendedQueries.queries("q59_funnel")
   )
 
   /** Run the full chain; write each derived table under `outDir`; return

@@ -72,4 +72,27 @@ object Formats {
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path)
+
+  /** Streaming JSONL landing source — the streaming form of the
+    * reference's metadata-JSON daemon (load_metadata_json_daemon.py: a
+    * loop polling a directory of JSON documents). Same explicit-schema
+    * and bounded-batch contract as [[readParquetStream]]; FAILFAST so a
+    * malformed document stops the stream instead of silently nulling.
+    */
+  def readJsonlStream(spark: SparkSession, path: String, schema: StructType,
+                      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("mode", "FAILFAST")
+      .json(path)
+
+  /** ORC round-trip — interchange with ORC-based warehouses (Hive/Trino
+    * deployments commonly hand over ORC). Same column-pruning/pushdown
+    * properties as parquet under Spark's vectorized reader.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
 }

@@ -95,4 +95,89 @@ class PropertySpec extends SparkSpec {
         assert(got == expected, s"edges=$edges")
       }
   }
+
+  test("property: explodeFrames frames reassemble to the exact payload") {
+    val textGen: Gen[String] = for {
+      n <- Gen.choose(0, 50)
+      cs <- Gen.listOfN(n, Gen.alphaNumChar)
+    } yield cs.mkString
+    (1 to 10).foreach { i =>
+      val texts = (1 to 8).map(j =>
+        (j.toLong, textGen(Gen.Parameters.default, Seed(i * 100L + j)).getOrElse("")))
+      val fb = 1 + i % 7
+      val df = Multimodal.withPayload(texts.toDF("doc_id", "text"), "doc_id", "text")
+      val frames = Multimodal.explodeFrames(df, fb)
+        .select($"doc_id", $"frame_idx", $"frame".cast("string"))
+        .as[(Long, Int, String)].collect()
+      val reassembled = frames.groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3).mkString).toMap
+      texts.foreach { case (id, t) =>
+        assert(reassembled.getOrElse(id, "") == t, s"doc $id frameBytes=$fb")
+        // every frame except the last is exactly fb bytes
+        val sizes = frames.filter(_._1 == id).sortBy(_._2).map(_._3.length)
+        assert(sizes.dropRight(1).forall(_ == fb))
+      }
+    }
+  }
+
+  test("property: intervalLookup = brute-force range join on random SCD2 histories") {
+    // per (key, history): contiguous half-open intervals, last one open
+    val histGen: Gen[Map[Long, List[Int]]] = for {
+      nKeys <- Gen.choose(1, 5)
+      bounds <- Gen.listOfN(nKeys, Gen.listOfN(3, Gen.choose(0, 20)))
+    } yield (1L to nKeys).zip(bounds.map(_.distinct.sorted)).toMap
+    (1 to 10).foreach { i =>
+      val hist = histGen(Gen.Parameters.default, Seed(500L + i)).getOrElse(Map.empty)
+      val dim = hist.toSeq.flatMap { case (k, starts) =>
+        starts.zipWithIndex.map { case (s, idx) =>
+          val end: Option[Long] =
+            if (idx + 1 < starts.length) Some(1700000000000L + starts(idx + 1) * 1000L) else None
+          (k, s"tier$idx", new Timestamp(1700000000000L + s * 1000L),
+            end.map(new Timestamp(_)))
+        }
+      }.toDF("k", "tier", "started_at", "ended_at")
+      val facts = (0 to 21).map(t => (100L + t, (t % 5 + 1).toLong,
+        new Timestamp(1700000000000L + t * 1000L))).toDF("fact_id", "k", "ts")
+      val got = Temporal.intervalLookup(facts, dim, "k", "ts", "started_at", "ended_at")
+        .select($"fact_id", $"tier").as[(Long, Option[String])].collect().toSet
+      // brute force: for each fact, the unique interval containing ts
+      val dimRows = dim.as[(Long, String, Timestamp, Option[Timestamp])].collect()
+      val factRows = facts.as[(Long, Long, Timestamp)].collect()
+      val expected = factRows.map { case (fid, k, ts) =>
+        val tier = dimRows.filter { case (dk, _, s, e) =>
+          dk == k && !ts.before(s) && e.forall(ts.before)
+        }.map(_._2).headOption
+        (fid, tier)
+      }.toSet
+      assert(got == expected)
+    }
+  }
+
+  test("property: Funnel.stageTimes = sequential per-user fold") {
+    val stages = Seq("view", "click", "purchase")
+    samples(10).foreach { events =>
+      // reuse the event gen: map sides onto funnel stage names
+      val mapped = events.zipWithIndex.map { case ((u, off, side, _), i) =>
+        val st = Seq("view", "click", "purchase")((off + i) % 3)
+        (u, new Timestamp(1700000000000L + off * 1000L), st)
+      }
+      val df = mapped.toDF("user_id", "ts", "event_type")
+      val got = Funnel.stageTimes(df, "user_id", "ts", "event_type", stages)
+        .select($"user_id", $"ts_view", $"ts_click", $"ts_purchase")
+        .as[(Long, Option[Timestamp], Option[Timestamp], Option[Timestamp])]
+        .collect().toSet
+      // reference: per user, earliest view; earliest click strictly after
+      // it; earliest purchase strictly after that
+      val expected = mapped.groupBy(_._1).map { case (u, evs) =>
+        def earliest(stage: String, after: Option[Long]): Option[Long] =
+          evs.filter(e => e._3 == stage && after.forall(a => e._2.getTime > a))
+            .map(_._2.getTime).minOption
+        val v = earliest("view", None)
+        val c = if (v.isDefined) earliest("click", v) else None
+        val p = if (c.isDefined) earliest("purchase", c) else None
+        (u, v.map(new Timestamp(_)), c.map(new Timestamp(_)), p.map(new Timestamp(_)))
+      }.toSet
+      assert(got == expected, s"events=$mapped")
+    }
+  }
 }

@@ -31,6 +31,37 @@ class FormatsSpec extends SparkSpec {
     assert(back.toSeq == Seq((1L, "x", 0.25)))
   }
 
+  test("ORC round-trip preserves rows and prunes columns") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")
+    Formats.writeOrc(df, s"$dir/out")
+    val back = Formats.readOrc(spark, s"$dir/out")
+    assert(back.as[(Long, String, Double)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+    // column pruning reaches the ORC scan
+    val plan = back.select("id").queryExecution.executedPlan.toString
+    assert(plan.contains("struct<id:bigint>"), s"no pruned ReadSchema:\n$plan")
+  }
+
+  test("readJsonlStream picks up JSON documents landing in the directory") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-landing").toString
+    val sch = StructType(Seq(StructField("id", LongType), StructField("v", DoubleType)))
+    Seq((1L, 1.0)).toDF("id", "v").coalesce(1).write.mode("append").json(dir)
+    val q = Formats.readJsonlStream(spark, dir, sch)
+      .groupBy().sum("v")
+      .writeStream.format("memory").queryName("jsonl_landed")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("jsonl_landed").as[Double].collect().head == 1.0)
+      Seq((2L, 5.0)).toDF("id", "v").coalesce(1).write.mode("append").json(dir)
+      q.processAllAvailable()
+      assert(spark.table("jsonl_landed").as[Double].collect().head == 6.0)
+    } finally q.stop()
+  }
+
   test("partitioned write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft-part").toString
     val df = Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0))
