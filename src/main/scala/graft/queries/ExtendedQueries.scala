@@ -189,6 +189,47 @@ object ExtendedQueries {
           length(col("frame")).cast("bigint").as("n_frame_bytes"))
     },
 
+    "q62_salted_join" -> { (s, d) =>
+      // Skew-mitigated join, oracle-proven equal to the plain join: the
+      // dim side replicates numSalts times, each fact row picks one
+      // deterministic salt, so a hot fact key spreads over numSalts
+      // reducers while the matched row set is IDENTICAL to the unsalted
+      // join (every fact row still meets every matching dim row exactly
+      // once). The oracle is the plain SQL join.
+      val ev = Tables(s, d).events
+        .select(col("event_id"), col("user_id"), col("value"))
+      val cust = Tables(s, d).customer
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.operators.Skew.saltedJoin(ev, cust, "user_id", "c_custkey", numSalts = 8)
+        .select(col("event_id"), col("user_id"), col("value"), col("c_mktsegment"))
+    },
+
+    "q63_embed_quantize" -> { (s, d) =>
+      // Per-vector int8 quantization report (embedding storage shrink for
+      // training pipelines): min/max range, 0..255 codes via the portable
+      // floor(x + 0.5), and the mean absolute reconstruction error — all
+      // codegen'd array expressions, no UDF; summation runs in array
+      // order so the float result is bit-identical across engines.
+      val v = col("__v")
+      Tables(s, d).embeddings
+        .select(col("vec_id"), graft.functions.VectorFns.asDouble(col("embedding")).as("__v"))
+        .withColumn("__mn", array_min(v))
+        .withColumn("__mx", array_max(v))
+        .withColumn("__scale",
+          when(col("__mx") === col("__mn"), lit(0.0))
+            .otherwise((col("__mx") - col("__mn")) / 255.0))
+        .select(col("vec_id"),
+          size(v).cast("int").as("n_dims"),
+          Portable.q6(col("__mn")).as("v_min"),
+          Portable.q6(col("__mx")).as("v_max"),
+          when(col("__scale") === 0.0, lit(0.0)).otherwise(
+            Portable.q6(
+              aggregate(v, lit(0.0), (acc, x) =>
+                acc + abs(x - (col("__mn") +
+                  floor((x - col("__mn")) / col("__scale") + 0.5) * col("__scale"))))
+                / size(v))).as("mean_abs_err"))
+    },
+
     "q56_vocab_topk" -> { (s, d) =>
       // Corpus vocabulary statistics: top-50 words by occurrence count
       // with document frequency. Two-phase aggregation (map-side partial
@@ -336,6 +377,23 @@ object ExtendedQueries {
         |  substr(text, frame_idx * 32 + 1, 32) AS frame_text,
         |  CAST(length(substr(text, frame_idx * 32 + 1, 32)) AS BIGINT) AS n_frame_bytes
         |FROM idx WHERE frame_idx % 4 = 0""".stripMargin,
+
+    "q62_salted_join" ->
+      """SELECT e.event_id, e.user_id, e.value, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+
+    "q63_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, len(v) AS n, list_min(v) AS mn, list_max(v) AS mx FROM e),
+        |c AS (SELECT *, CASE WHEN mx = mn THEN 0.0 ELSE (mx - mn) / 255.0 END AS scale FROM s)
+        |SELECT vec_id, CAST(n AS INT) AS n_dims,
+        |  floor(mn * 1000000.0 + 0.5) / 1000000.0 AS v_min,
+        |  floor(mx * 1000000.0 + 0.5) / 1000000.0 AS v_max,
+        |  CASE WHEN scale = 0 THEN 0.0 ELSE
+        |    floor((list_sum(list_transform(v, x ->
+        |      abs(x - (mn + floor((x - mn) / scale + 0.5) * scale)))) / n) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS mean_abs_err
+        |FROM c""".stripMargin,
 
     "q56_vocab_topk" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
