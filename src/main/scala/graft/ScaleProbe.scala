@@ -76,6 +76,13 @@ object ScaleProbe {
       time(s"simhash64_neardup_$scale") {
         Similarity.simHashNearDups64(dd, "doc_id", "text", maxHamming = 3)
       }
+      // decontamination: the eval set stays FIXED (the 1× corpus's first
+      // 50 docs) while training grows 10× — per SURVEY §4 the probe join
+      // is linear in training n-grams, so runtime must grow ≈ linearly
+      time(s"decontaminate_$scale") {
+        graft.operators.Decontaminate.ngramOverlap(
+          dd, docs.limit(50), "doc_id", "text", n = 3, minRatio = 0.1)
+      }
       dd.unpersist()
     }
     spark.stop()

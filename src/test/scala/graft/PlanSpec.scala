@@ -79,4 +79,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"),
       s"eval probe is not a semi join (would duplicate rows per eval match):\n$plan")
   }
+
+  test("q60 fuzzy join repartitions with an EXPLICIT count (exempt from AQE coalescing)") {
+    // the O(block²) levenshtein loop is compute-bound on tiny bytes; if
+    // this becomes a plain repartition(col) AQE folds it back to one task
+    // (SURVEY §4: measured 18.8 s single-task vs 1.4 s spread)
+    val plan = graft.queries.ExtendedQueries.queries("q60_fuzzy_match")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      s"fuzzy join lost its explicit-count repartition:\n$plan")
+  }
 }
