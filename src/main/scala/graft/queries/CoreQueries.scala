@@ -54,9 +54,14 @@ object CoreQueries {
       // broadcast OOMs executors at the 100 TB design point, so AQE picks
       // broadcast-vs-shuffle for them from measured sizes at runtime.
       val t = Tables(s, d)
-      val counts = t.lineitem.groupBy(col("l_orderkey"))
+      // lineitemSpread: the single-split scan would otherwise push all
+      // 600k probe rows through the broadcast-join chain on ONE task;
+      // spreading on l_orderkey also pre-partitions the num_parts groupBy
+      // (same key -> no second exchange). See Tables.documentsSpread.
+      val li = t.lineitemSpread
+      val counts = li.groupBy(col("l_orderkey"))
         .agg(countDistinct(col("l_partkey")).as("num_parts"))
-      t.lineitem
+      li
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
         .join(counts, "l_orderkey")
         .join(t.part, col("l_partkey") === col("p_partkey"))
@@ -81,7 +86,7 @@ object CoreQueries {
     "q06_floor_price" -> { (s, d) =>
       // part grows with SF — no forced broadcast; AQE decides (see q05).
       val t = Tables(s, d)
-      val priced = t.lineitem.join(t.part, col("l_partkey") === col("p_partkey"))
+      val priced = t.lineitemSpread.join(t.part, col("l_partkey") === col("p_partkey"))
         .select(col("p_brand").as("brand"), col("l_extendedprice"))
       Rankings.percentileDisc(priced, Seq("brand"), "l_extendedprice", 0.2, "floor_price")
     },

@@ -45,6 +45,15 @@ final case class Tables(spark: SparkSession, dir: String) {
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     documents.repartition(parts, col("doc_id"))
   }
+
+  /** Same split-modeling for the largest fact table: q05's enrichment
+    * chain is all broadcast joins at test scale, so the entire 600k-row
+    * probe side would otherwise run on the single scan task.
+    */
+  def lineitemSpread: DataFrame = {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    lineitem.repartition(parts, col("l_orderkey"))
+  }
 }
 
 object Tables {
