@@ -45,4 +45,42 @@ object Sampling {
     }
     df.where(hashUnit(col(idCol), salt) < rate)
   }
+
+  /** Per-domain cap: keep at most `maxN` rows per stratum, chosen by hash
+    * order (not input order) so the kept set is a deterministic pure
+    * function of the data — re-runs, engines and partitionings agree, and
+    * raising the cap later only ADDS rows (the hash order is stable).
+    * This is the "cap any single domain" step of a training-data mix.
+    * One hash shuffle on the stratum; per-group state is the window.
+    */
+  def capPerStratum(df: DataFrame, strataCol: String, idCol: String,
+                    maxN: Int, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashUnit(col(idCol), salt).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxN).drop("__rn")
+  }
+
+  /** Mixture resampling toward target per-stratum shares: given
+    * `targetShare` (stratum → fraction of the OUTPUT mix) and a total
+    * output budget `targetTotal`, each stratum keeps rate
+    * min(1, targetShare × targetTotal / n_stratum) via the hash coin.
+    * Strata missing from `targetShare` are dropped (rate 0) — the
+    * "rebalance the corpus toward this mix" step of a training run.
+    * Per-stratum counts are ONE aggregate joined back (broadcast-sized:
+    * one row per stratum); membership stays deterministic per id.
+    */
+  def mixtureSample(df: DataFrame, strataCol: String, idCol: String,
+                    targetShare: Map[String, Double], targetTotal: Long,
+                    salt: String): DataFrame = {
+    val shares = targetShare.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (stratum, sh)) => when(col(strataCol) === stratum, sh).otherwise(acc)
+    }
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    df.join(counts, Seq(strataCol))
+      .withColumn("__rate", least(lit(1.0), shares * targetTotal / col("__n")))
+      .where(hashUnit(col(idCol), salt) < col("__rate"))
+      .drop("__n", "__rate")
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{Portable, TextFns}
-import graft.operators.{Decontaminate, Funnel, Fuzzy, Rankings, Similarity, Temporal}
+import graft.operators.{Decontaminate, Funnel, Fuzzy, Rankings, Sampling, Similarity, Temporal}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -230,6 +230,25 @@ object ExtendedQueries {
                 / size(v))).as("mean_abs_err"))
     },
 
+    "q64_domain_cap" -> { (s, d) =>
+      // Per-domain cap of the training mix: at most 10 docs per source,
+      // chosen by hash order so the kept set is a pure function of the
+      // data (re-runs and engines agree; raising the cap only ADDS docs).
+      Sampling.capPerStratum(Tables(s, d).documents, "source", "doc_id",
+          maxN = 10, salt = "cap")
+        .select(col("doc_id"), col("source"))
+    },
+
+    "q65_mixture_sample" -> { (s, d) =>
+      // Rebalance toward a target mix: three sources at 30/30/40% of a
+      // 60-doc output budget; rate per source = min(1, share×total/n).
+      // All other sources drop (rate 0) — the training-mix rebalance step.
+      Sampling.mixtureSample(Tables(s, d).documents, "source", "doc_id",
+          targetShare = Map("src0" -> 0.3, "src1" -> 0.3, "src2" -> 0.4),
+          targetTotal = 60L, salt = "mix")
+        .select(col("doc_id"), col("source"))
+    },
+
     "q56_vocab_topk" -> { (s, d) =>
       // Corpus vocabulary statistics: top-50 words by occurrence count
       // with document frequency. Two-phase aggregation (map-side partial
@@ -394,6 +413,26 @@ object ExtendedQueries {
         |      abs(x - (mn + floor((x - mn) / scale + 0.5) * scale)))) / n) * 1000000.0 + 0.5) / 1000000.0
         |  END AS mean_abs_err
         |FROM c""".stripMargin,
+
+    "q64_domain_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#cap'),1,8))::BIGINT / 4294967296.0 ASC,
+        |      doc_id ASC) AS rn
+        |  FROM documents) WHERE rn <= 10""".stripMargin,
+
+    "q65_mixture_sample" ->
+      """WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |rated AS (
+        |  SELECT d.doc_id, d.source,
+        |    least(1.0, CASE WHEN d.source = 'src0' THEN 0.3
+        |                    WHEN d.source = 'src1' THEN 0.3
+        |                    WHEN d.source = 'src2' THEN 0.4
+        |                    ELSE 0.0 END * 60 / c.n) AS rate
+        |  FROM documents d JOIN counts c ON d.source = c.source)
+        |SELECT doc_id, source FROM rated
+        |WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#mix'),1,8))::BIGINT / 4294967296.0 < rate""".stripMargin,
 
     "q56_vocab_topk" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),

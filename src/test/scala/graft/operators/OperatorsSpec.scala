@@ -187,6 +187,23 @@ class SamplingSpec extends SparkSpec {
     val got = out.select("stratum").as[String].collect()
     assert(got.length == 1000 && got.forall(_ == "a"))
   }
+
+  test("capPerStratum keeps exactly maxN per stratum and a raised cap only adds") {
+    val c10 = Sampling.capPerStratum(ids, "stratum", "id", 10, "cap")
+      .select("id").as[Long].collect().toSet
+    assert(c10.size == 20) // 10 per stratum × 2 strata
+    val c25 = Sampling.capPerStratum(ids, "stratum", "id", 25, "cap")
+      .select("id").as[Long].collect().toSet
+    assert(c10.subsetOf(c25) && c25.size == 50) // hash order is stable
+  }
+
+  test("mixtureSample hits target shares and drops unlisted strata") {
+    val out = Sampling.mixtureSample(ids, "stratum", "id",
+        targetShare = Map("a" -> 1.0), targetTotal = 200L, salt = "mix")
+      .select("stratum").as[String].collect()
+    assert(out.forall(_ == "a")) // stratum b (share 0) fully dropped
+    assert(math.abs(out.length - 200.0) / 200.0 < 0.2) // rate 200/1000 in expectation
+  }
 }
 
 class AsOfSpec extends SparkSpec {
