@@ -249,6 +249,27 @@ object ExtendedQueries {
         .select(col("doc_id"), col("source"))
     },
 
+    "q66_corpus_report" -> { (s, d) =>
+      // The per-source "dataset card": doc count, total whitespace
+      // tokens, mean quality, and the 20th-percentile doc length — the
+      // composition table every training run records. One grouped
+      // aggregate plus the percentile window, joined on the tiny
+      // per-source result.
+      val docs = Tables(s, d).documentsSpread
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          size(TextFns.words(col("text"))).cast("bigint").as("__toks"),
+          TextFns.qualityFeatures(col("text"), col("n_chars"))
+            .getField("quality_score").as("__q"))
+      val base = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__toks")).as("total_tokens"),
+          Portable.q6(avg(col("__q"))).as("mean_quality"))
+      val p20 = Rankings.percentileDisc(docs, Seq("source"), "n_chars", 0.2, "p20_chars")
+      base.join(p20, Seq("source"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("mean_quality"), col("p20_chars"))
+    },
+
     "q56_vocab_topk" -> { (s, d) =>
       // Corpus vocabulary statistics: top-50 words by occurrence count
       // with document frequency. Two-phase aggregation (map-side partial
@@ -433,6 +454,23 @@ object ExtendedQueries {
         |  FROM documents d JOIN counts c ON d.source = c.source)
         |SELECT doc_id, source FROM rated
         |WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#mix'),1,8))::BIGINT / 4294967296.0 < rate""".stripMargin,
+
+    "q66_corpus_report" ->
+      """WITH f AS (SELECT doc_id, source, n_chars,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+        |  floor((len(list_distinct(string_split(text,' '))) / len(string_split(text,' '))) * 1000000.0 + 0.5) / 1000000.0 AS uniq_ratio,
+        |  floor((len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) / len(string_split(text,' '))) * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
+        |  floor(((n_chars - len(string_split(text,' ')) + 1) / len(string_split(text,' '))) * 1000000.0 + 0.5) / 1000000.0 AS avg_word_len
+        | FROM documents),
+        |q AS (SELECT source, n_chars, n_words,
+        |  floor((uniq_ratio * 0.3 + (1.0 - stop_ratio) * 0.3 +
+        |         least(n_words / 100.0, 1.0) * 0.2 + least(avg_word_len / 8.0, 1.0) * 0.2) * 1000000.0 + 0.5) / 1000000.0 AS quality_score
+        | FROM f)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS total_tokens,
+        |  floor(avg(quality_score) * 1000000.0 + 0.5) / 1000000.0 AS mean_quality,
+        |  percentile_disc(0.2) WITHIN GROUP (ORDER BY n_chars) AS p20_chars
+        |FROM q GROUP BY 1""".stripMargin,
 
     "q56_vocab_topk" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
