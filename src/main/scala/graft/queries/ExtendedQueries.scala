@@ -337,21 +337,21 @@ object ExtendedQueries {
 
     "q55_action_pivot" ->
       """SELECT user_id,
-        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
         |  count(*) AS n_total
         |FROM events GROUP BY 1""".stripMargin,
 
     "q57_data_quality" ->
       """WITH base AS (
         |  SELECT count(*) AS n_rows,
-        |    sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user_id,
+        |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
         |    count(*) - count(DISTINCT event_id) AS duplicate_event_id,
-        |    sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS nonpositive_value,
-        |    sum(CASE WHEN value < 1 THEN 1 ELSE 0 END) AS micro_value
+        |    CAST(sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_value,
+        |    CAST(sum(CASE WHEN value < 1 THEN 1 ELSE 0 END) AS BIGINT) AS micro_value
         |  FROM events),
         |orph AS (
         |  SELECT count(*) AS orphan_user_id FROM events e

@@ -27,7 +27,12 @@ object LLMQueries {
 
   val queries: Map[String, Q] = Map(
     "q20_dedup_exact" -> { (s, d) =>
-      Dedup.exactByCanonicalWords(Tables(s, d).documentsSpread, "doc_id", "text")
+      // documents (not documentsSpread): hash-groupBy dedup already owns a
+      // shuffle on text_hash, so a scan-side doc_id repartition buys no
+      // parallelism the partial agg needs at this compute weight — it just
+      // adds an exchange (r03 bench: 0.32s → 0.74s). At production scale
+      // the table arrives as thousands of splits anyway.
+      Dedup.exactByCanonicalWords(Tables(s, d).documents, "doc_id", "text")
     },
 
     "q21_minhash_pairs" -> { (s, d) =>

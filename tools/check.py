@@ -38,6 +38,13 @@ def compare(name, spark_df, oracle_df):
     for c in spark_df.columns:
         a, b = spark_df[c], oracle_df[c]
         if a.dtype.kind == "f" or b.dtype.kind == "f":
+            # The driver hashes exact values, so int64 `5` vs float64 `5.0`
+            # is a HARD failure there — mirror that here instead of letting
+            # the tolerance compare mask a wrong-typed oracle (round-3 q55/q57).
+            if a.dtype.kind != b.dtype.kind:
+                problems.append(
+                    f"col {c}: dtype kind mismatch spark={a.dtype} oracle={b.dtype}"
+                    " (driver hashes exact values; int-vs-float WILL fail the gate)")
             aa = a.astype(float).to_numpy()
             bb = b.astype(float).to_numpy()
             bad = 0
