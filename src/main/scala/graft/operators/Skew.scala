@@ -45,4 +45,55 @@ object Skew {
       saltedFact(factKey) === saltedDim(dimKey) && saltedFact("__salt") === saltedDim("__salt"))
       .drop("__salt")
   }
+
+  /** Fact keys whose row count reaches `threshold` — the heavy hitters a
+    * frequency-aware salt should target. One hash aggregation with
+    * map-side combine (a hot key reaches the shuffle as one partial row
+    * per map task); the output is bounded by n_rows/threshold keys, so it
+    * is broadcastable by construction for any meaningful threshold.
+    */
+  def hotKeys(fact: DataFrame, factKey: String, threshold: Long): DataFrame =
+    fact.groupBy(col(factKey).as("__hot_key"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= threshold)
+      .select(col("__hot_key"))
+
+  /** Dim replicated ONLY for hot keys: a hot dim row appears once per
+    * salt, a cold dim row exactly once (salt 0). Replication volume is
+    * `cold + numSalts × hot` rows instead of [[saltedJoin]]'s
+    * `numSalts × all` — the 100 TB-polite form when hot keys are a tiny
+    * fraction of the key space (they always are; that's what skew means).
+    */
+  def replicateDimForHotKeys(dim: DataFrame, dimKey: String, hot: DataFrame,
+                             numSalts: Int): DataFrame =
+    dim.join(broadcast(hot), dim(dimKey) === hot("__hot_key"), "left")
+      .withColumn("__salt", explode(
+        when(col("__hot_key").isNotNull, sequence(lit(0), lit(numSalts - 1)))
+          .otherwise(array(lit(0)))))
+      .drop("__hot_key")
+
+  /** Frequency-aware salted join: like [[saltedJoin]], but only keys whose
+    * fact-side frequency reaches `hotThreshold` are salted — cold keys
+    * join plainly on salt 0, so the dim shuffle volume scales with the
+    * number of HOT keys, not the whole dim. Costs one extra map-side
+    * aggregate over the fact to find the hot set (broadcast to both
+    * sides). Row set is IDENTICAL to the plain join: every fact row still
+    * meets every matching dim row exactly once, whichever path its key
+    * takes.
+    */
+  def saltedJoinHot(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+                    numSalts: Int, hotThreshold: Long): DataFrame = {
+    val hot = hotKeys(fact, factKey, hotThreshold)
+    val saltedDim = replicateDimForHotKeys(dim, dimKey, hot, numSalts)
+    val saltedFact = fact
+      .join(broadcast(hot), fact(factKey) === hot("__hot_key"), "left")
+      .withColumn("__salt",
+        when(col("__hot_key").isNotNull,
+          pmod(crc32(monotonically_increasing_id().cast("string")), lit(numSalts)).cast("int"))
+          .otherwise(lit(0)))
+      .drop("__hot_key")
+    saltedFact.join(saltedDim,
+      saltedFact(factKey) === saltedDim(dimKey) && saltedFact("__salt") === saltedDim("__salt"))
+      .drop("__salt")
+  }
 }

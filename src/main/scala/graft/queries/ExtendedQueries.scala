@@ -190,17 +190,21 @@ object ExtendedQueries {
     },
 
     "q62_salted_join" -> { (s, d) =>
-      // Skew-mitigated join, oracle-proven equal to the plain join: the
-      // dim side replicates numSalts times, each fact row picks one
-      // deterministic salt, so a hot fact key spreads over numSalts
-      // reducers while the matched row set is IDENTICAL to the unsalted
-      // join (every fact row still meets every matching dim row exactly
-      // once). The oracle is the plain SQL join.
+      // Skew-mitigated join, oracle-proven equal to the plain join.
+      // Frequency-aware form: one map-side aggregate finds fact keys with
+      // ≥ hotThreshold rows, ONLY those dim rows replicate numSalts ways
+      // (cold keys join plainly on salt 0), and each hot fact row picks a
+      // deterministic salt — a hot key spreads over numSalts reducers
+      // while dim shuffle volume scales with the hot-key count, not the
+      // dim. The matched row set is IDENTICAL to the unsalted join (every
+      // fact row still meets every matching dim row exactly once), so the
+      // oracle is the plain SQL join.
       val ev = Tables(s, d).events
         .select(col("event_id"), col("user_id"), col("value"))
       val cust = Tables(s, d).customer
         .select(col("c_custkey"), col("c_mktsegment"))
-      graft.operators.Skew.saltedJoin(ev, cust, "user_id", "c_custkey", numSalts = 8)
+      graft.operators.Skew.saltedJoinHot(ev, cust, "user_id", "c_custkey",
+          numSalts = 8, hotThreshold = 50L)
         .select(col("event_id"), col("user_id"), col("value"), col("c_mktsegment"))
     },
 
