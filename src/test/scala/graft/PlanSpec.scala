@@ -80,6 +80,15 @@ class PlanSpec extends SparkSpec {
       s"eval probe is not a semi join (would duplicate rows per eval match):\n$plan")
   }
 
+  test("q69 exclusion plans as a LEFT ANTI join on the flagged key set") {
+    val plan = graft.queries.GateQueries.queries("q69_exclude_flagged")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"exclusion is not an anti join (would scan flags per fact row):\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"exclusion degenerated to a nested-loop join:\n$plan")
+  }
+
   test("q60 fuzzy join repartitions with an EXPLICIT count (exempt from AQE coalescing)") {
     // the O(block²) levenshtein loop is compute-bound on tiny bytes; if
     // this becomes a plain repartition(col) AQE folds it back to one task
