@@ -24,10 +24,17 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Unsigned-32 hash of `id` under `salt`: the first 8 md5 hex digits of
+    * (id || '#' || salt) as a long — the shared deterministic coin
+    * ([[hashUnit]], [[graft.operators.Packing]]).
+    */
+  def hashLong(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit("#" + salt))), 1, 8), 16, 10)
+      .cast("bigint")
+
   /** Uniform [0, 1) hash of `id` under `salt` — the sampling coin. */
   def hashUnit(id: Column, salt: String): Column =
-    conv(substring(md5(concat(id.cast("string"), lit("#" + salt))), 1, 8), 16, 10)
-      .cast("bigint") / lit(4294967296.0)
+    hashLong(id, salt) / lit(4294967296.0)
 
   /** Keep rows whose hash coin lands under `rate`. */
   def hashSample(df: DataFrame, idCol: String, rate: Double, salt: String): DataFrame =

@@ -122,6 +122,31 @@ object GateQueries {
       t.lineitem.join(flagged, col("l_partkey") === col("p_partkey"), "left_anti")
         .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
           col("l_quantity"), col("l_extendedprice"))
+    },
+
+    "q70_shard_assign" -> { (s, d) =>
+      // Deterministic training-shard layout: every doc gets a shard and a
+      // position inside it, both pure functions of (doc_id, salt) — the
+      // reproducible global shuffle a trainer reads. Re-running on the
+      // same corpus reproduces the same order bit-for-bit regardless of
+      // input partitioning.
+      graft.operators.Packing.shardAssign(
+        Tables(s, d).documents.select(col("doc_id"), col("source")),
+        "doc_id", nShards = 8)
+        .select(col("doc_id"), col("source"), col("shard"), col("pos"))
+    },
+
+    "q71_sequence_pack" -> { (s, d) =>
+      // Sequence packing (concatenate-and-cut, splitting allowed): docs
+      // concatenate in shard-shuffle order, the token stream cuts every
+      // 1024 tokens; each doc reports its stream offset, first sequence,
+      // and span — what a packed-example shard writer materializes.
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), size(TextFns.words(col("text"))).cast("long").as("n_tokens"))
+      val sharded = graft.operators.Packing.shardAssign(docs, "doc_id", nShards = 8)
+      graft.operators.Packing.packSequences(sharded, "n_tokens", budget = 1024L)
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("start_tok"), col("seq_id"), col("n_seqs_spanned"))
     }
   )
 
@@ -155,6 +180,35 @@ object GateQueries {
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem l
         |WHERE NOT EXISTS (SELECT 1 FROM part p
-        |  WHERE p.p_partkey = l.l_partkey AND p.p_type = 'PROMO')""".stripMargin
+        |  WHERE p.p_partkey = l.l_partkey AND p.p_type = 'PROMO')""".stripMargin,
+
+    "q70_shard_assign" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#shard'),1,8))::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(h % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1 AS INT) AS pos
+        |FROM h""".stripMargin,
+
+    "q71_sequence_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#shard'),1,8))::BIGINT AS h
+        |  FROM documents),
+        |sh AS (SELECT doc_id, n_tokens, h, CAST(h % 8 AS INT) AS shard FROM d),
+        |o AS (SELECT doc_id, n_tokens, shard,
+        |    row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS pos
+        |  FROM sh),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY pos) - n_tokens AS BIGINT)
+        |      AS start_tok
+        |  FROM o)
+        |SELECT doc_id, shard, n_tokens, start_tok,
+        |  CAST(start_tok // 1024 AS BIGINT) AS seq_id,
+        |  CAST(CASE WHEN n_tokens = 0 THEN 1
+        |    ELSE (start_tok + n_tokens - 1) // 1024 - start_tok // 1024 + 1 END AS BIGINT)
+        |    AS n_seqs_spanned
+        |FROM c""".stripMargin
   )
 }

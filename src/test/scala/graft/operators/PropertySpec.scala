@@ -180,4 +180,59 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"events=$mapped")
     }
   }
+
+  test("property: saltedJoinHot = plain join for random skews, salts and thresholds") {
+    (1 to 8).foreach { i =>
+      val seed = Seed(100L + i)
+      val gen = for {
+        n <- Gen.choose(0, 300)
+        keys <- Gen.listOfN(n, Gen.frequency(
+          (6, Gen.const(1L)), // hot key
+          (3, Gen.choose(2L, 8L)), // warm
+          (1, Gen.choose(9L, 40L)))) // cold / possibly dim-less
+        salts <- Gen.choose(2, 6)
+        threshold <- Gen.choose(1L, 50L)
+      } yield (keys, salts, threshold)
+      val (keys, numSalts, threshold) = gen(Gen.Parameters.default, seed).get
+      val fact = keys.zipWithIndex.map { case (k, idx) => (k, idx) }.toDF("fk", "payload")
+      val dim = (1L to 20L).map(k => (k, s"n$k")).toDF("dk", "name")
+      val plain = fact.join(dim, $"fk" === $"dk")
+        .select("payload", "name").as[(Int, String)].collect().sorted.toSeq
+      val salted = Skew.saltedJoinHot(fact, dim, "fk", "dk", numSalts, threshold)
+        .select("payload", "name").as[(Int, String)].collect().sorted.toSeq
+      assert(salted == plain, s"salts=$numSalts threshold=$threshold keys=$keys")
+    }
+  }
+
+  test("property: packSequences = sequential fold over the shard stream") {
+    (1 to 8).foreach { i =>
+      val seed = Seed(200L + i)
+      val gen = for {
+        n <- Gen.choose(0, 120)
+        toks <- Gen.listOfN(n, Gen.choose(0L, 30L))
+        budget <- Gen.choose(1L, 40L)
+        shards <- Gen.choose(1, 5)
+      } yield (toks, budget, shards)
+      val (toks, budget, nShards) = gen(Gen.Parameters.default, seed).get
+      val docs = toks.zipWithIndex.map { case (t, idx) => (idx.toLong, t) }
+        .toDF("doc_id", "n_tokens")
+      val got = Packing.packSequences(
+        Packing.shardAssign(docs, "doc_id", nShards), "n_tokens", budget)
+        .select("shard", "pos", "doc_id", "n_tokens", "start_tok", "seq_id", "n_seqs_spanned")
+        .as[(Int, Int, Long, Long, Long, Long, Long)].collect()
+      // reference: fold each shard's stream in pos order
+      got.groupBy(_._1).values.foreach { shard =>
+        var offset = 0L
+        shard.sortBy(_._2).foreach { case (_, _, id, n, start, seq, span) =>
+          assert(start == offset, s"doc $id starts at $start, stream is at $offset")
+          assert(seq == start / budget)
+          val expectSpan = if (n == 0) 1L else (start + n - 1) / budget - start / budget + 1
+          assert(span == expectSpan)
+          offset += n
+        }
+      }
+      assert(got.map(_._3).sorted.toSeq == toks.indices.map(_.toLong),
+        "packing dropped or duplicated docs")
+    }
+  }
 }
