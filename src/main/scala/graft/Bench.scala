@@ -8,11 +8,27 @@ import org.apache.spark.sql.SparkSession
   * warm-up pass at sf0.001 first absorbs one-time JVM/codegen/JIT cost so
   * the timed numbers measure engine throughput, not classloading; the
   * cache is cleared after every query so none borrows another's work;
-  * each query is timed twice and the min reported (a major GC pause lands
-  * on an arbitrary query otherwise — observed 8s outliers), with an
+  * each query is timed three times and the min reported (a major GC pause
+  * lands on an arbitrary query otherwise — observed 8s outliers), with an
   * explicit gc between queries to keep the pause out of the timings.
+  *
+  * Load accounting (round-5 lesson): the round-4 bench artifact reported
+  * 2-3.5x "regressions" on untouched queries because the machine was
+  * under external load during the run — min-of-N defends against GC
+  * pauses, not against sustained contention. The JSON therefore also
+  * carries per-query rep times and /proc/loadavg samples (`load_start`,
+  * `load_end`, per-query `reps`/`load`), so a polluted run is
+  * self-evident from the artifact alone: loadavg far above the bench's
+  * own parallelism, or rep times spread far beyond their min, mean the
+  * numbers measure the machine, not the code.
   */
 object Bench {
+
+  /** 1-minute loadavg, -1 if unreadable (non-Linux). */
+  private def loadAvg(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -44,11 +60,14 @@ object Bench {
       spark.catalog.clearCache()
     }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    val loadStart = loadAvg()
+    val t0Wall = System.nanoTime()
     val results = names.map { name =>
       // stderr marker so engine warnings in the surrounding log (GC, large
       // task binaries, skew) can be attributed to a query after the fact
       System.err.println(s"[bench] start $name")
-      val reps = (1 to 2).map { _ =>
+      val load = loadAvg()
+      val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { run(name, sfDir) } catch {
           case e: Throwable =>
@@ -63,12 +82,19 @@ object Bench {
         System.gc()
         dt
       }
-      name -> reps.min
+      (name, reps.min, reps, load)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def f(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
+    val repsJson = results.map { case (k, _, reps, load) =>
+      "\"" + k + "\":{\"reps\":[" + reps.map(f).mkString(",") +
+        "],\"load\":" + f(load) + "}"
+    }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val wall = (System.nanoTime() - t0Wall) / 1e9
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","load_start":${f(loadStart)},"load_end":${f(loadAvg())},"wall_sec":${f(wall)},"detail":$repsJson}""")
     spark.stop()
   }
 }

@@ -107,15 +107,25 @@ object Multimodal {
           // no full pixel decode (cheap even for large assets)
           ImageMeta(id, r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0),
             decoded = true)
+        } catch {
+          // a reader CLAIMED the payload (magic bytes matched) but the
+          // header is unreadable — the truncated-upload case. Same
+          // quarantine contract as "no reader": flag, don't fail the stage.
+          case scala.util.control.NonFatal(_) => quarantineRow(id, bytes)
         } finally r.dispose()
-      } else {
-        // no installed codec: quarantine row with stub-derived features
-        val md = MessageDigest.getInstance("MD5")
-        val hex = md.digest(bytes).map("%02x".format(_)).mkString
-        val f = decodeOne(id, bytes, hex)
-        ImageMeta(id, "unknown", f.width, f.height, decoded = false)
-      }
+      } else quarantineRow(id, bytes)
     } finally if (in != null) in.close()
+  }
+
+  /** Quarantine row for an undecodable payload: stub-derived features,
+    * `decoded = false` — downstream filters route these to review instead
+    * of a 100 TB stage dying on one corrupt blob.
+    */
+  private def quarantineRow(id: Long, bytes: Array[Byte]): ImageMeta = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(bytes).map("%02x".format(_)).mkString
+    val f = decodeOne(id, bytes, hex)
+    ImageMeta(id, "unknown", f.width, f.height, decoded = false)
   }
 
   /** Deterministic image fixture: a solid-color `width`×`height` image

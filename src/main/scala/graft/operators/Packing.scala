@@ -51,12 +51,62 @@ object Packing {
   def packSequences(sharded: DataFrame, tokenCol: String, budget: Long): DataFrame = {
     require(budget >= 1, "budget must be positive")
     val w = Window.partitionBy(col("shard")).orderBy(col("pos"))
+    // `div` is Spark's INTEGER division: `/` on longs yields DOUBLE, which
+    // is exact only below 2^53 — a shard token stream past ~9e15 tokens
+    // would misplace a cut where an integer oracle would not. The cuts
+    // must be bit-exact at ANY stream length.
     sharded
       .withColumn("start_tok", sum(col(tokenCol)).over(w) - col(tokenCol))
-      .withColumn("seq_id", (col("start_tok") / budget).cast("long"))
+      .withColumn("seq_id", expr(s"start_tok div ${budget}L"))
       .withColumn("n_seqs_spanned",
         when(col(tokenCol) === 0, lit(1L)).otherwise(
-          ((col("start_tok") + col(tokenCol) - 1) / budget).cast("long") -
+          expr(s"(start_tok + $tokenCol - 1) div ${budget}L") -
             col("seq_id") + 1L))
+  }
+
+  /** Materialize the packed training sequences [[packSequences]] only
+    * describes: explode each doc's sequence span into per-(shard, seq_id)
+    * SLICE rows — (doc, offset inside the doc, slice length, offset inside
+    * the sequence) — and aggregate them into one row per packed sequence:
+    * exactly what a shard writer serializes. Every sequence holds exactly
+    * `budget` tokens except each shard's tail, and each doc's slices
+    * concatenate back to the doc (PackingSpec-proven; q72 oracle-checked).
+    *
+    * Scale: the explode emits sum(n_seqs_spanned) rows — corpus tokens /
+    * budget + one per doc, i.e. linear in the corpus with no skew beyond
+    * the shard layout itself. The per-sequence aggregate groups by
+    * (shard, seq_id), a finer key than the shard partitioning already in
+    * place, so the only new exchange is the one hash shuffle onto
+    * sequences. All expressions are codegen'd built-ins.
+    */
+  def packWrite(packed: DataFrame, idCol: String, tokenCol: String,
+                budget: Long): DataFrame = {
+    require(budget >= 1, "budget must be positive")
+    val b = lit(budget)
+    val slices = packed
+      // generators must be top-level select items: explode the span index
+      // first, then shift by the doc's first sequence
+      .select(col("shard"), col(idCol), col(tokenCol), col("start_tok"),
+        col("seq_id").as("__seq0"),
+        explode(sequence(lit(0L), col("n_seqs_spanned") - 1)).as("__s"))
+      .withColumn("seq_id", col("__seq0") + col("__s"))
+      // slice of THIS doc landing in THIS sequence, in stream coordinates:
+      // [max(start_tok, seq_id·budget), min(start_tok + n, (seq_id+1)·budget))
+      .withColumn("__from", greatest(col("start_tok"), col("seq_id") * b))
+      .withColumn("__until",
+        least(col("start_tok") + col(tokenCol), (col("seq_id") + 1) * b))
+      .select(col("shard"), col("seq_id"), col(idCol),
+        (col("__from") - col("start_tok")).as("doc_offset"),
+        (col("__until") - col("__from")).as("slice_len"),
+        (col("__from") - col("seq_id") * b).as("seq_offset"),
+        col("__from").as("__order"))
+    // one row per packed sequence; slice order inside the sequence is the
+    // stream order (__order is unique per non-empty slice; (order, id)
+    // breaks the tie among zero-length slices deterministically)
+    slices.groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_slices"),
+        sum(col("slice_len")).as("seq_tokens"),
+        min(struct(col("__order"), col(idCol))).getField(idCol).as("first_doc"),
+        max(struct(col("__order"), col(idCol))).getField(idCol).as("last_doc"))
   }
 }

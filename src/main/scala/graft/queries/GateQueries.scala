@@ -1,14 +1,17 @@
 package graft.queries
 
 import graft.functions.TextFns
-import graft.operators.Sketches
+import graft.operators.{Multimodal, Packing, Similarity, Sketches}
 import graft.sources.Tables
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-4 surface: driver-gated audits of the approximate scale paths
-  * plus the remaining reference maintenance shapes.
+/** Round-4/5 surface: driver-gated audits of the approximate scale paths,
+  * the remaining reference maintenance shapes, and (round 5) the
+  * last ungated subsystems — packed-sequence materialization (q72), the
+  * image-decode failure path (q73), the streaming near-dup sink (q74),
+  * and the trained IVF path (q75).
   *
   * The sketch operators ([[graft.operators.Sketches]]) are the documented
   * 100 TB substitutes for exact aggregations whose per-group state is
@@ -143,10 +146,116 @@ object GateQueries {
       // and span — what a packed-example shard writer materializes.
       val docs = Tables(s, d).documents
         .select(col("doc_id"), size(TextFns.words(col("text"))).cast("long").as("n_tokens"))
-      val sharded = graft.operators.Packing.shardAssign(docs, "doc_id", nShards = 8)
-      graft.operators.Packing.packSequences(sharded, "n_tokens", budget = 1024L)
+      val sharded = Packing.shardAssign(docs, "doc_id", nShards = 8)
+      Packing.packSequences(sharded, "n_tokens", budget = 1024L)
         .select(col("doc_id"), col("shard"), col("n_tokens"),
           col("start_tok"), col("seq_id"), col("n_seqs_spanned"))
+    },
+
+    "q72_pack_write" -> { (s, d) =>
+      // The real last mile past q71: materialize one row PER PACKED
+      // SEQUENCE — slice count, token count, first/last doc in stream
+      // order — from the exploded per-(doc, sequence) slices a shard
+      // writer serializes. Oracle re-derives the whole layout (shard →
+      // offsets → cuts → slices) and re-aggregates; every sequence must
+      // carry exactly 1024 tokens except each shard's tail.
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), size(TextFns.words(col("text"))).cast("long").as("n_tokens"))
+      val sharded = Packing.shardAssign(docs, "doc_id", nShards = 8)
+      val packed = Packing.packSequences(sharded, "n_tokens", budget = 1024L)
+      Packing.packWrite(packed, "doc_id", "n_tokens", budget = 1024L)
+        .select(col("shard"), col("seq_id"), col("n_slices"), col("seq_tokens"),
+          col("first_doc"), col("last_doc"))
+    },
+
+    "q73_image_quarantine" -> { (s, d) =>
+      // The failure path of q68, driver-gated: 1 in 20 payloads is
+      // deliberately corrupt — ids ≡ 0 (mod 40) carry garbage no codec
+      // claims, ids ≡ 20 (mod 40) a payload TRUNCATED past its magic
+      // bytes (a reader claims it, then hits EOF reading the header) —
+      // and exactly those rows must come back quarantined
+      // (decoded=false, no dimensions) instead of failing the stage.
+      import s.implicits._
+      val ids = Tables(s, d).documents.select(col("doc_id")).as[Long]
+      val payloads = ids.mapPartitions { rows =>
+        rows.map { id =>
+          val fmt = if (id % 2 == 0) "png" else "bmp"
+          val good = Multimodal.encodeTestImage(
+            id, width = 8 + (id % 64).toInt, height = 4 + (id % 32).toInt, fmt)
+          val bytes =
+            if (id % 40 == 0) s"not-an-image-$id".getBytes("UTF-8")
+            else if (id % 40 == 20) good.take(16)
+            else good
+          (id, bytes)
+        }
+      }.toDF("doc_id", "payload")
+      Multimodal.decodeImages(s, payloads).toDF()
+        .select(col("doc_id"),
+          when(col("decoded"), col("format")).otherwise(lit("unknown")).as("format"),
+          when(col("decoded"), col("width")).as("width"),
+          when(col("decoded"), col("height")).as("height"),
+          col("decoded"))
+    },
+
+    "q74_stream_neardup" -> { (s, d) =>
+      // First driver-gated STREAMING row: the corpus arrives as three
+      // deterministic micro-batches (doc_id mod 3) through a MemoryStream
+      // into nearDupSink; each batch is deduped only against the
+      // accumulated store (per-batch cost ∝ batch + candidates, never
+      // corpus). The returned frame is the sink's final pairs store. The
+      // oracle is the BATCH pipeline (q21's SQL): a pair lands exactly
+      // once, at the batch of its later member — so the accumulated store
+      // must equal the batch result, and detected_batch must equal
+      // greatest(id_a mod 3, id_b mod 3). The driver-side collect feeds
+      // the in-memory source; production sources (Kafka, files) stream
+      // partition-wise.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val dir = java.nio.file.Files.createTempDirectory("graft-q74").toString
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val stream = input.toDF().toDF("doc_id", "text")
+      val q = graft.streaming.StreamOps.nearDupSink(stream, "doc_id", "text",
+        shingleN = 3, numSeeds = 12, rowsPerBand = 3,
+        storeDir = s"$dir/store", checkpointDir = s"$dir/ckpt")
+      try {
+        (0 until 3).foreach { b =>
+          input.addData(docs.filter(_._1 % 3 == b).toSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.read.parquet(s"$dir/store/pairs")
+        .select(col("id_a"), col("id_b"), col("size_a"), col("size_b"),
+          col("intersection"), col("jaccard"),
+          col("batch_id").cast("bigint").as("detected_batch"))
+    },
+
+    "q75_ivf_recall" -> { (s, d) =>
+      // Gate the TRAINED IVF path (q41 gates seed centroids only):
+      // kMeansCentroids → ivfTopKWith, audited q67-style against q24's
+      // brute-force truth. k-means is deterministic by construction
+      // (rounded-cosine assignment, id tiebreaks, element-wise means), so
+      // recall@10 is a stable number and its lower-bound flag is
+      // hash-checkable; exact_top1 is the DuckDB-recomputable exact
+      // value. A regression in training or probe routing flips a flag.
+      val emb = Tables(s, d).embeddings
+      val queries = emb.where(col("vec_id") < 10)
+      val exact = Similarity.cosineTopK(queries, emb, "vec_id", "embedding", 10)
+      val cents = Similarity.kMeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val ivf = Similarity.ivfTopKWith(queries, emb, "vec_id", "embedding",
+        k = 10, nProbe = 3, centroids = cents)
+      val overlap = exact.as("e").join(ivf.as("i"),
+          col("e.query_id") === col("i.query_id") &&
+            col("e.neighbor_id") === col("i.neighbor_id"), "left")
+        .groupBy(col("e.query_id").as("query_id"))
+        .agg(count(col("i.neighbor_id")).as("__hits"))
+      val top1 = exact.where(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id").as("exact_top1"))
+      top1.join(overlap, Seq("query_id"))
+        .select(col("query_id"), col("exact_top1"),
+          (col("__hits") >= 5).as("recall_ok"))
     }
   )
 
@@ -209,6 +318,96 @@ object GateQueries {
         |  CAST(CASE WHEN n_tokens = 0 THEN 1
         |    ELSE (start_tok + n_tokens - 1) // 1024 - start_tok // 1024 + 1 END AS BIGINT)
         |    AS n_seqs_spanned
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    "q72_pack_write" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#shard'),1,8))::BIGINT AS h
+        |  FROM documents),
+        |sh AS (SELECT doc_id, n_tokens, h, CAST(h % 8 AS INT) AS shard FROM d),
+        |o AS (SELECT doc_id, n_tokens, shard,
+        |    row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS pos
+        |  FROM sh),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY pos) - n_tokens AS BIGINT)
+        |      AS start_tok
+        |  FROM o),
+        |p AS (SELECT doc_id, shard, n_tokens, start_tok,
+        |    start_tok // 1024 AS seq_id,
+        |    CASE WHEN n_tokens = 0 THEN 1
+        |      ELSE (start_tok + n_tokens - 1) // 1024 - start_tok // 1024 + 1 END AS span
+        |  FROM c),
+        |s AS (SELECT doc_id, shard, start_tok, n_tokens,
+        |    seq_id + unnest(range(0, span)) AS seq_id2 FROM p),
+        |sl AS (SELECT shard, seq_id2 AS seq_id, doc_id,
+        |    greatest(start_tok, seq_id2 * 1024) AS frm,
+        |    least(start_tok + n_tokens, (seq_id2 + 1) * 1024) AS til
+        |  FROM s),
+        |agg AS (SELECT shard, seq_id, count(*) AS n_slices,
+        |    CAST(sum(til - frm) AS BIGINT) AS seq_tokens
+        |  FROM sl GROUP BY 1, 2),
+        |fd AS (SELECT shard, seq_id, doc_id AS first_doc FROM (
+        |    SELECT shard, seq_id, doc_id,
+        |      row_number() OVER (PARTITION BY shard, seq_id ORDER BY frm, doc_id) AS rn
+        |    FROM sl) WHERE rn = 1),
+        |ld AS (SELECT shard, seq_id, doc_id AS last_doc FROM (
+        |    SELECT shard, seq_id, doc_id,
+        |      row_number() OVER (PARTITION BY shard, seq_id ORDER BY frm DESC, doc_id DESC) AS rn
+        |    FROM sl) WHERE rn = 1)
+        |SELECT a.shard, CAST(a.seq_id AS BIGINT) AS seq_id, a.n_slices, a.seq_tokens,
+        |  fd.first_doc, ld.last_doc
+        |FROM agg a
+        |JOIN fd ON a.shard = fd.shard AND a.seq_id = fd.seq_id
+        |JOIN ld ON a.shard = ld.shard AND a.seq_id = ld.seq_id""".stripMargin,
+
+    "q73_image_quarantine" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 20 = 0 THEN 'unknown'
+        |       WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |  CASE WHEN doc_id % 20 = 0 THEN CAST(NULL AS INT)
+        |       ELSE CAST(8 + doc_id % 64 AS INT) END AS width,
+        |  CASE WHEN doc_id % 20 = 0 THEN CAST(NULL AS INT)
+        |       ELSE CAST(4 + doc_id % 32 AS INT) END AS height,
+        |  (doc_id % 20 <> 0) AS decoded
+        |FROM documents""".stripMargin,
+
+    "q74_stream_neardup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3
+        |        THEN list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])
+        |        ELSE [] END) AS shingle FROM toks),
+        |ab AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,8))::BIGINT AS a,
+        |        ('0x'||substr(md5(shingle),9,8))::BIGINT AS b FROM sh),
+        |mh AS (SELECT doc_id, CAST(s AS INT) AS seed,
+        |        min((a + s*(2*b+1)) % 4294967296) AS minh
+        |       FROM ab, (SELECT unnest(range(0,12)) AS s) GROUP BY 1,2),
+        |banded AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+        |        string_agg(CAST(minh AS VARCHAR), '_' ORDER BY seed) AS band_key
+        |       FROM mh GROUP BY 1,2),
+        |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |       FROM banded a JOIN banded b
+        |         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT c.id_a, c.id_b, count(sb.shingle) AS intersection
+        |       FROM cands c
+        |       JOIN sh sa ON c.id_a = sa.doc_id
+        |       LEFT JOIN sh sb ON c.id_b = sb.doc_id AND sa.shingle = sb.shingle
+        |       GROUP BY 1,2)
+        |SELECT i.id_a, i.id_b, za.sz AS size_a, zb.sz AS size_b, i.intersection,
+        |  floor((i.intersection * 1.0 / (za.sz + zb.sz - i.intersection)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard,
+        |  greatest(i.id_a % 3, i.id_b % 3) AS detected_batch
+        |FROM inter i JOIN sizes za ON i.id_a = za.doc_id JOIN sizes zb ON i.id_b = zb.doc_id""".stripMargin,
+
+    "q75_ivf_recall" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |scored AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+        |    floor(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+        |r AS (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id AS exact_top1, TRUE AS recall_ok
+        |FROM r WHERE rank = 1""".stripMargin
   )
 }

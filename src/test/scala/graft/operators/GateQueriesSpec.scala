@@ -37,4 +37,28 @@ class GateQueriesSpec extends SparkSpec {
     val out = Multimodal.decodeImages(spark, junk).collect()
     assert(out.length == 1 && !out.head.decoded && out.head.format == "unknown")
   }
+
+  test("decodeImages quarantines a payload truncated past its magic bytes") {
+    import spark.implicits._
+    // a PNG prefix long enough that the PNG reader CLAIMS the payload, but
+    // short of the IHDR dimensions — getWidth hits EOF, which must land in
+    // the quarantine row, not fail the stage
+    val png = Multimodal.encodeTestImage(7L, 32, 16, "png")
+    val rows = Seq((1L, png.take(16)), (2L, png)).toDF("doc_id", "payload")
+    val out = Multimodal.decodeImages(spark, rows).collect().sortBy(_.doc_id)
+    assert(!out(0).decoded && out(0).format == "unknown")
+    assert(out(1).decoded && out(1).format == "png" &&
+      out(1).width == 32 && out(1).height == 16)
+  }
+
+  test("q73: exactly the corrupt payloads (both corruption modes) are quarantined") {
+    val rows = GateQueries.queries("q73_image_quarantine")(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 20 == 0) assert(!r.getBoolean(4) && r.getString(1) == "unknown" &&
+        r.isNullAt(2) && r.isNullAt(3), s"doc $id should be quarantined")
+      else assert(r.getBoolean(4), s"doc $id should decode")
+    }
+  }
 }

@@ -45,6 +45,77 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("packSequences cuts are bit-exact past 2^53 (integer div, not double)") {
+    // stream offset 2^53 + 1 is NOT representable as a double: the old
+    // `(start_tok / budget).cast("long")` rounded it to 2^53 first, and
+    // with budget 3 that misplaces the cut by one sequence (2^53 ≡ 2,
+    // 2^53+1 ≡ 0 mod 3). Integer `div` must agree with BigInt arithmetic.
+    val big = (1L << 53) + 1L
+    val sharded = Seq((0, 0, big), (0, 1, 10L), (0, 2, 0L))
+      .toDF("shard", "pos", "n_tokens")
+    val rows = Packing.packSequences(sharded, "n_tokens", budget = 3L)
+      .select("pos", "n_tokens", "start_tok", "seq_id", "n_seqs_spanned")
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    rows.foreach { case (_, n, start, seq, span) =>
+      val exactSeq = (BigInt(start) / 3).toLong
+      assert(seq == exactSeq, s"seq_id $seq != exact $exactSeq at offset $start")
+      val exactSpan =
+        if (n == 0) 1L else ((BigInt(start) + n - 1) / 3 - BigInt(start) / 3 + 1).toLong
+      assert(span == exactSpan, s"span $span != exact $exactSpan")
+    }
+    assert(rows.map(_._3).toSeq == Seq(0L, big, big + 10L))
+  }
+
+  test("packWrite materializes full sequences: budget tokens everywhere but the tail") {
+    val docs = (1L to 300L).map(i => (i, (i % 11) * 2)).toDF("doc_id", "n_tokens")
+    val sharded = Packing.shardAssign(docs, "doc_id", nShards = 3)
+    val packed = Packing.packSequences(sharded, "n_tokens", budget = 16L)
+    val seqs = Packing.packWrite(packed, "doc_id", "n_tokens", budget = 16L)
+      .select("shard", "seq_id", "n_slices", "seq_tokens")
+      .as[(Int, Long, Long, Long)].collect()
+    // per shard: seq_ids are dense 0..max, every sequence carries exactly
+    // the budget except the single tail, and totals telescope to the shard
+    val tokensByShard = packed.groupBy("shard").agg(sum("n_tokens").as("t"))
+      .as[(Int, Long)].collect().toMap
+    seqs.groupBy(_._1).foreach { case (shard, rows) =>
+      val ids = rows.map(_._2).sorted
+      assert(ids.toSeq == (0L until ids.length))
+      val tail = rows.maxBy(_._2)
+      rows.filterNot(_ == tail).foreach { case (_, sid, _, tok) =>
+        assert(tok == 16L, s"non-tail sequence $sid in shard $shard has $tok tokens")
+      }
+      assert(rows.map(_._4).sum == tokensByShard(shard))
+    }
+  }
+
+  test("packWrite slices concatenate back to each doc") {
+    val docs = (1L to 120L).map(i => (i, i % 37)).toDF("doc_id", "n_tokens")
+    val sharded = Packing.shardAssign(docs, "doc_id", nShards = 2)
+    val packed = Packing.packSequences(sharded, "n_tokens", budget = 10L)
+    // re-derive the slice explode exactly as packWrite does, but keep the
+    // per-doc view: slice lengths must sum to n_tokens, offsets must be
+    // contiguous from 0
+    val slices = packed
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        col("seq_id").as("__seq0"),
+        explode(sequence(lit(0L), col("n_seqs_spanned") - 1)).as("__s"))
+      .withColumn("seq", col("__seq0") + col("__s"))
+      .withColumn("frm", greatest(col("start_tok"), col("seq") * 10))
+      .withColumn("til", least(col("start_tok") + col("n_tokens"), (col("seq") + 1) * 10))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("frm") - col("start_tok")).as("off"), (col("til") - col("frm")).as("len"))
+      .as[(Long, Long, Long, Long)].collect()
+    slices.groupBy(_._1).foreach { case (doc, rows) =>
+      val n = rows.head._2
+      assert(rows.map(_._4).sum == n, s"doc $doc slices don't sum to $n")
+      val ordered = rows.sortBy(_._3)
+      ordered.foldLeft(0L) { case (expected, (_, _, off, len)) =>
+        assert(off == expected, s"doc $doc slice gap at offset $off")
+        off + len
+      }
+    }
+  }
+
   test("packSequences: zero-token docs occupy one sequence and shift nothing") {
     val docs = Seq((1L, 5L), (2L, 0L), (3L, 7L)).toDF("doc_id", "n_tokens")
     val sharded = Packing.shardAssign(docs, "doc_id", nShards = 1)
