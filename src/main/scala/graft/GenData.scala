@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up data generator: writes an `sf1`-style directory (default 10×
+  * the sf0.1 input) with the same schemas, for scale evidence beyond the
+  * driver-provided testdata (SURVEY §4/§5). NOT driver data — a local
+  * probe fixture; the output lives under the repo's gitignored tmp/.
+  *
+  * Model: each scaling table is replicated `reps` times with a per-replica
+  * key offset (1e6 · r on every key/foreign-key column, far above any
+  * sf0.1 key), so referential integrity holds inside each replica and key
+  * spaces never collide. Fixed-cardinality dims (region, nation) are
+  * copied verbatim — the same broadcast-stays-broadcast contract as
+  * production (SURVEY §4). Two remaps keep the similarity structure
+  * honest instead of degenerate:
+  *
+  *  - `documents.text`: replicas r > 0 prefix every word with `x{r}`, so
+  *    replica vocabularies are DISJOINT — near-dup structure (planted
+  *    dups, shingle collisions, band buckets) replicates per replica and
+  *    output grows linearly, instead of every doc colliding with its 9
+  *    copies (candidate blow-up that measures the fixture, not the
+  *    operator). Word/shingle COUNTS are preserved exactly.
+  *  - `embeddings`: labels shift by 10·r (block sizes stay ~200 — bounded
+  *    blocks, the operator's documented contract) and replica vectors get
+  *    a small deterministic element-wise perturbation so the corpus is
+  *    not 10 exact copies of itself.
+  *
+  * Every remap is a pure function of stored values, so the DuckDB oracle
+  * recomputes the same results from the same parquet — the correctness
+  * gate runs unchanged at sf1.
+  */
+object GenData {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/root/repo/tmp/sf1")
+    val reps = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val rDim = spark.range(reps).select(col("id").as("__r"))
+    def replicate(t: DataFrame): DataFrame = t.crossJoin(broadcast(rDim))
+    val off = col("__r") * 1000000L
+    def write(name: String, df: DataFrame): Unit = {
+      df.drop("__r").write.mode("overwrite").parquet(s"$out/$name.parquet")
+      System.err.println(s"[gendata] wrote $name")
+    }
+    def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+
+    // fixed-cardinality dims: verbatim
+    write("region", read("region"))
+    write("nation", read("nation"))
+
+    write("customer", replicate(read("customer"))
+      .withColumn("c_custkey", col("c_custkey") + off))
+    write("supplier", replicate(read("supplier"))
+      .withColumn("s_suppkey", col("s_suppkey") + off))
+    write("part", replicate(read("part"))
+      .withColumn("p_partkey", col("p_partkey") + off))
+    write("orders", replicate(read("orders"))
+      .withColumn("o_orderkey", col("o_orderkey") + off)
+      .withColumn("o_custkey", col("o_custkey") + off))
+    write("lineitem", replicate(read("lineitem"))
+      .withColumn("l_orderkey", col("l_orderkey") + off)
+      .withColumn("l_partkey", col("l_partkey") + off)
+      .withColumn("l_suppkey", col("l_suppkey") + off))
+
+    // events: source files store TIMESTAMP(NANOS); apply the same
+    // nanos→micros truncation Tables.events applies and write a plain
+    // microsecond TIMESTAMP (Tables.events passes it through unchanged)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    write("events", replicate(read("events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      .withColumn("event_id", col("event_id") + off)
+      .withColumn("user_id", col("user_id") + off))
+
+    write("documents", replicate(read("documents"))
+      .withColumn("doc_id", col("doc_id") + off)
+      .withColumn("text",
+        when(col("__r") === 0, col("text")).otherwise(
+          array_join(transform(split(col("text"), " "),
+            w => concat(concat(lit("x"), col("__r")), w)), " "))))
+
+    write("embeddings", replicate(read("embeddings"))
+      .withColumn("vec_id", col("vec_id") + off)
+      .withColumn("label", (col("label") + col("__r") * 10).cast("int"))
+      .withColumn("embedding",
+        transform(col("embedding"), (x, j) =>
+          (x + when(col("__r") === 0, lit(0.0))
+            .otherwise(((col("__r") * 31 + j) % 7 - 3) * lit(1e-3)))
+            .cast("float"))))
+
+    spark.stop()
+  }
+}

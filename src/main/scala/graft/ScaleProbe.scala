@@ -83,7 +83,47 @@ object ScaleProbe {
         graft.operators.Decontaminate.ngramOverlap(
           dd, docs.limit(50), "doc_id", "text", n = 3, minRatio = 0.1)
       }
+      // training-shard layout at PRODUCTION shard counts (1024, not the
+      // gate's 8): shard assignment + packing + per-sequence
+      // materialization must stay ~linear in the corpus — the within-shard
+      // window parallelizes across shards, so more shards = more
+      // parallelism, never less (SURVEY §4)
+      time(s"pack_1024shards_$scale") {
+        val toks = dd.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        val packed = graft.operators.Packing.packSequences(
+          graft.operators.Packing.shardAssign(toks, "doc_id", nShards = 1024),
+          "n_tokens", budget = 1024L)
+        graft.operators.Packing.packWrite(packed, "doc_id", "n_tokens", budget = 1024L)
+      }
       dd.unpersist()
+    }
+
+    // frequency-aware salted join on GENUINELY skewed synthetic data: 90%
+    // of fact rows hit one key, the rest spread over the key space. The
+    // claim (SURVEY §4): saltedJoinHot's runtime tracks the plain join's
+    // (same output row set) while spreading the hot key over numSalts
+    // reducers, and scales ~linearly 1×→10× — dim replication stays
+    // cold + numSalts × hot regardless of fact volume.
+    def skewed(n: Long): DataFrame =
+      spark.range(n).select(
+        when(col("id") % 10 < 9, lit(0L)).otherwise(pmod(col("id"), lit(10000L)))
+          .as("k"),
+        (col("id") % 97).as("v"))
+    val dim = spark.range(10000).select(col("id").as("dk"), (col("id") * 7).as("payload"))
+      .cache()
+    dim.count()
+    Seq(("1x", 1000000L), ("10x", 10000000L)).foreach { case (scale, n) =>
+      val fact = skewed(n).cache(); fact.count()
+      time(s"plain_join_skew_$scale") {
+        fact.join(dim, col("k") === col("dk")).select(col("k"), col("payload"))
+      }
+      time(s"salted_hot_join_$scale") {
+        graft.operators.Skew.saltedJoinHot(fact, dim, "k", "dk",
+          numSalts = 8, hotThreshold = n / 100)
+          .select(col("k"), col("payload"))
+      }
+      fact.unpersist()
     }
     spark.stop()
   }

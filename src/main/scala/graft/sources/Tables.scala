@@ -18,13 +18,18 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = table("part")
   def orders: DataFrame = table("orders")
   def lineitem: DataFrame = table("lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects by default: read nanos as long and truncate to microseconds —
-    * the exact conversion other µs-native engines (DuckDB) apply.
+  /** The driver's events.parquet stores TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects by default: read nanos as long and truncate to
+    * microseconds — the exact conversion other µs-native engines (DuckDB)
+    * apply. Files already carrying a microsecond TIMESTAMP (the GenData
+    * scale fixtures) pass through unchanged.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val t = table("events")
+    if (t.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      t.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else t
   }
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")

@@ -10,6 +10,7 @@ parquet tables, then compares: row count, column names, sorted values
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -76,7 +77,12 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata is one file per table; GenData scale fixtures are
+        # Spark-written DIRECTORIES of part files — glob those for DuckDB
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     raw = json.load(open(f"{out_dir}/oracle_sql.json"))
     # Verify emits each oracle under BOTH "name" and "name.parquet" keys
     # (the driver looks up by output filename); collapse to bare names.
