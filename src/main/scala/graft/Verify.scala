@@ -23,7 +23,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce folds the ENTIRE plan
+      // into the single output task (no exchange), so a compute-heavy
+      // query runs on one core — at sf1 q60's 450M-pair levenshtein took
+      // >10 min single-threaded. repartition adds one tiny exchange and
+      // keeps the computation at the session's parallelism; only the
+      // parquet encode is single-task (the driver compare wants one file).
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
