@@ -168,9 +168,12 @@ object ExtendedQueries {
 
     "q60_fuzzy_match" -> { (s, d) =>
       // Blocked entity resolution: customer names within a nation block,
-      // Levenshtein <= 2. The threshold form of levenshtein early-exits
-      // past the bound; pairs only form inside the block.
-      Fuzzy.blockedLevenshtein(Tables(s, d).customer, "c_custkey", "c_name",
+      // Levenshtein <= 2 — cost-dispatched: nation blocks GROW with the
+      // table, so the block square that wins at 600 rows/block (sf0.1)
+      // is a 450M-pair, 108 s loop at sf1's 6000; past the crossover the
+      // symmetric-deletion-neighborhood join (2.7 s at sf1) takes over.
+      // Identical output either way (property-proven); same oracle.
+      Fuzzy.adaptiveLevenshtein(Tables(s, d).customer, "c_custkey", "c_name",
         "c_nationkey", maxDist = 2)
     },
 

@@ -81,6 +81,34 @@ class FuzzySpec extends SparkSpec {
       .select($"id_a", $"id_b", $"distance").as[(Long, Long, Int)].collect().toSet
     assert(out == Set((1L, 2L, 1)))
   }
+
+  test("symDeleteLevenshtein finds insert/delete/substitute pairs and dup groups") {
+    val df = Seq(
+      (1L, "alpha", "x"), (2L, "alphb", "x"),   // substitution, distance 1
+      (3L, "alpha", "x"),                        // exact duplicate of 1
+      (4L, "alphaZ", "x"), (5L, "alph", "x"),    // insertion / deletion vs alpha
+      (6L, "alpha", "y"),                        // other block
+      (7L, "zzzzz", "x"),                        // far from everything
+      (8L, "ab", "x"), (9L, "", "x")             // short strings, distance 2
+    ).toDF("id", "name", "grp")
+    val fast = Fuzzy.symDeleteLevenshtein(df, "id", "name", "grp", maxDist = 2)
+      .select($"id_a", $"id_b", $"distance").as[(Long, Long, Int)].collect().toSet
+    val brute = Fuzzy.blockedLevenshtein(df, "id", "name", "grp", maxDist = 2)
+      .select($"id_a", $"id_b", $"distance").as[(Long, Long, Int)].collect().toSet
+    assert(fast == brute)
+    assert(fast.contains((1L, 3L, 0)) && fast.contains((1L, 2L, 1)) &&
+      fast.contains((8L, 9L, 2)))
+  }
+
+  test("adaptiveLevenshtein picks either path without changing the pair set") {
+    val df = (1L to 40L).map(i => (i, s"name${i % 7}", "b")).toDF("id", "name", "grp")
+    val cols = Seq($"id_a", $"id_b", $"distance")
+    val viaSquare = Fuzzy.adaptiveLevenshtein(df, "id", "name", "grp", 2,
+      squareMaxBlock = 1000L).select(cols: _*).as[(Long, Long, Int)].collect().toSet
+    val viaSymDel = Fuzzy.adaptiveLevenshtein(df, "id", "name", "grp", 2,
+      squareMaxBlock = 0L).select(cols: _*).as[(Long, Long, Int)].collect().toSet
+    assert(viaSquare == viaSymDel && viaSquare.nonEmpty)
+  }
 }
 
 class MultimodalChunkSpec extends SparkSpec {

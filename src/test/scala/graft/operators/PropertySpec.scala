@@ -204,6 +204,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: symDeleteLevenshtein = blockedLevenshtein on random near-dup strings") {
+    // random short strings over a tiny alphabet with planted mutations and
+    // exact duplicates: edit-distance-<=2 pairs are common, as are the
+    // duplicate groups the pre-grouping path must expand correctly
+    val strGen: Gen[List[(Long, Int, String)]] = for {
+      n <- Gen.choose(0, 30)
+      blocks <- Gen.listOfN(n, Gen.choose(0, 1))
+      bases <- Gen.listOfN(n, Gen.choose(0, 3))
+      muts <- Gen.listOfN(n, Gen.choose(0, 3))
+      pos <- Gen.listOfN(n, Gen.choose(0, 5))
+    } yield blocks.lazyZip(bases).lazyZip(muts).lazyZip(pos).toList.zipWithIndex.map {
+      case ((b, base, m, p), i) =>
+        val s0 = Seq("abcabc", "abcdef", "aabbcc", "xyzxyz")(base)
+        val s = m match {
+          case 0 => s0                                      // exact duplicate
+          case 1 => s0.updated(p % s0.length, 'q')          // 1 substitution
+          case 2 => s0.take(p % s0.length) + s0.drop(p % s0.length + 1) // 1 deletion
+          case _ => s0.take(p % s0.length) + "Z" + s0.drop(p % s0.length) // 1 insertion
+        }
+        (i.toLong, b, s)
+    }
+    (1 to 12).foreach { seed =>
+      val rows = strGen(Gen.Parameters.default, Seed(seed.toLong)).getOrElse(Nil)
+      val df = rows.toDF("id", "block", "s")
+      val cols = Seq("block", "id_a", "id_b", "str_a", "str_b", "distance")
+      val brute = Fuzzy.blockedLevenshtein(df, "id", "s", "block", maxDist = 2)
+        .select(cols.map(org.apache.spark.sql.functions.col): _*)
+      val fast = Fuzzy.symDeleteLevenshtein(df, "id", "s", "block", maxDist = 2)
+        .select(cols.map(org.apache.spark.sql.functions.col): _*)
+      assert(fast.except(brute).isEmpty && brute.except(fast).isEmpty,
+        s"seed $seed: symmetric-delete result differs from the block square")
+    }
+  }
+
   test("property: packSequences = sequential fold over the shard stream") {
     (1 to 8).foreach { i =>
       val seed = Seed(200L + i)
