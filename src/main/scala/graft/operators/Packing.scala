@@ -75,9 +75,11 @@ object Packing {
     * Scale: the explode emits sum(n_seqs_spanned) rows — corpus tokens /
     * budget + one per doc, i.e. linear in the corpus with no skew beyond
     * the shard layout itself. The per-sequence aggregate groups by
-    * (shard, seq_id), a finer key than the shard partitioning already in
-    * place, so the only new exchange is the one hash shuffle onto
-    * sequences. All expressions are codegen'd built-ins.
+    * (shard, seq_id), which EXTENDS the shard partitioning already in
+    * place — hashpartitioning(shard) satisfies the aggregate's clustered
+    * distribution, so no new exchange at all: the whole
+    * shardAssign → packSequences → packWrite pipeline is ONE shuffle
+    * (PlanSpec-pinned). All expressions are codegen'd built-ins.
     */
   def packWrite(packed: DataFrame, idCol: String, tokenCol: String,
                 budget: Long): DataFrame = {

@@ -92,10 +92,37 @@ class PlanSpec extends SparkSpec {
   test("q60 fuzzy join repartitions with an EXPLICIT count (exempt from AQE coalescing)") {
     // the O(block²) levenshtein loop is compute-bound on tiny bytes; if
     // this becomes a plain repartition(col) AQE folds it back to one task
-    // (SURVEY §4: measured 18.8 s single-task vs 1.4 s spread)
+    // (SURVEY §4: measured 18.8 s single-task vs 1.4 s spread).
+    // adaptiveLevenshtein picks the block square at sf0.001's tiny blocks,
+    // so the square's repartition contract must still hold through the
+    // dispatcher.
     val plan = graft.queries.ExtendedQueries.queries("q60_fuzzy_match")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("REPARTITION_BY_NUM"),
       s"fuzzy join lost its explicit-count repartition:\n$plan")
+  }
+
+  test("q72 packed-sequence layout pays exactly ONE shuffle end to end") {
+    // shardAssign's window, packSequences' running sum, AND packWrite's
+    // per-(shard, seq_id) aggregate all run on the single
+    // hashpartitioning(shard) exchange: grouping keys that extend the
+    // partitioning key satisfy its clustered distribution, so Catalyst
+    // plans a sort aggregate in place of a second shuffle. A second
+    // exchange means a stage stopped reusing the shard partitioning.
+    val plan = graft.queries.GateQueries.queries("q72_pack_write")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 shuffle, found $exchanges:\n$plan")
+  }
+
+  test("symDeleteLevenshtein candidates form by equi-join, never a pair scan") {
+    // the whole point of the deletion-neighborhood path is that no plan
+    // node ever enumerates a block square: candidates must come from a
+    // hash/merge join on (block, variant) keys
+    val df = (1L to 50L).map(i => (i, s"name$i", i % 3)).toDF("id", "s", "b")
+    val plan = graft.operators.Fuzzy.symDeleteLevenshtein(df, "id", "s", "b", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"deletion-neighborhood path degenerated to a pair scan:\n$plan")
   }
 }
