@@ -298,10 +298,13 @@ object Similarity {
     * bit b) is positive. Expressed with a bit-position explode so the whole
     * computation is two codegen'd aggregations.
     *
-    * Word hash: md5-based for nBits <= 32 (engine-portable — the DuckDB
-    * oracle reproduces it exactly) and xxhash64 for nBits > 32 (full
-    * 64-bit entropy; md5Long caps at 15 hex = 60 bits and would bias the
-    * top nibble). Bit extraction uses `& 1` (mask, not `% 2` — the sign
+    * Word hash: md5-based for nBits <= 60 (engine-portable — the DuckDB
+    * oracle reproduces it exactly; 15 hex chars = 60 uniform bits is
+    * md5Long's signed-long ceiling, and ceil(nBits/4) hex chars cover any
+    * smaller width exactly) and xxhash64 for 61..64 (full 64-bit entropy).
+    * 60 bits is therefore the widest ORACLE-CHECKABLE signature — q76
+    * gates it; its 15-bit pigeonhole chunks are within 2× of the 64-bit
+    * path's bucket sparsity. Bit extraction uses `& 1` (mask, not `% 2` — the sign
     * bit of a negative xxhash64 value arithmetic-shifts to -1, and -1 % 2
     * = -1 would misread every set high bit). Assembly uses a bitwise-OR
     * aggregate, which cannot overflow: shiftleft(1L, 63) is Long.MinValue
@@ -312,7 +315,7 @@ object Similarity {
   def simHash(docs: DataFrame, idCol: String, textCol: String, nBits: Int): DataFrame = {
     require(nBits >= 1 && nBits <= 64, "simHash supports 1..64 bits")
     val wh: Column =
-      if (nBits <= 32) HashFns.md5Long(col("word"), (nBits + 3) / 4)
+      if (nBits <= 60) HashFns.md5Long(col("word"), (nBits + 3) / 4)
       else xxhash64(col("word"))
     val wordHash = docs
       .select(col(idCol).as("id"), explode(array_distinct(TextFns.words(col(textCol)))).as("word"))

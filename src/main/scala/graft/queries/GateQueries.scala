@@ -260,6 +260,19 @@ object GateQueries {
       top1.join(overlap, Seq("query_id"))
         .select(col("query_id"), col("exact_top1"),
           (col("__hits") >= 5).as("recall_ok"))
+    },
+
+    "q76_simhash_wide" -> { (s, d) =>
+      // The scale-shaped simhash path, driver-gated: q33's 16-bit
+      // signature exists only so DuckDB can replay it, and its 16
+      // pigeonhole buckets per chunk DEGENERATE at scale (69M pair rows
+      // at sf1 — SURVEY §5). 60 bits is the widest signature md5 can
+      // carry in a signed long, so this is the widest ORACLE-CHECKABLE
+      // form: 15-bit chunks (32 768 buckets each) keep candidates sparse
+      // like the 64-bit production default, and the same brute-force
+      // DuckDB oracle stays cheap because the OUTPUT is small.
+      Similarity.simHashNearDups(Tables(s, d).documentsSpread, "doc_id", "text",
+        nBits = 60, maxHamming = 3)
     }
   )
 
@@ -403,6 +416,19 @@ object GateQueries {
         |  floor((i.intersection * 1.0 / (za.sz + zb.sz - i.intersection)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard,
         |  greatest(i.id_a % 3, i.id_b % 3) AS detected_batch
         |FROM inter i JOIN sizes za ON i.id_a = za.doc_id JOIN sizes zb ON i.id_b = zb.doc_id""".stripMargin,
+
+    "q76_simhash_wide" ->
+      """WITH wh AS (SELECT doc_id, ('0x'||substr(md5(word),1,15))::BIGINT AS wh
+        |       FROM (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS word FROM documents)),
+        |bits AS (SELECT doc_id, b, sum(CASE WHEN (wh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |       FROM wh, (SELECT unnest(range(0,60)) AS b) GROUP BY 1,2),
+        |sig AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |       FROM bits GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+        |WHERE hamming <= 3""".stripMargin,
 
     "q75_ivf_recall" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
