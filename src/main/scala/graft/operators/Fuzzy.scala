@@ -107,8 +107,13 @@ object Fuzzy {
     require(maxDist >= 1 && maxDist <= 2,
       "deletion-neighborhood blocking is implemented for maxDist in 1..2; " +
         "larger radii need blockedLevenshtein with genuinely bounded blocks")
+    // NULL semantics must match the block square: there, a null string or
+    // block falls out of the join (levenshtein(null, x) and null = null
+    // are both non-true). Without this filter the pre-grouping would pool
+    // null strings into one group and emit distance-0 "pairs" for them.
     val e = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-      col(strCol).as("str"))
+        col(strCol).as("str"))
+      .where(col("block").isNotNull && col("str").isNotNull)
     // one representative per (block, string); members kept for expansion
     val groups = persist(e.groupBy(col("block"), col("str"))
       .agg(sort_array(collect_list(col("id"))).as("ids"),

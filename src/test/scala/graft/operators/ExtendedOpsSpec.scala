@@ -100,6 +100,19 @@ class FuzzySpec extends SparkSpec {
       fast.contains((8L, 9L, 2)))
   }
 
+  test("symDeleteLevenshtein drops null strings/blocks exactly like the square") {
+    val df = Seq(
+      (1L, Some("alpha"), Some("x")), (2L, Some("alpha"), Some("x")),
+      (3L, None, Some("x")), (4L, None, Some("x")),        // null strings
+      (5L, Some("alpha"), None), (6L, Some("alpha"), None) // null blocks
+    ).toDF("id", "name", "grp")
+    val fast = Fuzzy.symDeleteLevenshtein(df, "id", "name", "grp", maxDist = 2)
+      .select($"id_a", $"id_b", $"distance").as[(Long, Long, Int)].collect().toSet
+    val brute = Fuzzy.blockedLevenshtein(df, "id", "name", "grp", maxDist = 2)
+      .select($"id_a", $"id_b", $"distance").as[(Long, Long, Int)].collect().toSet
+    assert(fast == brute && fast == Set((1L, 2L, 0)))
+  }
+
   test("adaptiveLevenshtein picks either path without changing the pair set") {
     val df = (1L to 40L).map(i => (i, s"name${i % 7}", "b")).toDF("id", "name", "grp")
     val cols = Seq($"id_a", $"id_b", $"distance")
