@@ -217,6 +217,11 @@ object GateQueries {
       val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
         .where(col("doc_id") < 2000)
         .as[(Long, String)].collect()
+      // the oracle attributes each pair to greatest(id mod 3), which is
+      // only the micro-batch id if every addData round actually forms a
+      // batch — an empty residue class would silently shift batch ids
+      require((0 until 3).forall(b => docs.exists(_._1 % 3 == b)),
+        "q74 fixture must populate all three residue classes")
       val dir = java.nio.file.Files.createTempDirectory("graft-q74").toString
       val input =
         org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
