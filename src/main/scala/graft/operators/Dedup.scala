@@ -53,6 +53,48 @@ object Dedup {
     df.groupBy(canonicalWordsHash(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Corpus-level duplicated-SPAN detection (substring-granular exact
+    * dedup, the "dedup training data at the span level" step of an LLM
+    * pipeline): hash every `spanWords`-word window of every doc and count
+    * global occurrences of each window hash; a doc's `dup_fraction` is
+    * the share of its windows that occur MORE THAN ONCE anywhere in the
+    * corpus (including repeats inside the doc itself — a self-repeating
+    * doc is duplicated text too). Docs shorter than one window report
+    * zero spans and fraction 0.0.
+    *
+    * Scale: span rows ≈ total corpus tokens — linear. One hash shuffle
+    * aggregates window-hash counts with map-side combine (a viral span
+    * reaches the exchange as one partial row per map task), one joins
+    * the counts back, one rolls up per doc. The window hash is the
+    * md5-derived 60-bit portable form ([[graft.functions.HashFns.md5Long]]),
+    * so the DuckDB oracle replays it bit-exactly; collision odds at even
+    * 10^10 spans stay ~1e-5.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      spanWords: Int): DataFrame = {
+    require(spanWords >= 2, "a span of one word is just vocabulary")
+    val base = docs.select(col(idCol).as("id"),
+      graft.functions.TextFns.words(col(textCol)).as("__w"))
+    val spans = base
+      .select(col("id"),
+        explode(graft.functions.TextFns.shinglesOfWords(col("__w"), spanWords))
+          .as("span"))
+      .select(col("id"), graft.functions.HashFns.md5Long(col("span"), 15).as("h"))
+    val counts = spans.groupBy(col("h")).agg(count(lit(1)).as("__n"))
+    val perDoc = spans.join(counts, Seq("h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__n") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+    base.select(col("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_fraction",
+        when(col("n_spans") > 0,
+          graft.functions.Portable.q6(col("n_dup_spans") / col("n_spans")))
+          .otherwise(lit(0.0)))
+  }
+
   /** Connected components of the undirected pair graph — the step that
     * turns near-dup PAIRS (minhash/simhash/ngram output) into dedup
     * DECISIONS: every node gets the min node id of its component, so

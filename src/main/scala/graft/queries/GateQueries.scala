@@ -278,6 +278,19 @@ object GateQueries {
       // DuckDB oracle stays cheap because the OUTPUT is small.
       Similarity.simHashNearDups(Tables(s, d).documentsSpread, "doc_id", "text",
         nBits = 60, maxHamming = 3)
+    },
+
+    "q77_dup_spans" -> { (s, d) =>
+      // Substring-granular exact dedup (the span-level "dedup training
+      // data" pass): every 10-word window is hashed corpus-wide; a doc
+      // reports how many of its windows occur more than once anywhere.
+      // Catches verbatim quotation/boilerplate INSIDE otherwise-distinct
+      // docs — the case document-level dedup (q20) and near-dup pairs
+      // (q21) both miss.
+      graft.operators.Dedup.duplicatedSpans(
+        Tables(s, d).documentsSpread, "doc_id", "text", spanWords = 10)
+        .select(col("id").as("doc_id"), col("n_spans"), col("n_dup_spans"),
+          col("dup_fraction"))
     }
   )
 
@@ -434,6 +447,24 @@ object GateQueries {
         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
         |WHERE hamming <= 3""".stripMargin,
+
+    "q77_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sp AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 8),
+        |      i -> ('0x'||substr(md5(array_to_string(w[i:i+9],' ')),1,15))::BIGINT)) AS h
+        |  FROM toks),
+        |cnt AS (SELECT h, count(*) AS n FROM sp GROUP BY 1),
+        |per AS (SELECT sp.doc_id, count(*) AS n_spans,
+        |    sum(CASE WHEN cnt.n > 1 THEN 1 ELSE 0 END) AS n_dup_spans
+        |  FROM sp JOIN cnt USING (h) GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        |  CASE WHEN coalesce(p.n_spans, 0) > 0
+        |    THEN floor((p.n_dup_spans * 1.0 / p.n_spans) * 1000000.0 + 0.5) / 1000000.0
+        |    ELSE 0.0 END AS dup_fraction
+        |FROM toks t LEFT JOIN per p ON t.doc_id = p.doc_id""".stripMargin,
 
     "q75_ivf_recall" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),

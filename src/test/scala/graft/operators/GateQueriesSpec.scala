@@ -51,6 +51,27 @@ class GateQueriesSpec extends SparkSpec {
       out(1).width == 32 && out(1).height == 16)
   }
 
+  test("duplicatedSpans counts corpus-wide window repeats, incl. self-repeats") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),          // window "a b c" etc. shared with doc 2
+      (2L, "a b c d f"),          // shares "a b c"/"b c d" with doc 1
+      (3L, "x y x y x"),          // self-repeating: "x y x" twice in one doc
+      (4L, "p q"),                // shorter than one window: zero spans
+      (5L, "m n o r s")           // all windows unique
+    ).toDF("doc_id", "text")
+    val rows = Dedup.duplicatedSpans(docs, "doc_id", "text", spanWords = 3)
+      .select($"id", $"n_spans", $"n_dup_spans", $"dup_fraction")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2, r._3)).toSeq == Seq(
+      (1L, 3L, 2L),   // "a b c","b c d" duplicated; "c d e" unique
+      (2L, 3L, 2L),
+      (3L, 3L, 2L),   // "x y x" twice (self), "y x y" once
+      (4L, 0L, 0L),
+      (5L, 3L, 0L)))
+    assert(rows.find(_._1 == 4L).get._4 == 0.0)
+  }
+
   test("q73: exactly the corrupt payloads (both corruption modes) are quarantined") {
     val rows = GateQueries.queries("q73_image_quarantine")(spark, sf).collect()
     assert(rows.length == 500)
