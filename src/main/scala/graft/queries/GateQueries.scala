@@ -291,6 +291,80 @@ object GateQueries {
         Tables(s, d).documentsSpread, "doc_id", "text", spanWords = 10)
         .select(col("id").as("doc_id"), col("n_spans"), col("n_dup_spans"),
           col("dup_fraction"))
+    },
+
+    "q78_stream_upsert" -> { (s, d) =>
+      // Streaming SCD1 upsert sink, driver-gated: per-user profile
+      // updates (latest event value) arrive as three deterministic
+      // micro-batches (event_id mod 3, one row per user per batch —
+      // coalesceMerge's one-update-per-key contract) through upsertSink's
+      // write-then-swap parquet snapshot. The final snapshot must hold,
+      // for every user, the value of their latest (ts, event_id) event
+      // within the HIGHEST batch that saw them — which the oracle ranks
+      // directly. Fixture capped to a fixed user set, so cost is
+      // constant at every SF.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = Tables(s, d).events
+        .where(col("user_id") < 150)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+      val dir = java.nio.file.Files.createTempDirectory("graft-q78").toString
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Double)]
+      val updates = input.toDF().toDF("uid", "worth")
+      val q = graft.streaming.StreamOps.upsertSink(updates, s"$dir/snapshot",
+        "uid", Map("worth" -> "worth"), s"$dir/ckpt")
+      try {
+        (0 until 3).foreach { b =>
+          val batch = ev.filter(_._1 % 3 == b)
+            .groupBy(_._3).map { case (uid, rows) =>
+              val latest = rows.maxBy(r => (r._2.getTime, r._1))
+              (uid, latest._4)
+            }.toSeq.sortBy(_._1)
+          input.addData(batch: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.read.parquet(s"$dir/snapshot")
+        .select(col("id").as("user_id"), col("worth"))
+    },
+
+    "q79_stream_funnel" -> { (s, d) =>
+      // Streaming ordered funnel, driver-gated: fMGWS emits a row the
+      // moment a user first reaches each stage. Its monotone emit-once
+      // semantics equal the batch form (q59's stage times) whenever
+      // batches arrive in event-time order — so the fixture splits the
+      // ts-sorted event log into three chronological chunks, and the
+      // oracle is the batch sequential-min construction emitted as hit
+      // rows. Fixture capped to a fixed user set (constant cost per SF).
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = Tables(s, d).events
+        .where(col("user_id") < 150)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[(Long, java.sql.Timestamp, String)].collect()
+        .sortBy(r => (r._2.getTime, r._1, r._3))
+      val chunks = ev.grouped(math.max(1, (ev.length + 2) / 3)).toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.StreamOps.FunnelEvent]
+      val out = graft.streaming.StreamOps.funnelStream(
+        input.toDS(), Seq("view", "click", "purchase"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-q79").toString
+      val q = out.writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet").option("path", s"$dir/hits")
+        .start()
+      try {
+        chunks.foreach { c =>
+          input.addData(c.map(r =>
+            graft.streaming.StreamOps.FunnelEvent(r._1, r._2, r._3)): _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.read.parquet(s"$dir/hits")
+        .select(col("user_id"), col("funnel_stage"), col("stage_order"), col("ts"))
     }
   )
 
@@ -465,6 +539,29 @@ object GateQueries {
         |    THEN floor((p.n_dup_spans * 1.0 / p.n_spans) * 1000000.0 + 0.5) / 1000000.0
         |    ELSE 0.0 END AS dup_fraction
         |FROM toks t LEFT JOIN per p ON t.doc_id = p.doc_id""".stripMargin,
+
+    "q78_stream_upsert" ->
+      """WITH e AS (SELECT event_id, ts, user_id, value FROM events WHERE user_id < 150),
+        |r AS (SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY event_id % 3 DESC, ts DESC, event_id DESC) AS rn
+        |  FROM e)
+        |SELECT user_id, value AS worth FROM r WHERE rn = 1""".stripMargin,
+
+    "q79_stream_funnel" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events WHERE user_id < 150),
+        |s1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS ts_view
+        |  FROM e GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS ts_click FROM e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.ts_view GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS ts_purchase FROM e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.ts_click GROUP BY 1)
+        |SELECT user_id, 'view' AS funnel_stage, 1 AS stage_order, ts_view AS ts
+        |FROM s1 WHERE ts_view IS NOT NULL
+        |UNION ALL SELECT user_id, 'click', 2, ts_click FROM s2
+        |UNION ALL SELECT user_id, 'purchase', 3, ts_purchase FROM s3""".stripMargin,
 
     "q75_ivf_recall" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
