@@ -365,6 +365,55 @@ object GateQueries {
       } finally q.stop()
       s.read.parquet(s"$dir/hits")
         .select(col("user_id"), col("funnel_stage"), col("stage_order"), col("ts"))
+    },
+
+    "q80_stream_sessionize" -> { (s, d) =>
+      // Fourth driver-gated streaming row, and the flagship stateful op:
+      // event-time sessionization via flatMapGroupsWithState with
+      // event-time timeouts. Sessions only EMIT when the watermark passes
+      // their gap horizon, so the fixture appends two far-future sentinel
+      // events (a user outside the capped set): the first advances the
+      // watermark past every real session's horizon, the second triggers
+      // the timeout pass that flushes them. With ts-ordered batches the
+      // emitted sessions must equal the batch gap-split exactly — q19's
+      // oracle construction, restricted to the fixture users.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = Tables(s, d).events
+        .where(col("user_id") < 150)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[(Long, java.sql.Timestamp, Double)].collect()
+        .sortBy(r => (r._2.getTime, r._1))
+      val maxTs = ev.map(_._2.getTime).max
+      val chunks = ev.grouped(math.max(1, (ev.length + 2) / 3)).toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.StreamOps.Event]
+      val out = graft.streaming.StreamOps.sessionize(input.toDS(),
+        gapSeconds = 1800, watermarkDelay = "10 seconds")
+      val dir = java.nio.file.Files.createTempDirectory("graft-q80").toString
+      val q = out.toDF().writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet").option("path", s"$dir/sessions")
+        .start()
+      try {
+        chunks.foreach { c =>
+          input.addData(c.map(r =>
+            graft.streaming.StreamOps.Event(r._1, r._2, r._3)): _*)
+          q.processAllAvailable()
+        }
+        // sentinel flush: gap + delay + margin past the last real event
+        Seq(0L, 1000L).foreach { off =>
+          input.addData(graft.streaming.StreamOps.Event(-1L,
+            new java.sql.Timestamp(maxTs + 3600L * 1000 + 60000L + off), 0.0))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.read.parquet(s"$dir/sessions")
+        .where(col("user_id") >= 0)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"),
+          graft.functions.Portable.q4(col("total_value")).as("total_value"))
     }
   )
 
@@ -562,6 +611,21 @@ object GateQueries {
         |FROM s1 WHERE ts_view IS NOT NULL
         |UNION ALL SELECT user_id, 'click', 2, ts_click FROM s2
         |UNION ALL SELECT user_id, 'purchase', 3, ts_purchase FROM s3""".stripMargin,
+
+    "q80_stream_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS new_s
+        |  FROM events WHERE user_id < 150
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq FROM flagged)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
+        |FROM sess GROUP BY user_id, session_seq""".stripMargin,
 
     "q75_ivf_recall" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),

@@ -35,6 +35,17 @@ object StreamOps {
   final case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
                            n_events: Long, total_value: Double)
 
+  /** Epoch MICROSECONDS of a Timestamp — `getTime` alone truncates to
+    * milliseconds, which silently coarsens the µs-precision event times
+    * parquet carries (a session boundary or emitted bound would be up to
+    * 999 µs off the batch form's). NOTE: the stateful closures re-define
+    * these locally — referencing object methods from inside an fMGWS
+    * update function drags the whole module into the task closure and
+    * fails serialization.
+    */
+  private[streaming] def tsMicros(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
   /** Stateful gap-based sessionization: the streaming twin of the batch
     * `Sessionize` operator. A session closes when the event-time watermark
     * passes `last event + gapSeconds` — deterministic (no wall-clock
@@ -45,25 +56,34 @@ object StreamOps {
                  watermarkDelay: String = "10 seconds"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapSeconds * 1000L
+    // state tracks MICROSECONDS (tsMicros) so session bounds and gap
+    // comparisons are bit-identical to the batch operator on µs data
+    val gapUs = gapSeconds * 1000000L
 
     def update(userId: Long, rows: Iterator[Event],
                state: GroupState[SessionState]): Iterator[Session] = {
+      // local copies: object-method references don't serialize from here
+      def tsMicros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+      def microTs(us: Long): Timestamp = {
+        val t = new Timestamp(us / 1000)
+        t.setNanos(((us % 1000000L) * 1000L).toInt)
+        t
+      }
       if (state.hasTimedOut) {
         val s = state.get
         state.remove()
-        Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
+        Iterator(Session(userId, microTs(s.start), microTs(s.last), s.n, s.total))
       } else {
-        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        val sorted = rows.toSeq.sortBy(e => tsMicros(e.ts))
         var closed = List.empty[Session]
         var cur = state.getOption
         sorted.foreach { e =>
-          val t = e.ts.getTime
+          val t = tsMicros(e.ts)
           cur match {
-            case Some(s) if t - s.last <= gapMs =>
+            case Some(s) if t - s.last <= gapUs =>
               cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))
             case Some(s) =>
-              closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+              closed ::= Session(userId, microTs(s.start), microTs(s.last), s.n, s.total)
               cur = Some(SessionState(t, t, 1, e.value))
             case None =>
               cur = Some(SessionState(t, t, 1, e.value))
@@ -72,7 +92,8 @@ object StreamOps {
         cur.foreach { s =>
           state.update(s)
           // close once the watermark passes the session's gap horizon
-          state.setTimeoutTimestamp(s.last + gapMs)
+          // (timeout API is ms-granular: round up so it lands PAST it)
+          state.setTimeoutTimestamp((s.last + gapUs) / 1000L + 1L)
         }
         closed.reverseIterator
       }
@@ -150,13 +171,17 @@ object StreamOps {
 
     def update(userId: Long, rows: Iterator[FunnelEvent],
                state: GroupState[FunnelProgress]): Iterator[FunnelHit] = {
+      // MICROSECOND ordering/comparison (getTime is ms-truncated): a
+      // stage event landing <1 ms after the previous stage must count,
+      // exactly as the batch form's full-precision `ts >` does
+      def tsMicros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
       var reached = state.getOption.map(_.reachedTimes).getOrElse(Nil)
       val hits = scala.collection.mutable.ListBuffer.empty[FunnelHit]
-      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
+      rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_type)).foreach { e =>
         val next = reached.length
         if (next < stages.length && e.event_type == stages(next) &&
-            (reached.isEmpty || e.ts.getTime > reached.last)) {
-          reached = reached :+ e.ts.getTime
+            (reached.isEmpty || tsMicros(e.ts) > reached.last)) {
+          reached = reached :+ tsMicros(e.ts)
           hits += FunnelHit(userId, stages(next), next + 1, e.ts)
         }
       }
