@@ -414,6 +414,166 @@ object GateQueries {
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"),
           graft.functions.Portable.q4(col("total_value")).as("total_value"))
+    },
+
+    "q81_stream_rollup" -> { (s, d) =>
+      // Watermarked tumbling-window rollup, driver-gated: per-(hour,
+      // event_type) counts/sums over ts-ordered batches. Windows emit
+      // only when the watermark passes their end, so the same sentinel
+      // flush as q80 finalizes every real window; the oracle is the
+      // batch date_trunc rollup (Spark's '1 hour' windows are
+      // epoch-aligned, i.e. exactly date_trunc).
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = Tables(s, d).events
+        .where(col("user_id") < 150)
+        .select(col("ts"), col("event_type"), col("value"))
+        .as[(java.sql.Timestamp, String, Double)].collect()
+        .sortBy(r => (r._1.getTime, r._2))
+      val maxTs = ev.map(_._1.getTime).max
+      val chunks = ev.grouped(math.max(1, (ev.length + 2) / 3)).toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, String, Double)]
+      val out = graft.streaming.StreamOps.windowedRollup(
+        input.toDF().toDF("ts", "event_type", "value"),
+        "ts", "event_type", "value", "1 hour", "10 seconds")
+      val dir = java.nio.file.Files.createTempDirectory("graft-q81").toString
+      val q = out.writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet").option("path", s"$dir/rollup")
+        .start()
+      try {
+        chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+        Seq(0L, 1000L).foreach { off =>
+          input.addData((new java.sql.Timestamp(maxTs + 7200000L + off),
+            "__sentinel", 0.0))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.read.parquet(s"$dir/rollup")
+        .where(col("event_type") =!= "__sentinel")
+        .select(col("window_start"), col("window_end"), col("event_type"),
+          col("n_events"),
+          graft.functions.Portable.q4(col("total_value")).as("total_value"))
+    },
+
+    "q82_stream_dedup" -> { (s, d) =>
+      // Streaming dedup within the watermark horizon, driver-gated: every
+      // chunk is fed TWICE (duplicates inside and across micro-batches),
+      // and the deduped stream must collapse to exactly the distinct
+      // event set — the oracle is a plain DISTINCT. Dedup is a stateful
+      // filter, not an aggregation: rows emit immediately, no sentinel
+      // flush needed.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = Tables(s, d).events
+        .where(col("user_id") < 150)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+        .sortBy(r => (r._2.getTime, r._1))
+      val chunks = ev.grouped(math.max(1, (ev.length + 2) / 3)).toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+      val out = graft.streaming.StreamOps.dedupByIdWithinWatermark(
+        input.toDF().toDF("event_id", "ts", "user_id", "value"),
+        "ts", "event_id", "1 hour")
+      val dir = java.nio.file.Files.createTempDirectory("graft-q82").toString
+      val q = out.writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet").option("path", s"$dir/deduped")
+        .start()
+      try {
+        chunks.foreach { c =>
+          input.addData(c: _*); q.processAllAvailable() // first delivery
+          input.addData(c: _*); q.processAllAvailable() // exact re-delivery
+        }
+      } finally q.stop()
+      s.read.parquet(s"$dir/deduped")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    },
+
+    "q83_stream_enrich" -> { (s, d) =>
+      // Stream-static enrichment, driver-gated: streaming purchase facts
+      // left-joined per micro-batch against the static customer dim (the
+      // streaming form of q05's enrichment; the static side re-plans per
+      // batch, broadcast when it fits). Join output emits immediately, so
+      // the full fed stream must equal the batch left join.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val t = Tables(s, d)
+      val ev = t.events
+        .where(col("user_id") < 150 && col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .as[(Long, Long, Double)].collect().sortBy(_._1)
+      val chunks = ev.grouped(math.max(1, (ev.length + 2) / 3)).toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Double)]
+      val out = graft.streaming.StreamOps.enrichStream(
+        input.toDF().toDF("event_id", "user_id", "value"),
+        t.customer, "user_id", "c_custkey", Seq("c_mktsegment", "c_acctbal"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-q83").toString
+      val q = out.writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet").option("path", s"$dir/enriched")
+        .start()
+      try {
+        chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+      } finally q.stop()
+      s.read.parquet(s"$dir/enriched")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("c_mktsegment"), col("c_acctbal"))
+    },
+
+    "q84_stream_interval_join" -> { (s, d) =>
+      // Watermarked stream-stream interval join (the streaming twin of
+      // the q09 as-of match), driver-gated: views and clicks arrive as
+      // parallel ts-ordered chunk pairs; every (view, click) pair with
+      // click in (view_ts, view_ts + 30 min] must emit exactly once.
+      // Inner joins emit on match (no watermark wait), and with
+      // ts-ordered feeds state eviction provably can't drop a pair: a
+      // view is evicted only once the watermark passes view_ts + horizon,
+      // by which point every qualifying click has already arrived.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      def side(tpe: String) = Tables(s, d).events
+        .where(col("user_id") < 150 && col("event_type") === tpe)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .as[(Long, Long, java.sql.Timestamp)].collect()
+        .sortBy(r => (r._3.getTime, r._1))
+      val (views, clicks) = (side("view"), side("click"))
+      def chunk3[T](a: Array[T]) = a.grouped(math.max(1, (a.length + 2) / 3)).toSeq
+      val vIn = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val cIn = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val joined = graft.streaming.StreamOps.intervalJoinStream(
+        vIn.toDF().toDF("event_id", "user_id", "ts"),
+        cIn.toDF().toDF("event_id", "user_id", "ts"),
+        "user_id", "ts", horizonSeconds = 1800, watermarkDelay = "10 seconds")
+        .select(col("l.event_id").as("view_id"), col("l.user_id").as("user_id"),
+          col("l.ts").as("view_ts"), col("r.event_id").as("click_id"),
+          col("r.ts").as("click_ts"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-q84").toString
+      val q = joined.writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet").option("path", s"$dir/matches")
+        .start()
+      try {
+        chunk3(views).zipAll(chunk3(clicks), Array.empty[(Long, Long, java.sql.Timestamp)],
+            Array.empty[(Long, Long, java.sql.Timestamp)])
+          .foreach { case (vc, cc) =>
+            if (vc.nonEmpty) vIn.addData(vc: _*)
+            if (cc.nonEmpty) cIn.addData(cc: _*)
+            q.processAllAvailable()
+          }
+      } finally q.stop()
+      s.read.parquet(s"$dir/matches")
+        .select(col("view_id"), col("user_id"), col("view_ts"),
+          col("click_id"), col("click_ts"))
     }
   )
 
@@ -626,6 +786,33 @@ object GateQueries {
         |  count(*) AS n_events,
         |  floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
         |FROM sess GROUP BY user_id, session_seq""".stripMargin,
+
+    "q81_stream_rollup" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+        |  event_type, count(*) AS n_events,
+        |  floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
+        |FROM events WHERE user_id < 150
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q82_stream_dedup" ->
+      """SELECT DISTINCT event_id, ts, user_id, value
+        |FROM events WHERE user_id < 150""".stripMargin,
+
+    "q83_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.value, c.c_mktsegment, c.c_acctbal
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.user_id < 150 AND e.event_type = 'purchase'""".stripMargin,
+
+    "q84_stream_interval_join" ->
+      """SELECT l.event_id AS view_id, l.user_id, l.ts AS view_ts,
+        |  r.event_id AS click_id, r.ts AS click_ts
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE user_id < 150 AND event_type = 'view') l
+        |JOIN (SELECT event_id, user_id, ts FROM events
+        |      WHERE user_id < 150 AND event_type = 'click') r
+        |  ON l.user_id = r.user_id AND r.ts > l.ts
+        |  AND r.ts <= l.ts + INTERVAL 1800 SECOND""".stripMargin,
 
     "q75_ivf_recall" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
