@@ -64,6 +64,37 @@ object Packing {
             col("seq_id") + 1L))
   }
 
+  /** Split long documents into fixed-width token chunks with stride
+    * overlap — the OTHER trainer-prep layout besides concatenate-and-cut
+    * ([[packSequences]]): each example is one chunk of one doc, chunk i
+    * starting at token i·stride, the final chunk short, overlap =
+    * width − stride giving every token at least one full-context view.
+    * Docs shorter than one window yield exactly one chunk.
+    *
+    * All codegen'd built-ins (split / sequence / explode / slice /
+    * array_join), no shuffle at all — a pure projection the scan
+    * parallelism carries at any corpus size.
+    */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                width: Int, stride: Int): DataFrame = {
+    require(width >= 1 && stride >= 1 && stride <= width,
+      "need 1 <= stride <= width")
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TextFns.words(col(textCol)).as("__w"))
+      .withColumn("__len", size(col("__w")))
+      .withColumn("__nc", when(col("__len") <= width, lit(1)).otherwise(
+        expr(s"CAST((__len - $width + $stride - 1) div $stride AS INT) + 1")))
+      .select(col("doc_id"), col("__w"), col("__len"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_idx"))
+      .withColumn("first_tok", (col("chunk_idx") * stride).cast("long"))
+      .withColumn("n_tokens",
+        least(lit(width.toLong), col("__len") - col("first_tok")).cast("long"))
+      .select(col("doc_id"), col("chunk_idx"), col("first_tok"), col("n_tokens"),
+        array_join(slice(col("__w"), col("first_tok").cast("int") + 1,
+          col("n_tokens").cast("int")), " ").as("chunk_text"))
+  }
+
   /** Materialize the packed training sequences [[packSequences]] only
     * describes: explode each doc's sequence span into per-(shard, seq_id)
     * SLICE rows — (doc, offset inside the doc, slice length, offset inside

@@ -574,6 +574,18 @@ object GateQueries {
       s.read.parquet(s"$dir/matches")
         .select(col("view_id"), col("user_id"), col("view_ts"),
           col("click_id"), col("click_ts"))
+    },
+
+    "q85_doc_chunking" -> { (s, d) =>
+      // Long-document chunking with stride overlap (width 64, stride 32):
+      // the per-doc trainer-prep layout where each example is ONE chunk
+      // with full context — the complement of q71/q72's
+      // concatenate-and-cut. Zero shuffles: a pure projection the oracle
+      // replays with list slicing.
+      Packing.chunkDocs(Tables(s, d).documentsSpread, "doc_id", "text",
+        width = 64, stride = 32)
+        .select(col("doc_id"), col("chunk_idx"), col("first_tok"),
+          col("n_tokens"), col("chunk_text"))
     }
   )
 
@@ -813,6 +825,18 @@ object GateQueries {
         |      WHERE user_id < 150 AND event_type = 'click') r
         |  ON l.user_id = r.user_id AND r.ts > l.ts
         |  AND r.ts <= l.ts + INTERVAL 1800 SECOND""".stripMargin,
+
+    "q85_doc_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w,
+        |    len(string_split(text,' ')) AS l FROM documents),
+        |n AS (SELECT doc_id, w, l,
+        |    CASE WHEN l <= 64 THEN 1 ELSE (l - 64 + 32 - 1) // 32 + 1 END AS nc FROM t),
+        |c AS (SELECT doc_id, w, l, unnest(range(0, nc)) AS ci FROM n)
+        |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+        |  CAST(ci * 32 AS BIGINT) AS first_tok,
+        |  CAST(least(64, l - ci * 32) AS BIGINT) AS n_tokens,
+        |  array_to_string(w[ci*32 + 1 : ci*32 + least(64, l - ci*32)], ' ') AS chunk_text
+        |FROM c""".stripMargin,
 
     "q75_ivf_recall" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),

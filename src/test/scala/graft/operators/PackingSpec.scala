@@ -116,6 +116,35 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("chunkDocs covers every token; overlap is width minus stride; tails short") {
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 words
+      (2L, "a b c"),                                   // shorter than one window
+      (3L, (1 to 64).map(i => s"u$i").mkString(" "))   // exactly one window
+    ).toDF("doc_id", "text")
+    val rows = Packing.chunkDocs(docs, "doc_id", "text", width = 64, stride = 32)
+      .select($"doc_id", $"chunk_idx", $"first_tok", $"n_tokens", $"chunk_text")
+      .as[(Long, Int, Long, Long, String)].collect()
+    val byDoc = rows.groupBy(_._1)
+    // doc 1: chunks at 0, 32, 64 (wait: nc = ceil(36/32)+1 = 3) → tails
+    val d1 = byDoc(1L).sortBy(_._2)
+    assert(d1.map(r => (r._3, r._4)).toSeq == Seq((0L, 64L), (32L, 64L), (64L, 36L)))
+    // every chunk's text is exactly its token slice
+    d1.foreach { case (_, _, first, n, text) =>
+      val expect = (first + 1 to first + n).map(i => s"t$i").mkString(" ")
+      assert(text == expect)
+    }
+    // chunk starts advance by stride → consecutive chunks overlap 64-32 tokens
+    assert(byDoc(2L).map(r => (r._2, r._3, r._4)).toSeq == Seq((0, 0L, 3L)))
+    assert(byDoc(3L).map(r => (r._2, r._3, r._4)).toSeq == Seq((0, 0L, 64L)))
+    // full coverage: last chunk reaches the end of each doc
+    byDoc.foreach { case (_, cs) =>
+      val last = cs.maxBy(_._2)
+      val total = cs.head._1 match { case 1L => 100L; case 2L => 3L; case _ => 64L }
+      assert(last._3 + last._4 == total)
+    }
+  }
+
   test("packSequences: zero-token docs occupy one sequence and shift nothing") {
     val docs = Seq((1L, 5L), (2L, 0L), (3L, 7L)).toDF("doc_id", "n_tokens")
     val sharded = Packing.shardAssign(docs, "doc_id", nShards = 1)
