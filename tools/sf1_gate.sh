@@ -35,7 +35,7 @@ SPARK_GRAFT_SF_DIR=/root/repo/tmp/sf1 sbt -batch "runMain graft.Bench \
   q71_sequence_pack q72_pack_write q74_stream_neardup q75_ivf_recall \
   q76_simhash_wide q77_dup_spans q78_stream_upsert q79_stream_funnel \
   q80_stream_sessionize q81_stream_rollup q82_stream_dedup q83_stream_enrich \
-  q84_stream_interval_join" \
+  q84_stream_interval_join q85_doc_chunking" \
   2>/dev/null | grep '"metric"' | sed 's/^\[info\] //' \
   > evidence/BENCH_sf1_r05.json
 echo "sf1 gate + bench complete; artifacts refreshed under evidence/"
