@@ -34,6 +34,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // operators that persist() internally (e.g. symDeleteLevenshtein's
+      // pre-grouping) would otherwise accumulate cached frames across the
+      // whole 85+-query session; Bench already clears per query
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

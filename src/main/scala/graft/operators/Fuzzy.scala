@@ -101,6 +101,13 @@ object Fuzzy {
     else symDeleteLevenshtein(df, idCol, strCol, blockCol, maxDist)
   }
 
+  /** Cache lifetime: the default `persist` caches the pre-grouped
+    * representatives for the duration of the returned plan's (repeated)
+    * use, and the handle lives until the session drops it — a caller
+    * running many queries in one session (Verify, Bench) should
+    * `spark.catalog.clearCache()` between queries (both do), or pass
+    * `persist = identity` to trade the reuse for zero cache residency.
+    */
   def symDeleteLevenshtein(df: DataFrame, idCol: String, strCol: String,
                            blockCol: String, maxDist: Int,
                            persist: DataFrame => DataFrame = _.cache()): DataFrame = {

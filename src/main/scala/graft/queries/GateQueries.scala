@@ -27,6 +27,18 @@ import org.apache.spark.sql.functions._
   */
 object GateQueries {
 
+  /** Epoch MICROSECONDS of a fixture timestamp. The streaming fixtures
+    * (q78–q84, q87, q89) order/select events with this key, NOT
+    * `getTime`: the DuckDB oracles and the µs-precise StreamOps compare
+    * full microsecond timestamps, so two events for one user inside the
+    * same millisecond must be ranked here exactly as the oracle ranks
+    * them — `getTime` alone truncates to ms and could pick or batch-split
+    * them in a different order (the same truncation class StreamOps fixed
+    * in round 5).
+    */
+  private def us(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
 
     "q67_sketch_accuracy" -> { (s, d) =>
@@ -319,7 +331,7 @@ object GateQueries {
         (0 until 3).foreach { b =>
           val batch = ev.filter(_._1 % 3 == b)
             .groupBy(_._3).map { case (uid, rows) =>
-              val latest = rows.maxBy(r => (r._2.getTime, r._1))
+              val latest = rows.maxBy(r => (us(r._2), r._1))
               (uid, latest._4)
             }.toSeq.sortBy(_._1)
           input.addData(batch: _*)
@@ -344,7 +356,7 @@ object GateQueries {
         .where(col("user_id") < 150)
         .select(col("user_id"), col("ts"), col("event_type"))
         .as[(Long, java.sql.Timestamp, String)].collect()
-        .sortBy(r => (r._2.getTime, r._1, r._3))
+        .sortBy(r => (us(r._2), r._1, r._3))
       val chunks = ev.grouped(math.max(1, (ev.length + 2) / 3)).toSeq
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[graft.streaming.StreamOps.FunnelEvent]
@@ -383,7 +395,7 @@ object GateQueries {
         .where(col("user_id") < 150)
         .select(col("user_id"), col("ts"), col("value"))
         .as[(Long, java.sql.Timestamp, Double)].collect()
-        .sortBy(r => (r._2.getTime, r._1))
+        .sortBy(r => (us(r._2), r._1))
       val maxTs = ev.map(_._2.getTime).max
       val chunks = ev.grouped(math.max(1, (ev.length + 2) / 3)).toSeq
       val input = org.apache.spark.sql.execution.streaming.runtime
@@ -429,7 +441,7 @@ object GateQueries {
         .where(col("user_id") < 150)
         .select(col("ts"), col("event_type"), col("value"))
         .as[(java.sql.Timestamp, String, Double)].collect()
-        .sortBy(r => (r._1.getTime, r._2))
+        .sortBy(r => (us(r._1), r._2))
       val maxTs = ev.map(_._1.getTime).max
       val chunks = ev.grouped(math.max(1, (ev.length + 2) / 3)).toSeq
       val input = org.apache.spark.sql.execution.streaming.runtime
@@ -471,7 +483,7 @@ object GateQueries {
         .where(col("user_id") < 150)
         .select(col("event_id"), col("ts"), col("user_id"), col("value"))
         .as[(Long, java.sql.Timestamp, Long, Double)].collect()
-        .sortBy(r => (r._2.getTime, r._1))
+        .sortBy(r => (us(r._2), r._1))
       val chunks = ev.grouped(math.max(1, (ev.length + 2) / 3)).toSeq
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
@@ -542,7 +554,7 @@ object GateQueries {
         .where(col("user_id") < 150 && col("event_type") === tpe)
         .select(col("event_id"), col("user_id"), col("ts"))
         .as[(Long, Long, java.sql.Timestamp)].collect()
-        .sortBy(r => (r._3.getTime, r._1))
+        .sortBy(r => (us(r._3), r._1))
       val (views, clicks) = (side("view"), side("click"))
       def chunk3[T](a: Array[T]) = a.grouped(math.max(1, (a.length + 2) / 3)).toSeq
       val vIn = org.apache.spark.sql.execution.streaming.runtime

@@ -11,6 +11,7 @@
 # instead.
 set -e
 cd "$(dirname "$0")/.."
+ROUND=${ROUND:-r06}
 
 sbt -batch "runMain graft.GenData" 2>/dev/null
 sbt -batch "runMain graft.Verify /root/repo/tmp/sf1 /root/repo/tmp/verify_sf1" 2>/dev/null
@@ -22,8 +23,22 @@ ks = sorted(set(k.removesuffix('.parquet')
 print(' '.join(k for k in ks if k != 'q33_simhash_near_dup'))
 EOF
 )
-python3 tools/check.py /root/repo/tmp/sf1 /root/repo/tmp/verify_sf1 $NAMES \
-  | tee evidence/GATE_sf1_r05.log
+# POSIX sh has no pipefail: `check.py | tee` would mask a gate failure or
+# crash (tee's exit status wins) while still refreshing the committed
+# artifact. Capture to a temp file, test check.py's own exit status, and
+# only then promote the log into evidence/.
+GATE_TMP=$(mktemp)
+if python3 tools/check.py /root/repo/tmp/sf1 /root/repo/tmp/verify_sf1 $NAMES \
+    > "$GATE_TMP" 2>&1; then
+  cat "$GATE_TMP"
+  mv "$GATE_TMP" "evidence/GATE_sf1_${ROUND}.log"
+else
+  status=$?
+  cat "$GATE_TMP"
+  rm -f "$GATE_TMP"
+  echo "sf1 gate FAILED (check.py exit $status); evidence NOT refreshed" >&2
+  exit "$status"
+fi
 
 SPARK_GRAFT_SF_DIR=/root/repo/tmp/sf1 sbt -batch "runMain graft.Bench \
   q01_ingest_clean q05_enriched_lineitems q06_floor_price q09_trading_roi \
@@ -35,7 +50,8 @@ SPARK_GRAFT_SF_DIR=/root/repo/tmp/sf1 sbt -batch "runMain graft.Bench \
   q71_sequence_pack q72_pack_write q74_stream_neardup q75_ivf_recall \
   q76_simhash_wide q77_dup_spans q78_stream_upsert q79_stream_funnel \
   q80_stream_sessionize q81_stream_rollup q82_stream_dedup q83_stream_enrich \
-  q84_stream_interval_join q85_doc_chunking" \
+  q84_stream_interval_join q85_doc_chunking q86_daily_update \
+  q87_stream_late_data q88_bucketed_join q89_stream_recovery" \
   2>/dev/null | grep '"metric"' | sed 's/^\[info\] //' \
-  > evidence/BENCH_sf1_r05.json
+  > "evidence/BENCH_sf1_${ROUND}.json"
 echo "sf1 gate + bench complete; artifacts refreshed under evidence/"
