@@ -122,6 +122,37 @@ class FuzzySpec extends SparkSpec {
       squareMaxBlock = 0L).select(cols: _*).as[(Long, Long, Int)].collect().toSet
     assert(viaSquare == viaSymDel && viaSquare.nonEmpty)
   }
+
+  test("property: the dispatch boundary itself is invisible in the output") {
+    // Generative guard on the dispatcher's comparison (maxBlock <=
+    // squareMaxBlock → square): for random string sets, run the SAME
+    // call with the threshold one below, exactly at, and one above the
+    // measured largest block — the dispatcher flips paths across that
+    // range, and every variant must equal the brute-force square. A
+    // refactor inverting the comparison (or measuring the wrong side)
+    // changes which engine runs at the boundary; this fails only if the
+    // two engines ever disagree, which is the property that matters.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.choose(2, 24)
+      strs <- Gen.listOfN(n, Gen.listOfN(4, Gen.oneOf("a", "b", "c")).map(_.mkString))
+      blocks <- Gen.listOfN(n, Gen.oneOf("x", "y"))
+    } yield strs.zip(blocks).zipWithIndex.map { case ((s0, b), i) => (i.toLong, s0, b) }
+    (1 to 8).foreach { seed =>
+      val rows = gen(Gen.Parameters.default, Seed(seed.toLong)).getOrElse(Nil)
+      val df = rows.toDF("id", "name", "grp")
+      val maxBlock = rows.groupBy(_._3).values.map(_.size).max.toLong
+      val cols = Seq($"id_a", $"id_b", $"distance")
+      val brute = Fuzzy.blockedLevenshtein(df, "id", "name", "grp", maxDist = 2)
+        .select(cols: _*).as[(Long, Long, Int)].collect().toSet
+      Seq(maxBlock - 1, maxBlock, maxBlock + 1).foreach { threshold =>
+        val out = Fuzzy.adaptiveLevenshtein(df, "id", "name", "grp", maxDist = 2,
+          squareMaxBlock = threshold).select(cols: _*).as[(Long, Long, Int)].collect().toSet
+        assert(out == brute, s"seed=$seed threshold=$threshold maxBlock=$maxBlock")
+      }
+    }
+  }
 }
 
 class MultimodalChunkSpec extends SparkSpec {
