@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
   * deterministic fake features from a content hash; everything around it —
   * schema, encoder, partition-wise batching, the `Dataset[T]` plumbing — is
   * real and is exactly what a JNI/FFmpeg-backed decoder would plug into.
+  * Since round 6 NO gated query runs the stub: q30 gates the all-real
+  * byte-stats/demux/window plumbing, q68/q73 gate real image decode, and
+  * the stub exists purely as the documented plug-point.
   */
 object Multimodal {
 

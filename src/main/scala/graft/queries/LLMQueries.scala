@@ -103,10 +103,29 @@ object LLMQueries {
     },
 
     "q30_binary_pipeline" -> { (s, d) =>
+      // Opaque-binary column pipeline, all-real since round 6 (the
+      // round-1 decode stub now lives only as the documented audio/video
+      // plug-point; q68/q73 gate REAL image decode): per-asset byte
+      // stats (size, md5 content hash), fixed-frame demux
+      // (explodeFrames), and overlapping audio-style windows
+      // (slidingWindows — previously spec-only). frame_bytes summing
+      // back to n_bytes proves the demux is lossless; the oracle replays
+      // every count from octet arithmetic.
       val withBin = Multimodal.withPayload(Tables(s, d).documents, "doc_id", "text")
-      Multimodal.decodeStub(s, withBin).toDF()
+      val base = withBin.select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("content_hash"))
+      val frames = Multimodal.explodeFrames(withBin, frameBytes = 1024)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame")).cast("long")).as("frame_bytes"))
+      val wins = Multimodal.slidingWindows(withBin, width = 256, hop = 128)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+      base.join(frames, Seq("doc_id"), "left").join(wins, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_bytes"), col("content_hash"),
-          col("width"), col("height"), col("n_frames"))
+          coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+          coalesce(col("frame_bytes"), lit(0L)).as("frame_bytes"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"))
     },
 
     "q33_simhash_near_dup" -> { (s, d) =>
@@ -398,9 +417,11 @@ object LLMQueries {
       """SELECT doc_id,
         |  CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_hash,
-        |  CAST(('0x'||substr(md5(text),1,3))::BIGINT % 1280 AS INT) AS width,
-        |  CAST(('0x'||substr(md5(text),4,3))::BIGINT % 720 AS INT) AS height,
-        |  CAST(octet_length(text::BLOB) // 1024 + 1 AS BIGINT) AS n_frames
+        |  CAST(CASE WHEN octet_length(text::BLOB) = 0 THEN 0
+        |    ELSE (octet_length(text::BLOB) + 1023) // 1024 END AS BIGINT) AS n_frames,
+        |  CAST(octet_length(text::BLOB) AS BIGINT) AS frame_bytes,
+        |  CAST(CASE WHEN octet_length(text::BLOB) = 0 THEN 0
+        |    ELSE (octet_length(text::BLOB) + 127) // 128 END AS BIGINT) AS n_windows
         |FROM documents""".stripMargin,
 
     "q41_ivf_topk" ->
