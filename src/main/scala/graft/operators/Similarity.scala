@@ -486,7 +486,13 @@ object Similarity {
         Seq("vid"), Seq(col("sim").desc, col("centroid_id").asc))
       val means = assigned
         .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("centroid_id"), col("pos")).agg(avg(col("x")).as("m"))
+        // means are ROUNDED (1e-6) before becoming the next iteration's
+        // centroids: raw double avg depends on summation order, so two
+        // engines (or two partitionings) could diverge by an ulp and flip
+        // a knife-edge assignment. Rounding makes the whole trained
+        // pipeline replayable value-for-value — q75's oracle re-runs the
+        // identical unrolled iterations in DuckDB.
+        .groupBy(col("centroid_id"), col("pos")).agg(Portable.q6(avg(col("x"))).as("m"))
         .groupBy(col("centroid_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           e => e.getField("m")).as("centv"))

@@ -255,28 +255,35 @@ object GateQueries {
 
     "q75_ivf_recall" -> { (s, d) =>
       // Gate the TRAINED IVF path (q41 gates seed centroids only):
-      // kMeansCentroids → ivfTopKWith, audited q67-style against q24's
-      // brute-force truth. k-means is deterministic by construction
-      // (rounded-cosine assignment, id tiebreaks, element-wise means), so
-      // recall@10 is a stable number and its lower-bound flag is
-      // hash-checkable; exact_top1 is the DuckDB-recomputable exact
-      // value. A regression in training or probe routing flips a flag.
+      // kMeansCentroids → ivfTopKWith, audited against q24's brute-force
+      // truth over 50 queries. Training is deterministic AND
+      // cross-engine replayable (rounded-cosine assignment, id
+      // tiebreaks, 1e-6-rounded element-wise means), so the oracle
+      // re-runs the SAME three unrolled Lloyd iterations in DuckDB and
+      // recomputes every per-query hit count EXACTLY — n_hits is a raw
+      // oracle-checked value, not a generous bound, so a regression that
+      // halves recall (bad assignment rounding, wrong nProbe routing)
+      // changes values instead of hiding under a flag. recall_ge_half
+      // is an AUDIT LABEL, not a pass bar: mean recall@10 is ~0.65 at
+      // sf0.01 with nProbe=4/16 and a few tail queries legitimately sit
+      // below 0.5 — the gate is the exact n_hits match, which both
+      // engines must reproduce value-for-value.
       val emb = Tables(s, d).embeddings
-      val queries = emb.where(col("vec_id") < 10)
+      val queries = emb.where(col("vec_id") < 50)
       val exact = Similarity.cosineTopK(queries, emb, "vec_id", "embedding", 10)
-      val cents = Similarity.kMeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val cents = Similarity.kMeansCentroids(emb, "vec_id", "embedding", k = 16, iters = 3)
       val ivf = Similarity.ivfTopKWith(queries, emb, "vec_id", "embedding",
-        k = 10, nProbe = 3, centroids = cents)
+        k = 10, nProbe = 4, centroids = cents)
       val overlap = exact.as("e").join(ivf.as("i"),
           col("e.query_id") === col("i.query_id") &&
             col("e.neighbor_id") === col("i.neighbor_id"), "left")
         .groupBy(col("e.query_id").as("query_id"))
-        .agg(count(col("i.neighbor_id")).as("__hits"))
+        .agg(count(col("i.neighbor_id")).as("n_hits"))
       val top1 = exact.where(col("rank") === 1)
         .select(col("query_id"), col("neighbor_id").as("exact_top1"))
       top1.join(overlap, Seq("query_id"))
-        .select(col("query_id"), col("exact_top1"),
-          (col("__hits") >= 5).as("recall_ok"))
+        .select(col("query_id"), col("exact_top1"), col("n_hits"),
+          (col("n_hits") >= 5).as("recall_ge_half"))
     },
 
     "q76_simhash_wide" -> { (s, d) =>
@@ -851,14 +858,70 @@ object GateQueries {
         |FROM c""".stripMargin,
 
     "q75_ivf_recall" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
-        |scored AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
-        |    floor(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS cosine
-        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
-        |r AS (SELECT query_id, neighbor_id,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, neighbor_id AS exact_top1, TRUE AS recall_ok
-        |FROM r WHERE rank = 1""".stripMargin
+      // Full replay of the TRAINED pipeline: the same three unrolled
+      // Lloyd iterations the Spark side runs (seed = 16 lowest-id
+      // vectors; rounded-cosine assignment with id tiebreaks; means
+      // rounded to 1e-6 before becoming the next iteration's centroids;
+      // empty clusters keep their centroid), then IVF probe/top-10 vs
+      // the brute-force exact top-10 — so n_hits is recomputed EXACTLY.
+      // recall_ge_half documents the 0.5-recall@10 label; the gate is
+      // the value-for-value n_hits match.
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |dims AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM e) + 1)) AS i),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |b1 AS (SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        floor(list_cosine_similarity(e.v, c.cv) * 1000000.0 + 0.5) / 1000000.0 DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
+        |m1 AS (SELECT cid, list(m ORDER BY i) AS cv FROM (
+        |    SELECT b.cid, d.i, floor(avg(b.v[d.i]) * 1000000.0 + 0.5) / 1000000.0 AS m
+        |    FROM b1 b CROSS JOIN dims d GROUP BY b.cid, d.i) GROUP BY cid),
+        |c1 AS (SELECT c.cid, coalesce(m.cv, c.cv) AS cv FROM c0 c LEFT JOIN m1 m USING (cid)),
+        |b2 AS (SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        floor(list_cosine_similarity(e.v, c.cv) * 1000000.0 + 0.5) / 1000000.0 DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN c1 c) WHERE rn = 1),
+        |m2 AS (SELECT cid, list(m ORDER BY i) AS cv FROM (
+        |    SELECT b.cid, d.i, floor(avg(b.v[d.i]) * 1000000.0 + 0.5) / 1000000.0 AS m
+        |    FROM b2 b CROSS JOIN dims d GROUP BY b.cid, d.i) GROUP BY cid),
+        |c2 AS (SELECT c.cid, coalesce(m.cv, c.cv) AS cv FROM c1 c LEFT JOIN m2 m USING (cid)),
+        |b3 AS (SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        floor(list_cosine_similarity(e.v, c.cv) * 1000000.0 + 0.5) / 1000000.0 DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN c2 c) WHERE rn = 1),
+        |m3 AS (SELECT cid, list(m ORDER BY i) AS cv FROM (
+        |    SELECT b.cid, d.i, floor(avg(b.v[d.i]) * 1000000.0 + 0.5) / 1000000.0 AS m
+        |    FROM b3 b CROSS JOIN dims d GROUP BY b.cid, d.i) GROUP BY cid),
+        |c3 AS (SELECT c.cid, coalesce(m.cv, c.cv) AS cv FROM c2 c LEFT JOIN m3 m USING (cid)),
+        |asgn AS (SELECT vec_id AS nid, v AS nv, cid FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        floor(list_cosine_similarity(e.v, c.cv) * 1000000.0 + 0.5) / 1000000.0 DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN c3 c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 50),
+        |probes AS (SELECT qid, qv, cid FROM (
+        |    SELECT q.qid, q.qv, c.cid,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        floor(list_cosine_similarity(q.qv, c.cv) * 1000000.0 + 0.5) / 1000000.0 DESC, c.cid) AS rn
+        |    FROM q CROSS JOIN c3 c) WHERE rn <= 4),
+        |ivf AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT p.qid AS query_id, a.nid AS neighbor_id,
+        |      row_number() OVER (PARTITION BY p.qid ORDER BY
+        |        floor(list_cosine_similarity(p.qv, a.nv) * 1000000.0 + 0.5) / 1000000.0 DESC, a.nid) AS rnk
+        |    FROM probes p JOIN asgn a USING (cid) WHERE a.nid <> p.qid) WHERE rnk <= 10),
+        |ex AS (SELECT query_id, neighbor_id, rnk FROM (
+        |    SELECT q.qid AS query_id, n.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        floor(list_cosine_similarity(q.qv, n.v) * 1000000.0 + 0.5) / 1000000.0 DESC, n.vec_id) AS rnk
+        |    FROM q CROSS JOIN e n WHERE n.vec_id <> q.qid) WHERE rnk <= 10),
+        |hits AS (SELECT x.query_id, count(i.neighbor_id) AS n_hits
+        |    FROM ex x LEFT JOIN ivf i ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
+        |    GROUP BY x.query_id),
+        |top1 AS (SELECT query_id, neighbor_id AS exact_top1 FROM ex WHERE rnk = 1)
+        |SELECT t.query_id, t.exact_top1, h.n_hits, (h.n_hits >= 5) AS recall_ge_half
+        |FROM top1 t JOIN hits h USING (query_id)""".stripMargin
   )
 }
