@@ -605,6 +605,216 @@ object GateQueries {
         width = 64, stride = 32)
         .select(col("doc_id"), col("chunk_idx"), col("first_tok"),
           col("n_tokens"), col("chunk_text"))
+    },
+
+    "q86_daily_update" -> { (s, d) =>
+      // The reference's actual product, end to end: daily_update_script →
+      // update_etl's ordered stage list, run INCREMENTALLY day over day
+      // (terminal-ts pull → derive → upsert; etl_utls.py:328 +
+      // update_etl.py:20-1213 stage order) via pipeline/DailyUpdate. The
+      // fixture splits a capped event log at its midpoint timestamp: run
+      // 1 sees only day-1 events, run 2 the full log — its fact load must
+      // resume from the terminal ts and APPEND exactly the delta, and the
+      // whole 25-stage derived chain re-runs in reference order both
+      // days. The returned frame is the final fact table read back from
+      // disk; the oracle is the batch clean build over the full capped
+      // log, so a delta that drops, duplicates, or re-truncates rows
+      // hash-mismatches. Derived stages are declarative full rebuilds
+      // (exactly the reference's daily semantics) whose per-stage content
+      // is already oracle-gated at full SF by their own q-rows; the
+      // incremental surface — and therefore this gate's content — is the
+      // fact load. Capped fixture (user_id < 150, dims semi-joined to
+      // it) → constant cost at every SF, the streaming-gate convention.
+      import java.nio.file.{Files => JFiles}
+      val t = Tables(s, d)
+      val root = JFiles.createTempDirectory("graft-q86")
+      val (day1, day2) = (root.resolve("day1"), root.resolve("day2"))
+      JFiles.createDirectories(day1); JFiles.createDirectories(day2)
+      val out = root.resolve("out").toString
+
+      val ev = t.events.where(col("user_id") < 150)
+      val mm = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).collect()(0)
+      val split = new java.sql.Timestamp(mm.getTimestamp(0).getTime +
+        (mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime) / 2)
+      ev.where(col("ts") <= lit(split)).write.parquet(s"$day1/events.parquet")
+      ev.write.parquet(s"$day2/events.parquet")
+
+      // non-event tables are identical on both days: write the capped
+      // ones once under shared/ and symlink; small fixed-cardinality
+      // tables symlink straight to the source dir
+      val shared = root.resolve("shared")
+      JFiles.createDirectories(shared)
+      val ords = t.orders.where(col("o_custkey") < 150)
+      t.customer.where(col("c_custkey") < 150)
+        .write.parquet(s"$shared/customer.parquet")
+      ords.write.parquet(s"$shared/orders.parquet")
+      t.lineitem.join(ords.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .write.parquet(s"$shared/lineitem.parquet")
+      t.documents.where(col("doc_id") < 500)
+        .write.parquet(s"$shared/documents.parquet")
+      Seq("customer", "orders", "lineitem", "documents").foreach { n =>
+        JFiles.createSymbolicLink(day1.resolve(s"$n.parquet"), shared.resolve(s"$n.parquet"))
+        JFiles.createSymbolicLink(day2.resolve(s"$n.parquet"), shared.resolve(s"$n.parquet"))
+      }
+      Seq("region", "nation", "supplier", "part", "embeddings").foreach { n =>
+        val src = java.nio.file.Paths.get(d, s"$n.parquet")
+        JFiles.createSymbolicLink(day1.resolve(s"$n.parquet"), src)
+        JFiles.createSymbolicLink(day2.resolve(s"$n.parquet"), src)
+      }
+
+      graft.pipeline.DailyUpdate.run(s, day1.toString, out)
+      graft.pipeline.DailyUpdate.run(s, day2.toString, out)
+      s.read.parquet(s"$out/fact_events_clean")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("d"))
+    },
+
+    "q87_stream_late_data" -> { (s, d) =>
+      // The OTHER half of the streaming contract, previously spec-only:
+      // watermark LATE-DATA drops. q74/q78–q84 all feed in event-time
+      // order (the regime where emit-once ≡ batch); here every 7th event
+      // is WITHHELD from its natural position and delivered only after
+      // the watermark has advanced past the stream's end. The drop rule
+      // is deterministic and pinned by LateDataRuleSpec: a late row is
+      // discarded iff its WINDOW END <= the watermark (max on-time ts
+      // minus the 10 s delay) — late rows landing in a still-open window
+      // are accepted. The oracle is the batch rollup over exactly the
+      // non-dropped rows under that rule, so both the drop AND the
+      // accept path must match bit-for-bit. (The boundary case
+      // window_end == watermark needs max(ts) to land exactly on
+      // hh:00:10.000000 — not constructible from this fixture's µs
+      // timestamps.)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = Tables(s, d).events
+        .where(col("user_id") < 150)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .as[(Long, java.sql.Timestamp, String, Double)].collect()
+      val (delayed, onTime) = ev.partition(_._1 % 7 == 0)
+      val ordered = onTime.sortBy(r => (us(r._2), r._1))
+      val maxTs = ev.map(r => r._2.getTime).max
+      val chunks = ordered.grouped(math.max(1, (ordered.length + 2) / 3)).toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, String, Double)]
+      val out = graft.streaming.StreamOps.windowedRollup(
+        input.toDF().toDF("ts", "event_type", "value"),
+        "ts", "event_type", "value", "1 hour", "10 seconds")
+      val dir = java.nio.file.Files.createTempDirectory("graft-q87").toString
+      val q = out.writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet").option("path", s"$dir/rollup")
+        .start()
+      try {
+        chunks.foreach { c =>
+          input.addData(c.map(r => (r._2, r._3, r._4)): _*)
+          q.processAllAvailable()
+        }
+        // the straggler batch: every withheld event at once, long after
+        // its event time — the watermark is already at max(on-time)-10s
+        if (delayed.nonEmpty) {
+          input.addData(delayed.sortBy(r => (us(r._2), r._1))
+            .map(r => (r._2, r._3, r._4)): _*)
+          q.processAllAvailable()
+        }
+        Seq(0L, 1000L).foreach { off =>
+          input.addData((new java.sql.Timestamp(maxTs + 7200000L + off),
+            "__sentinel", 0.0))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.read.parquet(s"$dir/rollup")
+        .where(col("event_type") =!= "__sentinel")
+        .select(col("window_start"), col("window_end"), col("event_type"),
+          col("n_events"),
+          graft.functions.Portable.q4(col("total_value")).as("total_value"))
+    },
+
+    "q89_stream_recovery" -> { (s, d) =>
+      // Crash-recovery, end to end from the checkpoint (StreamOpsSpec
+      // covers the .old restore within ONE query; this gate kills the
+      // QUERY itself): q78's fixture runs two of its three batches
+      // through upsertSink, the query is STOPPED, the mid-swap crash
+      // state is simulated (live snapshot renamed away to .old — exactly
+      // what a death between the two swap renames leaves), and a NEW
+      // query starts from the same checkpoint to process batch 3. The
+      // restarted sink must first restore the stranded snapshot, then
+      // merge the final batch; the result must equal the uninterrupted
+      // run — q78's oracle verbatim. Proves checkpoint replay + swap
+      // recovery compose, not just each half in isolation.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = Tables(s, d).events
+        .where(col("user_id") < 150)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+      val dir = java.nio.file.Files.createTempDirectory("graft-q89").toString
+      val target = s"$dir/snapshot"
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Double)]
+      val updates = input.toDF().toDF("uid", "worth")
+      def batch(b: Int) = ev.filter(_._1 % 3 == b)
+        .groupBy(_._3).map { case (uid, rows) =>
+          val latest = rows.maxBy(r => (us(r._2), r._1))
+          (uid, latest._4)
+        }.toSeq.sortBy(_._1)
+      val q1 = graft.streaming.StreamOps.upsertSink(updates, target,
+        "uid", Map("worth" -> "worth"), s"$dir/ckpt")
+      try {
+        (0 until 2).foreach { b =>
+          input.addData(batch(b): _*)
+          q1.processAllAvailable()
+        }
+      } finally q1.stop()
+      // the crash window: target promoted away but tmp never landed
+      val fs = new org.apache.hadoop.fs.Path(target)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(fs.rename(new org.apache.hadoop.fs.Path(target),
+        new org.apache.hadoop.fs.Path(target + ".old")),
+        "q89 fixture: failed to strand the snapshot at .old")
+      // restart from the SAME checkpoint; MemoryStream retains its data,
+      // so the new query resumes from the last committed offset
+      val q2 = graft.streaming.StreamOps.upsertSink(updates, target,
+        "uid", Map("worth" -> "worth"), s"$dir/ckpt")
+      try {
+        input.addData(batch(2): _*)
+        q2.processAllAvailable()
+      } finally q2.stop()
+      require(!fs.exists(new org.apache.hadoop.fs.Path(target + ".old")),
+        "q89: stranded .old snapshot must be cleaned up after recovery")
+      s.read.parquet(target)
+        .select(col("id").as("user_id"), col("worth"))
+    },
+
+    "q88_bucketed_join" -> { (s, d) =>
+      // Bucketed co-located join, promoted from spec to gate: the
+      // pay-the-shuffle-once layout for repeated 100 TB joins on a
+      // stable key. Both sides are written bucketed+sorted on the join
+      // key into the session catalog (`Formats.writeBucketed`), then
+      // sort-merge-joined with NO exchange — the plan contract is
+      // asserted IN the gate (a require, so a regression fails the
+      // driver row loudly, not just FormatsSpec) and the output is
+      // oracle-checked against the plain join. The merge hint only pins
+      // SMJ so the broadcast path can't mask a lost bucket layout.
+      val t = Tables(s, d)
+      val rollup = t.events.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.functions.Portable.q4(sum(col("value"))).as("total_value"))
+      val dim = t.customer.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      graft.sources.Formats.writeBucketed(rollup, "graft_q88_facts",
+        Seq("user_id"), numBuckets = 8, sortCols = Seq("user_id"))
+      graft.sources.Formats.writeBucketed(dim, "graft_q88_dim",
+        Seq("c_custkey"), numBuckets = 8, sortCols = Seq("c_custkey"))
+      val f = s.table("graft_q88_facts")
+      val dm = s.table("graft_q88_dim")
+      val joined = f.join(dm.hint("merge"), f("user_id") === dm("c_custkey"))
+        .select(f("user_id"), col("n_events"), col("total_value"),
+          col("c_mktsegment"), col("c_acctbal"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"bucketed join must be exchange-free (no shuffle, no broadcast), got:\n$plan")
+      joined
     }
   )
 
@@ -922,6 +1132,50 @@ object GateQueries {
         |    GROUP BY x.query_id),
         |top1 AS (SELECT query_id, neighbor_id AS exact_top1 FROM ex WHERE rnk = 1)
         |SELECT t.query_id, t.exact_top1, h.n_hits, (h.n_hits >= 5) AS recall_ge_half
-        |FROM top1 t JOIN hits h USING (query_id)""".stripMargin
+        |FROM top1 t JOIN hits h USING (query_id)""".stripMargin,
+
+    "q86_daily_update" ->
+      // the incremental two-day composition must land the fact table at
+      // the batch clean build over the full (capped) event log
+      """SELECT event_id, ts, user_id, event_type, value, CAST(ts AS DATE) AS d
+        |FROM events WHERE user_id < 150 AND event_type <> 'error'""".stripMargin,
+
+    "q87_stream_late_data" ->
+      // kept = on-time rows plus withheld rows whose hour window was
+      // still open when they finally arrived (window end > watermark =
+      // max on-time ts - 10 s); the drop rule is pinned by
+      // LateDataRuleSpec
+      """WITH e AS (SELECT event_id, ts, event_type, value FROM events
+        |    WHERE user_id < 150),
+        |wm AS (SELECT max(ts) - INTERVAL 10 SECOND AS w FROM e
+        |    WHERE event_id % 7 <> 0),
+        |kept AS (
+        |  SELECT ts, event_type, value FROM e WHERE event_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT ts, event_type, value FROM e, wm
+        |  WHERE event_id % 7 = 0
+        |    AND date_trunc('hour', ts) + INTERVAL 1 HOUR > wm.w)
+        |SELECT date_trunc('hour', ts) AS window_start,
+        |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+        |  event_type, count(*) AS n_events,
+        |  floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
+        |FROM kept GROUP BY 1, 2, 3""".stripMargin,
+
+    "q89_stream_recovery" ->
+      // identical to q78's oracle: the crash-interrupted run must land
+      // the exact snapshot of the uninterrupted one
+      """WITH e AS (SELECT event_id, ts, user_id, value FROM events WHERE user_id < 150),
+        |r AS (SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY event_id % 3 DESC, ts DESC, event_id DESC) AS rn
+        |  FROM e)
+        |SELECT user_id, value AS worth FROM r WHERE rn = 1""".stripMargin,
+
+    "q88_bucketed_join" ->
+      """WITH r AS (SELECT user_id, count(*) AS n_events,
+        |    floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
+        |  FROM events GROUP BY user_id)
+        |SELECT r.user_id, r.n_events, r.total_value, c.c_mktsegment, c.c_acctbal
+        |FROM r JOIN customer c ON r.user_id = c.c_custkey""".stripMargin
   )
 }
