@@ -665,9 +665,11 @@ object GateQueries {
 
       graft.pipeline.DailyUpdate.run(s, day1.toString, out)
       graft.pipeline.DailyUpdate.run(s, day2.toString, out)
+      // d cast DATE→TIMESTAMP per the §5 convention (parquet DATE reaches
+      // the pandas compare as `object`, DuckDB DATE as `datetime64`)
       s.read.parquet(s"$out/fact_events_clean")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-          col("value"), col("d"))
+          col("value"), col("d").cast("timestamp").as("d"))
     },
 
     "q87_stream_late_data" -> { (s, d) =>
@@ -1137,7 +1139,8 @@ object GateQueries {
     "q86_daily_update" ->
       // the incremental two-day composition must land the fact table at
       // the batch clean build over the full (capped) event log
-      """SELECT event_id, ts, user_id, event_type, value, CAST(ts AS DATE) AS d
+      """SELECT event_id, ts, user_id, event_type, value,
+        |  CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d
         |FROM events WHERE user_id < 150 AND event_type <> 'error'""".stripMargin,
 
     "q87_stream_late_data" ->
