@@ -789,6 +789,41 @@ object GateQueries {
         .select(col("id").as("user_id"), col("worth"))
     },
 
+    "q90_backfill" -> { (s, d) =>
+      // Gap-driven backfill, the reference's backfill.py (loop
+      // check_table_for_date_gaps → per-date delete+reload), driver-gated:
+      // a date-partitioned daily rollup is materialized MISSING a
+      // deterministic subset of its dates (day-of-month % 7 == 3 — the
+      // holes), then `DailyUpdate.backfillDates` diffs the partition
+      // calendar against the full frame and recomputes ONLY the missing
+      // dates via dynamic partition overwrite. The requires pin the
+      // contract (exactly the holes get written; a re-run backfills
+      // nothing); the oracle checks the healed table equals the batch
+      // rollup over everything — a backfill that rewrote or skipped a
+      // partition diverges. Capped fixture → constant cost at every SF.
+      val rollup = Tables(s, d).events
+        .where(col("user_id") < 150)
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.functions.Portable.q4(sum(col("value"))).as("total_value"))
+      val holes = rollup.select(col("d")).distinct()
+        .where(dayofmonth(col("d")) % 7 === 3)
+        .collect().map(_.getDate(0)).toSet // bounded by calendar days
+      require(holes.nonEmpty, "q90 fixture must have at least one hole date")
+      val target = java.nio.file.Files.createTempDirectory("graft-q90")
+        .toString + "/rollup"
+      graft.sources.Formats.writePartitioned(
+        rollup.where(!col("d").isin(holes.toSeq: _*)), target, Seq("d"))
+      val filled = graft.pipeline.DailyUpdate.backfillDates(s, rollup, "d", target)
+      require(filled.toSet == holes,
+        s"backfill must write exactly the missing dates: got $filled, want $holes")
+      require(graft.pipeline.DailyUpdate.backfillDates(s, rollup, "d", target).isEmpty,
+        "backfill must be idempotent: second run found missing dates")
+      s.read.parquet(target)
+        .select(col("user_id"), col("d").cast("timestamp").as("d"),
+          col("n_events"), col("total_value"))
+    },
+
     "q88_bucketed_join" -> { (s, d) =>
       // Bucketed co-located join, promoted from spec to gate: the
       // pay-the-shuffle-once layout for repeated 100 TB joins on a
@@ -1173,6 +1208,15 @@ object GateQueries {
         |      ORDER BY event_id % 3 DESC, ts DESC, event_id DESC) AS rn
         |  FROM e)
         |SELECT user_id, value AS worth FROM r WHERE rn = 1""".stripMargin,
+
+    "q90_backfill" ->
+      // the healed table must equal the batch rollup — partitions that
+      // were never missing keep their content, holes are recomputed
+      """SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d,
+        |  count(*) AS n_events,
+        |  floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
+        |FROM events WHERE user_id < 150
+        |GROUP BY 1, 2""".stripMargin,
 
     "q88_bucketed_join" ->
       """WITH r AS (SELECT user_id, count(*) AS n_events,
