@@ -104,8 +104,12 @@ object Bench {
       spark.catalog.clearCache()
     }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val loadStart = loadAvg()
     val cpusN = cpus.toDouble
+    // the warmup pass itself drives 1-min loadavg to ~10+; settle before
+    // the first timed rep so early batch queries aren't measured under
+    // the bench's own residue (observed 1.3-1.6x wobble on them)
+    settle(target = cpusN / 4, maxWaitSec = 180)
+    val loadStart = loadAvg()
     val t0Wall = System.nanoTime()
     var settleSec = 0.0
     val results = names.map { name =>
