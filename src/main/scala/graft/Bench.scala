@@ -50,7 +50,8 @@ object Bench {
     "q74_stream_neardup", "q78_stream_upsert", "q79_stream_funnel",
     "q80_stream_sessionize", "q81_stream_rollup", "q82_stream_dedup",
     "q83_stream_enrich", "q84_stream_interval_join", "q86_daily_update",
-    "q87_stream_late_data", "q89_stream_recovery", "q90_backfill")
+    "q87_stream_late_data", "q89_stream_recovery", "q90_backfill",
+    "q91_formats_roundtrip")
 
   /** Wait (bounded) for the 1-min loadavg to decay below `target` so the
     * next section's per-query `load` fields start from a clean machine;

@@ -824,6 +824,38 @@ object GateQueries {
           col("n_events"), col("total_value"))
     },
 
+    "q91_formats_roundtrip" -> { (s, d) =>
+      // Interchange-format fidelity, driver-gated (the CSV/JSONL/ORC
+      // readers+writers were spec-only): one capped event slice
+      // round-trips through all three Formats writers and their
+      // explicit-schema FAILFAST readers; the query returns the
+      // read-back rows tagged by format, and the oracle is the same
+      // slice crossed with the three format tags — a writer/reader that
+      // drops a row, mangles a value, or shifts a type diverges on
+      // exactly its tag. Doubles survive text formats bit-exactly
+      // (shortest-repr toString → parse). Timestamps are excluded BY
+      // DESIGN: text-format timestamp fidelity is a formatting option,
+      // not a fidelity property of the engine (parquet/ORC carry µs
+      // natively; the µs columns are gated everywhere else).
+      import org.apache.spark.sql.types._
+      val slice = Tables(s, d).events
+        .where(col("user_id") < 150)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val root = java.nio.file.Files.createTempDirectory("graft-q91").toString
+      graft.sources.Formats.writeCsv(slice, s"$root/csv")
+      graft.sources.Formats.writeJsonl(slice, s"$root/jsonl")
+      graft.sources.Formats.writeOrc(slice, s"$root/orc")
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      graft.sources.Formats.readCsv(s, s"$root/csv", schema)
+        .withColumn("fmt", lit("csv"))
+        .unionByName(graft.sources.Formats.readJsonl(s, s"$root/jsonl", schema)
+          .withColumn("fmt", lit("jsonl")))
+        .unionByName(graft.sources.Formats.readOrc(s, s"$root/orc")
+          .withColumn("fmt", lit("orc")))
+    },
+
     "q88_bucketed_join" -> { (s, d) =>
       // Bucketed co-located join, promoted from spec to gate: the
       // pay-the-shuffle-once layout for repeated 100 TB joins on a
@@ -1217,6 +1249,13 @@ object GateQueries {
         |  floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
         |FROM events WHERE user_id < 150
         |GROUP BY 1, 2""".stripMargin,
+
+    "q91_formats_roundtrip" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value FROM events
+        |    WHERE user_id < 150),
+        |f AS (SELECT unnest(['csv', 'jsonl', 'orc']) AS fmt)
+        |SELECT e.event_id, e.user_id, e.event_type, e.value, f.fmt
+        |FROM e CROSS JOIN f""".stripMargin,
 
     "q88_bucketed_join" ->
       """WITH r AS (SELECT user_id, count(*) AS n_events,

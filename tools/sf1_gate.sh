@@ -51,7 +51,7 @@ SPARK_GRAFT_SF_DIR=/root/repo/tmp/sf1 sbt -batch "runMain graft.Bench \
   q76_simhash_wide q77_dup_spans q78_stream_upsert q79_stream_funnel \
   q80_stream_sessionize q81_stream_rollup q82_stream_dedup q83_stream_enrich \
   q84_stream_interval_join q85_doc_chunking q86_daily_update \
-  q87_stream_late_data q88_bucketed_join q89_stream_recovery q90_backfill" \
+  q87_stream_late_data q88_bucketed_join q89_stream_recovery q90_backfill q91_formats_roundtrip" \
   2>/dev/null | grep '"metric"' | sed 's/^\[info\] //' \
   > "evidence/BENCH_sf1_${ROUND}.json"
 echo "sf1 gate + bench complete; artifacts refreshed under evidence/"
