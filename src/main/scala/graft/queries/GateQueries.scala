@@ -39,6 +39,18 @@ object GateQueries {
   private def us(t: java.sql.Timestamp): Long =
     t.getTime / 1000 * 1000000L + t.getNanos / 1000
 
+  /** Inverse of [[us]]: Timestamp from epoch microseconds. The sentinel
+    * arithmetic in the streaming fixtures goes through this pair instead
+    * of `getTime` so the whole fixture is uniformly µs-precise — safety
+    * must not ride on the sentinels' multi-hour margin absorbing a
+    * millisecond truncation.
+    */
+  private def microTs(epochUs: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(epochUs / 1000)
+    t.setNanos(((epochUs % 1000000L) * 1000L).toInt)
+    t
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
 
     "q67_sketch_accuracy" -> { (s, d) =>
@@ -403,7 +415,7 @@ object GateQueries {
         .select(col("user_id"), col("ts"), col("value"))
         .as[(Long, java.sql.Timestamp, Double)].collect()
         .sortBy(r => (us(r._2), r._1))
-      val maxTs = ev.map(_._2.getTime).max
+      val maxUs = ev.map(r => us(r._2)).max
       val chunks = ev.grouped(math.max(1, (ev.length + 2) / 3)).toSeq
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[graft.streaming.StreamOps.Event]
@@ -422,9 +434,9 @@ object GateQueries {
           q.processAllAvailable()
         }
         // sentinel flush: gap + delay + margin past the last real event
-        Seq(0L, 1000L).foreach { off =>
+        Seq(0L, 1000000L).foreach { offUs =>
           input.addData(graft.streaming.StreamOps.Event(-1L,
-            new java.sql.Timestamp(maxTs + 3600L * 1000 + 60000L + off), 0.0))
+            microTs(maxUs + 3600L * 1000000L + 60000000L + offUs), 0.0))
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -449,7 +461,7 @@ object GateQueries {
         .select(col("ts"), col("event_type"), col("value"))
         .as[(java.sql.Timestamp, String, Double)].collect()
         .sortBy(r => (us(r._1), r._2))
-      val maxTs = ev.map(_._1.getTime).max
+      val maxUs = ev.map(r => us(r._1)).max
       val chunks = ev.grouped(math.max(1, (ev.length + 2) / 3)).toSeq
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, String, Double)]
@@ -464,8 +476,8 @@ object GateQueries {
         .start()
       try {
         chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
-        Seq(0L, 1000L).foreach { off =>
-          input.addData((new java.sql.Timestamp(maxTs + 7200000L + off),
+        Seq(0L, 1000000L).foreach { offUs =>
+          input.addData((microTs(maxUs + 7200000000L + offUs),
             "__sentinel", 0.0))
           q.processAllAvailable()
         }
@@ -658,7 +670,9 @@ object GateQueries {
         JFiles.createSymbolicLink(day2.resolve(s"$n.parquet"), shared.resolve(s"$n.parquet"))
       }
       Seq("region", "nation", "supplier", "part", "embeddings").foreach { n =>
-        val src = java.nio.file.Paths.get(d, s"$n.parquet")
+        // absolute source: a relative sf dir would resolve the symlink
+        // TARGET relative to the day dirs and dangle
+        val src = java.nio.file.Paths.get(d).toAbsolutePath.resolve(s"$n.parquet")
         JFiles.createSymbolicLink(day1.resolve(s"$n.parquet"), src)
         JFiles.createSymbolicLink(day2.resolve(s"$n.parquet"), src)
       }
@@ -695,7 +709,7 @@ object GateQueries {
         .as[(Long, java.sql.Timestamp, String, Double)].collect()
       val (delayed, onTime) = ev.partition(_._1 % 7 == 0)
       val ordered = onTime.sortBy(r => (us(r._2), r._1))
-      val maxTs = ev.map(r => r._2.getTime).max
+      val maxUs = ev.map(r => us(r._2)).max
       val chunks = ordered.grouped(math.max(1, (ordered.length + 2) / 3)).toSeq
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, String, Double)]
@@ -720,8 +734,8 @@ object GateQueries {
             .map(r => (r._2, r._3, r._4)): _*)
           q.processAllAvailable()
         }
-        Seq(0L, 1000L).foreach { off =>
-          input.addData((new java.sql.Timestamp(maxTs + 7200000L + off),
+        Seq(0L, 1000000L).foreach { offUs =>
+          input.addData((microTs(maxUs + 7200000000L + offUs),
             "__sentinel", 0.0))
           q.processAllAvailable()
         }

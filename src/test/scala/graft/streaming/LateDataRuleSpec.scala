@@ -31,7 +31,11 @@ class LateDataRuleSpec extends SparkSpec {
       .outputMode(OutputMode.Append)
       .format("parquet").option("path", s"$dir/rollup")
       .start()
-    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // instants, not Timestamp.valueOf: valueOf parses in the JVM default
+    // zone while the assertions render in the session's UTC — the spec
+    // must not depend on a UTC-defaulted host
+    def t(h: Int, m: Int) =
+      Timestamp.from(java.time.Instant.parse(f"2024-01-01T$h%02d:$m%02d:00Z"))
     try {
       // batch 1: events at 01:10 and 03:50 → watermark after batch = 03:49:50
       input.addData((t(1, 10), "a", 1.0), (t(3, 50), "a", 1.0))
@@ -43,9 +47,9 @@ class LateDataRuleSpec extends SparkSpec {
       input.addData((t(2, 10), "b", 1.0), (t(3, 10), "b", 1.0))
       q.processAllAvailable()
       // two sentinel advances flush every real window
-      input.addData((Timestamp.valueOf("2024-01-02 12:00:00"), "s", 0.0))
+      input.addData((Timestamp.from(java.time.Instant.parse("2024-01-02T12:00:00Z")), "s", 0.0))
       q.processAllAvailable()
-      input.addData((Timestamp.valueOf("2024-01-02 13:00:00"), "s", 0.0))
+      input.addData((Timestamp.from(java.time.Instant.parse("2024-01-02T13:00:00Z")), "s", 0.0))
       q.processAllAvailable()
     } finally q.stop()
     val rows = spark.read.parquet(s"$dir/rollup")

@@ -32,6 +32,9 @@ if python3 tools/check.py /root/repo/tmp/sf1 /root/repo/tmp/verify_sf1 $NAMES \
     > "$GATE_TMP" 2>&1; then
   cat "$GATE_TMP"
   mv "$GATE_TMP" "evidence/GATE_sf1_${ROUND}.log"
+  # mktemp files are 0600; normalize so the committed artifact doesn't
+  # carry a spurious restrictive mode
+  chmod 644 "evidence/GATE_sf1_${ROUND}.log"
 else
   status=$?
   cat "$GATE_TMP"
