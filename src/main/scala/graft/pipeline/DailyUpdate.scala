@@ -66,8 +66,20 @@ object DailyUpdate {
     * table → row count. `fact_events_clean` is written date-partitioned
     * (the production layout); the rest are snapshot overwrites like the
     * reference's derived tables.
+    *
+    * `deriveStages` defaults to the full reference chain; a caller gating
+    * only the incremental fact surface (q96's backfill composition) may
+    * pass `Seq.empty` — the fact load and gap check always run.
+    *
+    * Derived-stage counts come from an [[org.apache.spark.sql.Observation]]
+    * riding the write job itself, NOT a read-back count: the read-back
+    * doubled every stage's job count (pure scheduler overhead at any SF —
+    * the two-day q86 composition was ~110 local jobs), and rows-observed
+    * during the write equals rows-readable by construction.
     */
-  def run(spark: SparkSession, sfDir: String, outDir: String): Map[String, Long] = {
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          deriveStages: Seq[(String, (SparkSession, String) => DataFrame)] = stages.tail)
+      : Map[String, Long] = {
     // 1. freshness guard — the reference's check_table_for_date_gaps
     val gaps = Gaps.missingDates(Tables(spark, sfDir).events, "user_id", "ts").count()
 
@@ -85,10 +97,11 @@ object DailyUpdate {
     }
 
     // 3. derived chain (declarative; a scheduler may parallelize branches)
-    val counts = stages.tail.map { case (name, build) =>
-      val df = build(spark, sfDir)
-      df.write.mode("overwrite").parquet(s"$outDir/$name")
-      name -> Formats.readParquet(spark, s"$outDir/$name").count()
+    val counts = deriveStages.map { case (name, build) =>
+      val obs = org.apache.spark.sql.Observation()
+      build(spark, sfDir).observe(obs, count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$outDir/$name")
+      name -> obs.get("n").asInstanceOf[Long]
     }.toMap
 
     counts + ("fact_events_clean" -> Formats.readParquet(spark, factPath).count()) +

@@ -51,6 +51,61 @@ object GateQueries {
     t
   }
 
+  /** Shared fixture for the daily-pipeline gates (q86, q92): build the
+    * capped two-day incremental layout (day 1 = events up to the midpoint
+    * timestamp, day 2 = the full capped log; dims capped/symlinked) and
+    * run the FULL DailyUpdate chain for day 1 then day 2. Returns the
+    * pipeline's out/ directory; q86 gates the incremental fact table from
+    * it, q92 a derived table. Each gate runs the composition itself — no
+    * memoized temp dir — so bench timings stay honest per-query.
+    */
+  private def dailyPipelineFixtureRun(s: org.apache.spark.sql.SparkSession,
+                                      d: String): String = {
+    import java.nio.file.{Files => JFiles}
+    val t = Tables(s, d)
+    val root = JFiles.createTempDirectory("graft-daily")
+    val (day1, day2) = (root.resolve("day1"), root.resolve("day2"))
+    JFiles.createDirectories(day1); JFiles.createDirectories(day2)
+    val out = root.resolve("out").toString
+
+    val ev = t.events.where(col("user_id") < 150)
+    val mm = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).collect()(0)
+    val split = new java.sql.Timestamp(mm.getTimestamp(0).getTime +
+      (mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime) / 2)
+    ev.where(col("ts") <= lit(split)).write.parquet(s"$day1/events.parquet")
+    ev.write.parquet(s"$day2/events.parquet")
+
+    // non-event tables are identical on both days: write the capped
+    // ones once under shared/ and symlink; small fixed-cardinality
+    // tables symlink straight to the source dir
+    val shared = root.resolve("shared")
+    JFiles.createDirectories(shared)
+    val ords = t.orders.where(col("o_custkey") < 150)
+    t.customer.where(col("c_custkey") < 150)
+      .write.parquet(s"$shared/customer.parquet")
+    ords.write.parquet(s"$shared/orders.parquet")
+    t.lineitem.join(ords.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .write.parquet(s"$shared/lineitem.parquet")
+    t.documents.where(col("doc_id") < 500)
+      .write.parquet(s"$shared/documents.parquet")
+    Seq("customer", "orders", "lineitem", "documents").foreach { n =>
+      JFiles.createSymbolicLink(day1.resolve(s"$n.parquet"), shared.resolve(s"$n.parquet"))
+      JFiles.createSymbolicLink(day2.resolve(s"$n.parquet"), shared.resolve(s"$n.parquet"))
+    }
+    Seq("region", "nation", "supplier", "part", "embeddings").foreach { n =>
+      // absolute source: a relative sf dir would resolve the symlink
+      // TARGET relative to the day dirs and dangle
+      val src = java.nio.file.Paths.get(d).toAbsolutePath.resolve(s"$n.parquet")
+      JFiles.createSymbolicLink(day1.resolve(s"$n.parquet"), src)
+      JFiles.createSymbolicLink(day2.resolve(s"$n.parquet"), src)
+    }
+
+    graft.pipeline.DailyUpdate.run(s, day1.toString, out)
+    graft.pipeline.DailyUpdate.run(s, day2.toString, out)
+    out
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
 
     "q67_sketch_accuracy" -> { (s, d) =>
@@ -637,53 +692,32 @@ object GateQueries {
       // incremental surface — and therefore this gate's content — is the
       // fact load. Capped fixture (user_id < 150, dims semi-joined to
       // it) → constant cost at every SF, the streaming-gate convention.
-      import java.nio.file.{Files => JFiles}
-      val t = Tables(s, d)
-      val root = JFiles.createTempDirectory("graft-q86")
-      val (day1, day2) = (root.resolve("day1"), root.resolve("day2"))
-      JFiles.createDirectories(day1); JFiles.createDirectories(day2)
-      val out = root.resolve("out").toString
-
-      val ev = t.events.where(col("user_id") < 150)
-      val mm = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).collect()(0)
-      val split = new java.sql.Timestamp(mm.getTimestamp(0).getTime +
-        (mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime) / 2)
-      ev.where(col("ts") <= lit(split)).write.parquet(s"$day1/events.parquet")
-      ev.write.parquet(s"$day2/events.parquet")
-
-      // non-event tables are identical on both days: write the capped
-      // ones once under shared/ and symlink; small fixed-cardinality
-      // tables symlink straight to the source dir
-      val shared = root.resolve("shared")
-      JFiles.createDirectories(shared)
-      val ords = t.orders.where(col("o_custkey") < 150)
-      t.customer.where(col("c_custkey") < 150)
-        .write.parquet(s"$shared/customer.parquet")
-      ords.write.parquet(s"$shared/orders.parquet")
-      t.lineitem.join(ords.select(col("o_orderkey")),
-          col("l_orderkey") === col("o_orderkey"), "left_semi")
-        .write.parquet(s"$shared/lineitem.parquet")
-      t.documents.where(col("doc_id") < 500)
-        .write.parquet(s"$shared/documents.parquet")
-      Seq("customer", "orders", "lineitem", "documents").foreach { n =>
-        JFiles.createSymbolicLink(day1.resolve(s"$n.parquet"), shared.resolve(s"$n.parquet"))
-        JFiles.createSymbolicLink(day2.resolve(s"$n.parquet"), shared.resolve(s"$n.parquet"))
-      }
-      Seq("region", "nation", "supplier", "part", "embeddings").foreach { n =>
-        // absolute source: a relative sf dir would resolve the symlink
-        // TARGET relative to the day dirs and dangle
-        val src = java.nio.file.Paths.get(d).toAbsolutePath.resolve(s"$n.parquet")
-        JFiles.createSymbolicLink(day1.resolve(s"$n.parquet"), src)
-        JFiles.createSymbolicLink(day2.resolve(s"$n.parquet"), src)
-      }
-
-      graft.pipeline.DailyUpdate.run(s, day1.toString, out)
-      graft.pipeline.DailyUpdate.run(s, day2.toString, out)
+      val out = dailyPipelineFixtureRun(s, d)
       // d cast DATE→TIMESTAMP per the §5 convention (parquet DATE reaches
       // the pandas compare as `object`, DuckDB DATE as `datetime64`)
       s.read.parquet(s"$out/fact_events_clean")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"), col("d").cast("timestamp").as("d"))
+    },
+
+    "q92_daily_derived" -> { (s, d) =>
+      // The r06 verdict's one unhashed surface: q86 gates the incremental
+      // FACT table, but a wiring bug INSIDE the two-day composition that
+      // fed a derived stage a stale path would only have shown as a row
+      // count. This gate re-runs the identical two-day fixture pipeline
+      // and returns a DERIVED table — trading_roi, the as-of-join stage
+      // deep in the reference chain (update_etl.py:635 inside
+      // daily_update_script.py's order) — read back from out/ AFTER the
+      // day-2 run. The oracle is q09's construction over the capped
+      // fixture, so a stage run against day-1 state, a stale path, or a
+      // partial overwrite hash-mismatches. Deliberately a separate q-row
+      // from q86 (not a widened return frame): each gate's oracle stays
+      // one table, and the fixture cost is constant at every SF.
+      val out = dailyPipelineFixtureRun(s, d)
+      s.read.parquet(s"$out/trading_roi")
+        .select(col("user_id"), col("buy_event_id"), col("buy_ts"),
+          col("buy_value"), col("sell_event_id"), col("sell_ts"),
+          col("sell_value"), col("gain"))
     },
 
     "q87_stream_late_data" -> { (s, d) =>
@@ -1223,6 +1257,33 @@ object GateQueries {
       """SELECT event_id, ts, user_id, event_type, value,
         |  CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d
         |FROM events WHERE user_id < 150 AND event_type <> 'error'""".stripMargin,
+
+    "q92_daily_derived" ->
+      // q09's trading-roi construction over the capped fixture: the
+      // derived table the two-day pipeline materialized must equal the
+      // from-scratch build on the full capped event log
+      """WITH seq AS (
+        |  SELECT user_id, ts, event_id, event_type, value FROM events
+        |  WHERE user_id < 150 AND event_type IN ('purchase','view')),
+        |nxt AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_sell_ts
+        |  FROM seq),
+        |buys AS (
+        |  SELECT user_id, event_id AS buy_event_id, ts AS buy_ts, value AS buy_value, next_sell_ts
+        |  FROM nxt WHERE event_type = 'purchase' AND next_sell_ts IS NOT NULL),
+        |sells AS (
+        |  SELECT user_id AS sk, event_id AS sell_event_id, ts AS sell_ts, value AS sell_value
+        |  FROM seq WHERE event_type = 'view'),
+        |matched AS (
+        |  SELECT b.user_id, b.buy_event_id, b.buy_ts, b.buy_value,
+        |         s.sell_event_id, s.sell_ts, s.sell_value,
+        |         row_number() OVER (PARTITION BY b.buy_event_id ORDER BY s.sell_event_id) AS rn
+        |  FROM buys b JOIN sells s ON b.user_id = s.sk AND b.next_sell_ts = s.sell_ts)
+        |SELECT user_id, buy_event_id, buy_ts, buy_value, sell_event_id, sell_ts, sell_value,
+        |  floor((sell_value - buy_value) * 10000.0 + 0.5) / 10000.0 AS gain
+        |FROM matched WHERE rn = 1""".stripMargin,
 
     "q87_stream_late_data" ->
       // kept = on-time rows plus withheld rows whose hour window was
