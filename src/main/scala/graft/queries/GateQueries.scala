@@ -734,7 +734,8 @@ object GateQueries {
       // accept path must match bit-for-bit. (The boundary case
       // window_end == watermark needs max(ts) to land exactly on
       // hh:00:10.000000 — not constructible from this fixture's µs
-      // timestamps.)
+      // timestamps; LateDataRuleSpec pins it with a crafted ms-aligned
+      // fixture: dropped at exact equality.)
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val ev = Tables(s, d).events
@@ -777,6 +778,77 @@ object GateQueries {
       s.read.parquet(s"$dir/rollup")
         .where(col("event_type") =!= "__sentinel")
         .select(col("window_start"), col("window_end"), col("event_type"),
+          col("n_events"),
+          graft.functions.Portable.q4(col("total_value")).as("total_value"))
+    },
+
+    "q93_stream_late_sessionize" -> { (s, d) =>
+      // Late data against a STATEFUL op (q87 covers the windowed agg):
+      // every user's LAST event — max by (ts, event_id) — is WITHHELD
+      // from the on-time feed and delivered in one straggler batch after
+      // the watermark (1-hour delay) has advanced to max(on-time) - 1h.
+      // fMGWS's late filter then splits that batch deterministically
+      // under the rule LateDataRuleSpec pins: a late row is DROPPED iff
+      // ts <= watermark, ACCEPTED iff ts > it (the stream's final hour),
+      // and an accepted row merges into (or reopens) its user's session
+      // exactly as the batch gap-split would place it — it is its user's
+      // latest event, so arrival order equals event-time order for that
+      // user and the emit-once semantics stay equal to batch. The oracle
+      // is the batch sessionization over exactly the non-dropped set.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = Tables(s, d).events
+        .where(col("user_id") < 150)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+      val withheldIds = ev.groupBy(_._3).map { case (_, rows) =>
+        rows.maxBy(r => (us(r._2), r._1))._1
+      }.toSet
+      val (delayed, onTime) = ev.partition(r => withheldIds(r._1))
+      val ordered = onTime.sortBy(r => (us(r._2), r._1))
+      val maxOnTimeUs = ordered.map(r => us(r._2)).max
+      // the sentinel flush must clear the GLOBAL max: accepted late rows
+      // push session horizons past the on-time max (an on-time-based
+      // sentinel left the 8 latest accepted sessions un-flushed in state)
+      val maxAllUs = ev.map(r => us(r._2)).max
+      // both rule paths must actually be exercised: wm = max(on-time)-1h,
+      // drops are ts <= wm, accepts ts > wm (LateDataRuleSpec's rule)
+      val wmUs = (maxOnTimeUs / 1000 - 3600000L) * 1000
+      require(delayed.exists(r => us(r._2) <= wmUs),
+        "q93 fixture must drop at least one late row")
+      require(delayed.exists(r => us(r._2) > wmUs),
+        "q93 fixture must accept at least one late row")
+      val chunks = ordered.grouped(math.max(1, (ordered.length + 2) / 3)).toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.StreamOps.Event]
+      val out = graft.streaming.StreamOps.sessionize(input.toDS(),
+        gapSeconds = 1800, watermarkDelay = "1 hour")
+      val dir = java.nio.file.Files.createTempDirectory("graft-q93").toString
+      val q = out.toDF().writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet").option("path", s"$dir/sessions")
+        .start()
+      try {
+        chunks.foreach { c =>
+          input.addData(c.map(r =>
+            graft.streaming.StreamOps.Event(r._3, r._2, r._4)): _*)
+          q.processAllAvailable()
+        }
+        // the straggler batch: every withheld last event at once
+        input.addData(delayed.sortBy(r => (us(r._2), r._1)).map(r =>
+          graft.streaming.StreamOps.Event(r._3, r._2, r._4)): _*)
+        q.processAllAvailable()
+        // sentinel flush: gap + delay + margin past the last event
+        Seq(0L, 1000000L).foreach { offUs =>
+          input.addData(graft.streaming.StreamOps.Event(-1L,
+            microTs(maxAllUs + 1800L * 1000000L + 3600L * 1000000L + 60000000L + offUs), 0.0))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.read.parquet(s"$dir/sessions")
+        .where(col("user_id") >= 0)
+        .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"),
           graft.functions.Portable.q4(col("total_value")).as("total_value"))
     },
@@ -1305,6 +1377,40 @@ object GateQueries {
         |  event_type, count(*) AS n_events,
         |  floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
         |FROM kept GROUP BY 1, 2, 3""".stripMargin,
+
+    "q93_stream_late_sessionize" ->
+      // kept = on-time rows plus each user's withheld LAST event when it
+      // beat the watermark (wm = ms-floored max on-time ts minus 1 h;
+      // dropped iff ts <= wm — LateDataRuleSpec's fMGWS rule); then the
+      // batch gap-split sessionization over exactly that set
+      """WITH e AS (SELECT event_id, ts, user_id, value FROM events
+        |    WHERE user_id < 150),
+        |wh AS (SELECT user_id, event_id FROM (
+        |    SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM e) WHERE rn = 1),
+        |ont AS (SELECT e.* FROM e LEFT JOIN wh
+        |    ON e.user_id = wh.user_id AND e.event_id = wh.event_id
+        |  WHERE wh.event_id IS NULL),
+        |wm AS (SELECT (epoch_us(max(ts)) // 1000 - 3600000) * 1000 AS w FROM ont),
+        |kept AS (
+        |  SELECT user_id, ts, value FROM ont
+        |  UNION ALL
+        |  SELECT e.user_id, e.ts, e.value FROM e
+        |  JOIN wh ON e.user_id = wh.user_id AND e.event_id = wh.event_id
+        |  CROSS JOIN wm WHERE epoch_us(e.ts) > wm.w),
+        |flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS new_s
+        |  FROM kept
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq FROM flagged)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
+        |FROM sess GROUP BY user_id, session_seq""".stripMargin,
 
     "q89_stream_recovery" ->
       // identical to q78's oracle: the crash-interrupted run must land

@@ -61,4 +61,91 @@ class LateDataRuleSpec extends SparkSpec {
       ("2024-01-01 03:00:00", "a", 1L),
       ("2024-01-01 03:00:00", "b", 1L))) // 02:10 dropped, 03:10 accepted
   }
+
+  test("window_end == watermark exactly: the late row is dropped (<=, not <)") {
+    // The strict-vs-equal edge q87's µs-random fixture cannot construct:
+    // park the watermark EXACTLY on an hour boundary (max ts hh:00:10.000
+    // minus the 10 s delay) and deliver a late row whose window ends
+    // exactly there.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val out = StreamOps.windowedRollup(
+      input.toDF().toDF("ts", "event_type", "value"),
+      "ts", "event_type", "value", "1 hour", "10 seconds")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lateeq").toString
+    val q = out.writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append)
+      .format("parquet").option("path", s"$dir/rollup")
+      .start()
+    def t(s: String) = Timestamp.from(java.time.Instant.parse(s))
+    try {
+      // watermark after batch 1 = 05:00:10.000 - 10 s = 05:00:00.000
+      input.addData((t("2024-01-01T05:00:10.000Z"), "a", 1.0))
+      q.processAllAvailable()
+      // late rows against wm 05:00:00.000:
+      //  eq:   [04:00,05:00) — window end == wm → the edge under test
+      //  open: [05:00,06:00) — window end >  wm → kept (control)
+      input.addData((t("2024-01-01T04:30:00Z"), "eq", 1.0),
+        (t("2024-01-01T05:00:00Z"), "open", 1.0))
+      q.processAllAvailable()
+      input.addData((t("2024-01-02T12:00:00Z"), "s", 0.0))
+      q.processAllAvailable()
+      input.addData((t("2024-01-02T13:00:00Z"), "s", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(s"$dir/rollup")
+      .where($"event_type" =!= "s")
+      .select($"window_start".cast("string"), $"event_type", $"n_events")
+      .as[(String, String, Long)].collect().toSet
+    assert(rows == Set(
+      ("2024-01-01 05:00:00", "a", 1L),
+      ("2024-01-01 05:00:00", "open", 1L))) // "eq" dropped at exact equality
+  }
+
+  test("fMGWS (sessionize) drops a late row iff ts <= watermark (== is dropped)") {
+    // The stateful-op half of the contract: flatMapGroupsWithState filters
+    // late INPUT rows on the raw event-time column (no window struct), and
+    // the filter is NON-strict — a row exactly at the watermark is dropped
+    // (observed empirically; same <=-shape as the windowed rule above,
+    // applied to ts instead of window end). q93's oracle encodes exactly
+    // this. Pinned with ms-aligned timestamps sitting exactly on, just
+    // under, and just over the watermark.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.Event]
+    val out = StreamOps.sessionize(input.toDS(), gapSeconds = 60,
+      watermarkDelay = "10 seconds")
+    val dir = java.nio.file.Files.createTempDirectory("graft-latefmgws").toString
+    val q = out.toDF().writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append)
+      .format("parquet").option("path", s"$dir/sessions")
+      .start()
+    def t(s: String) = Timestamp.from(java.time.Instant.parse(s))
+    try {
+      // watermark after batch 1 = 05:00:10.000 - 10 s = 05:00:00.000
+      input.addData(StreamOps.Event(1L, t("2024-01-01T05:00:10.000Z"), 1.0))
+      q.processAllAvailable()
+      // user 2, all three rows in one late batch against wm 05:00:00.000:
+      //  04:59:59.999 < wm → dropped; 05:00:00.000 == wm → dropped;
+      //  05:00:01 > wm → kept  ⇒ one session [05:00:01, 05:00:01], n=1
+      input.addData(
+        StreamOps.Event(2L, t("2024-01-01T04:59:59.999Z"), 1.0),
+        StreamOps.Event(2L, t("2024-01-01T05:00:00.000Z"), 1.0),
+        StreamOps.Event(2L, t("2024-01-01T05:00:01.000Z"), 1.0))
+      q.processAllAvailable()
+      input.addData(StreamOps.Event(-1L, t("2024-01-02T12:00:00Z"), 0.0))
+      q.processAllAvailable()
+      input.addData(StreamOps.Event(-1L, t("2024-01-02T13:00:00Z"), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(s"$dir/sessions")
+      .where($"user_id" >= 0)
+      .select($"user_id", $"session_start".cast("string"),
+        $"session_end".cast("string"), $"n_events")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(rows == Set(
+      (1L, "2024-01-01 05:00:10", "2024-01-01 05:00:10", 1L),
+      (2L, "2024-01-01 05:00:01", "2024-01-01 05:00:01", 1L)))
+  }
 }
