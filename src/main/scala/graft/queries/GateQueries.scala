@@ -909,6 +909,69 @@ object GateQueries {
         .select(col("id").as("user_id"), col("worth"))
     },
 
+    "q94_stream_sessionize_recovery" -> { (s, d) =>
+      // Crash-recovery of STATE, not just sink (q89 gates upsertSink's
+      // checkpoint+swap; there the state lives in the parquet snapshot):
+      // sessionize's open sessions live in the state STORE under the
+      // checkpoint. q80's fixture runs two of its three chunks through
+      // query 1, the query is STOPPED with hundreds of sessions mid-gap
+      // in state, and a NEW query resumes from the same checkpoint for
+      // chunk 3 + sentinels. A restore that lost or double-loaded state
+      // would split or duplicate every session spanning the kill point —
+      // the oracle is q80's batch gap-split verbatim, so the interrupted
+      // run must be indistinguishable from an uninterrupted one.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = Tables(s, d).events
+        .where(col("user_id") < 150)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[(Long, java.sql.Timestamp, Double)].collect()
+        .sortBy(r => (us(r._2), r._1))
+      val maxUs = ev.map(r => us(r._2)).max
+      val chunks = ev.grouped(math.max(1, (ev.length + 2) / 3)).toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.StreamOps.Event]
+      val dir = java.nio.file.Files.createTempDirectory("graft-q94").toString
+      def start() = graft.streaming.StreamOps.sessionize(input.toDS(),
+          gapSeconds = 1800, watermarkDelay = "10 seconds")
+        .toDF().writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet").option("path", s"$dir/sessions")
+        .start()
+      val q1 = start()
+      try {
+        chunks.take(2).foreach { c =>
+          input.addData(c.map(r =>
+            graft.streaming.StreamOps.Event(r._1, r._2, r._3)): _*)
+          q1.processAllAvailable()
+        }
+      } finally q1.stop()
+      // the kill point must land mid-stream: some sessions already
+      // emitted, the rest still open in the state store
+      val nMid = s.read.parquet(s"$dir/sessions").count()
+      require(nMid > 0, "q94: first query must emit some sessions before the kill")
+      val q2 = start()
+      try {
+        chunks.drop(2).foreach { c =>
+          input.addData(c.map(r =>
+            graft.streaming.StreamOps.Event(r._1, r._2, r._3)): _*)
+          q2.processAllAvailable()
+        }
+        Seq(0L, 1000000L).foreach { offUs =>
+          input.addData(graft.streaming.StreamOps.Event(-1L,
+            microTs(maxUs + 3600L * 1000000L + 60000000L + offUs), 0.0))
+          q2.processAllAvailable()
+        }
+      } finally q2.stop()
+      val out = s.read.parquet(s"$dir/sessions").where(col("user_id") >= 0)
+      require(out.count() > nMid,
+        "q94: the resumed query must emit the sessions restored from state")
+      out.select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"),
+        graft.functions.Portable.q4(col("total_value")).as("total_value"))
+    },
+
     "q90_backfill" -> { (s, d) =>
       // Gap-driven backfill, the reference's backfill.py (loop
       // check_table_for_date_gaps → per-date delete+reload), driver-gated:
@@ -1421,6 +1484,23 @@ object GateQueries {
         |      ORDER BY event_id % 3 DESC, ts DESC, event_id DESC) AS rn
         |  FROM e)
         |SELECT user_id, value AS worth FROM r WHERE rn = 1""".stripMargin,
+
+    "q94_stream_sessionize_recovery" ->
+      // q80's oracle verbatim: the kill-and-resume run must land the
+      // exact session set of the uninterrupted one
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS new_s
+        |  FROM events WHERE user_id < 150
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq FROM flagged)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
+        |FROM sess GROUP BY user_id, session_seq""".stripMargin,
 
     "q90_backfill" ->
       // the healed table must equal the batch rollup — partitions that
