@@ -1007,6 +1007,64 @@ object GateQueries {
           col("n_events"), col("total_value"))
     },
 
+    "q95_landing_stream" -> { (s, d) =>
+      // The last spec-only source edge, driver-gated: the
+      // landing-directory JSONL stream (`Formats.readJsonlStream`, the
+      // reference's load_metadata_json_daemon.py analog — a daemon
+      // polling a directory for new JSON documents). Three deterministic
+      // waves of files (event_id mod 3) land in a watched directory; the
+      // stream must discover EACH wave incrementally (require-pinned
+      // cumulative counts per wave — a source that re-reads old files or
+      // misses new ones fails loudly) and the final sink must hold the
+      // batch read of the same rows exactly once. Columns are the q91
+      // text-safe set: timestamp fidelity through text formats is a
+      // formatting option, gated nowhere as a fidelity property.
+      import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+      import org.apache.spark.sql.types._
+      val slice = Tables(s, d).events
+        .where(col("user_id") < 150)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val root = JFiles.createTempDirectory("graft-q95")
+      val landing = root.resolve("landing")
+      JFiles.createDirectories(landing)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      // stage wave k under its own dir, then move the part files into the
+      // landing dir under unique names — the daemon's "files appear" shape
+      def land(k: Int): Unit = {
+        val stage = root.resolve(s"stage$k").toString
+        graft.sources.Formats.writeJsonl(slice.where(col("event_id") % 3 === k), stage)
+        JFiles.list(Paths.get(stage)).toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.getFileName.toString.endsWith(".json")).zipWithIndex
+          .foreach { case (f, i) =>
+            JFiles.move(f, landing.resolve(s"wave$k-part$i.json"),
+              StandardCopyOption.ATOMIC_MOVE)
+          }
+      }
+      val counts = (0 until 3).map(k =>
+        slice.where(col("event_id") % 3 === k).count())
+      val sink = root.resolve("sink").toString
+      val q = graft.sources.Formats.readJsonlStream(s, landing.toString, schema)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet").option("path", sink)
+        .start()
+      try {
+        (0 until 3).foreach { k =>
+          land(k)
+          q.processAllAvailable()
+          val seen = s.read.parquet(sink).count()
+          val want = counts.take(k + 1).sum
+          require(seen == want,
+            s"q95: after wave $k the sink must hold exactly $want rows, got $seen")
+        }
+      } finally q.stop()
+      s.read.parquet(sink)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    },
+
     "q91_formats_roundtrip" -> { (s, d) =>
       // Interchange-format fidelity, driver-gated (the CSV/JSONL/ORC
       // readers+writers were spec-only): one capped event slice
@@ -1510,6 +1568,12 @@ object GateQueries {
         |  floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
         |FROM events WHERE user_id < 150
         |GROUP BY 1, 2""".stripMargin,
+
+    "q95_landing_stream" ->
+      // every landed row exactly once, no more, no less — the batch read
+      // of the same files
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE user_id < 150""".stripMargin,
 
     "q91_formats_roundtrip" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value FROM events
