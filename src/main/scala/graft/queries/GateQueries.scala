@@ -1065,6 +1065,58 @@ object GateQueries {
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     },
 
+    "q96_backfill_pipeline" -> { (s, d) =>
+      // The reference's actual cron reality as ONE gate (q86 gates the
+      // incremental chain, q90 backfill in isolation): daily incremental
+      // fact loads run over a calendar where the MIDDLE third of dates
+      // arrives late — day A sees the first third, day B everything but
+      // the middle. The incremental pull can never recover those rows by
+      // itself (their ts is BEHIND the terminal timestamp after day B —
+      // precisely the failure backfill.py exists for), so
+      // `DailyUpdate.backfillDates` diffs the partition calendar and
+      // recomputes exactly the missing dates; requires pin the healed
+      // set and the no-op re-run, and the oracle checks the healed fact
+      // table equals the batch clean build. Derived stages are q86/q92's
+      // gated surface; this gate runs the fact loads (deriveStages
+      // empty), matching the reference's per-table backfill unit.
+      import java.nio.file.{Files => JFiles}
+      val t = Tables(s, d)
+      val root = JFiles.createTempDirectory("graft-q96")
+      val (dayA, dayB, full) =
+        (root.resolve("dayA"), root.resolve("dayB"), root.resolve("full"))
+      Seq(dayA, dayB, full).foreach(p => JFiles.createDirectories(p))
+      val ev = t.events.where(col("user_id") < 150)
+      ev.write.parquet(s"$full/events.parquet")
+      // terciles over the CLEAN calendar (error-only dates can never name
+      // a partition, so they belong to no tercile); bounded by calendar
+      // days, the backfillDates collect contract
+      val cleanDates = CoreQueries.queries("q01_ingest_clean")(s, full.toString)
+        .select(to_date(col("ts")).as("d")).distinct()
+        .collect().map(_.getDate(0)).sortBy(_.getTime)
+      require(cleanDates.length >= 3, "q96 fixture needs three distinct dates")
+      val n = cleanDates.length
+      val prefix = cleanDates.slice(0, n / 3).toSet
+      val withheld = cleanDates.slice(n / 3, 2 * n / 3).toSet
+      ev.where(to_date(col("ts")).isin(prefix.toSeq: _*))
+        .write.parquet(s"$dayA/events.parquet")
+      ev.where(!to_date(col("ts")).isin(withheld.toSeq: _*))
+        .write.parquet(s"$dayB/events.parquet")
+      val out = root.resolve("out").toString
+      graft.pipeline.DailyUpdate.run(s, dayA.toString, out, deriveStages = Seq.empty)
+      graft.pipeline.DailyUpdate.run(s, dayB.toString, out, deriveStages = Seq.empty)
+      val factPath = s"$out/fact_events_clean"
+      val fullClean = CoreQueries.queries("q01_ingest_clean")(s, full.toString)
+        .withColumn("d", to_date(col("ts")))
+      val healed = graft.pipeline.DailyUpdate.backfillDates(s, fullClean, "d", factPath)
+      require(healed.toSet == withheld,
+        s"backfill must heal exactly the late dates: got $healed, want $withheld")
+      require(graft.pipeline.DailyUpdate.backfillDates(s, fullClean, "d", factPath).isEmpty,
+        "backfill must be a no-op once healed")
+      s.read.parquet(factPath)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("d").cast("timestamp").as("d"))
+    },
+
     "q91_formats_roundtrip" -> { (s, d) =>
       // Interchange-format fidelity, driver-gated (the CSV/JSONL/ORC
       // readers+writers were spec-only): one capped event slice
@@ -1568,6 +1620,13 @@ object GateQueries {
         |  floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
         |FROM events WHERE user_id < 150
         |GROUP BY 1, 2""".stripMargin,
+
+    "q96_backfill_pipeline" ->
+      // q86's oracle verbatim: incremental loads + backfill must land the
+      // batch clean build over the full capped log
+      """SELECT event_id, ts, user_id, event_type, value,
+        |  CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d
+        |FROM events WHERE user_id < 150 AND event_type <> 'error'""".stripMargin,
 
     "q95_landing_stream" ->
       // every landed row exactly once, no more, no less — the batch read
