@@ -51,7 +51,9 @@ object Bench {
     "q80_stream_sessionize", "q81_stream_rollup", "q82_stream_dedup",
     "q83_stream_enrich", "q84_stream_interval_join", "q86_daily_update",
     "q87_stream_late_data", "q89_stream_recovery", "q90_backfill",
-    "q91_formats_roundtrip")
+    "q91_formats_roundtrip", "q92_daily_derived",
+    "q93_stream_late_sessionize", "q94_stream_sessionize_recovery",
+    "q95_landing_stream", "q96_backfill_pipeline")
 
   /** Wait (bounded) for the 1-min loadavg to decay below `target` so the
     * next section's per-query `load` fields start from a clean machine;

@@ -11,7 +11,7 @@
 # instead.
 set -e
 cd "$(dirname "$0")/.."
-ROUND=${ROUND:-r06}
+ROUND=${ROUND:-r07}
 
 sbt -batch "runMain graft.GenData" 2>/dev/null
 sbt -batch "runMain graft.Verify /root/repo/tmp/sf1 /root/repo/tmp/verify_sf1" 2>/dev/null
@@ -43,18 +43,11 @@ else
   exit "$status"
 fi
 
-SPARK_GRAFT_SF_DIR=/root/repo/tmp/sf1 sbt -batch "runMain graft.Bench \
-  q01_ingest_clean q05_enriched_lineitems q06_floor_price q09_trading_roi \
-  q12_daily_action_rollup q19_sessionize q20_dedup_exact q21_minhash_pairs \
-  q23_ngram_jaccard q24_ann_cosine q29_embedding_near_dup q41_ivf_topk \
-  q42_dedup_clusters q46_incremental_neardup q47_corpus_pipeline \
-  q50_distinct_users q51_decontaminate q56_vocab_topk q60_fuzzy_match \
-  q62_salted_join q67_sketch_accuracy q69_exclude_flagged q70_shard_assign \
-  q71_sequence_pack q72_pack_write q74_stream_neardup q75_ivf_recall \
-  q76_simhash_wide q77_dup_spans q78_stream_upsert q79_stream_funnel \
-  q80_stream_sessionize q81_stream_rollup q82_stream_dedup q83_stream_enrich \
-  q84_stream_interval_join q85_doc_chunking q86_daily_update \
-  q87_stream_late_data q88_bucketed_join q89_stream_recovery q90_backfill q91_formats_roundtrip" \
+# Bench the FULL surface at sf1 (same q33 exclusion as the gate): the
+# r06 verdict asked the 43-query bench subset widened — $NAMES is every
+# oracle-gated query, so the timing evidence now covers what the gate
+# covers.
+SPARK_GRAFT_SF_DIR=/root/repo/tmp/sf1 sbt -batch "runMain graft.Bench $NAMES" \
   2>/dev/null | grep '"metric"' | sed 's/^\[info\] //' \
   > "evidence/BENCH_sf1_${ROUND}.json"
 echo "sf1 gate + bench complete; artifacts refreshed under evidence/"
