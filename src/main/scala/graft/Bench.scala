@@ -53,7 +53,8 @@ object Bench {
     "q87_stream_late_data", "q89_stream_recovery", "q90_backfill",
     "q91_formats_roundtrip", "q92_daily_derived",
     "q93_stream_late_sessionize", "q94_stream_sessionize_recovery",
-    "q95_landing_stream", "q96_backfill_pipeline")
+    "q95_landing_stream", "q96_backfill_pipeline",
+    "q97_stream_late_funnel", "q98_stream_late_dedup")
 
   /** Wait (bounded) for the 1-min loadavg to decay below `target` so the
     * next section's per-query `load` fields start from a clean machine;

@@ -1117,6 +1117,99 @@ object GateQueries {
           col("value"), col("d").cast("timestamp").as("d"))
     },
 
+    "q97_stream_late_funnel" -> { (s, d) =>
+      // Arrival-order robustness for the NoTimeout stateful op: the
+      // funnel carries NO watermark, so late rows always reach the
+      // machine and the contract is MONOTONE emit-once (a regressive
+      // late event is ignored — pinned by LateDataRuleSpec's funnel
+      // case). This gate feeds q79's fixture with every user's LAST
+      // event withheld into one straggler batch: per user, arrival order
+      // still equals event-time order, so the machine must land exactly
+      // the batch sequential-min funnel (q79's oracle verbatim) while
+      // the harness exercises cross-user late interleaving and state
+      // continuation across the idle gap.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = Tables(s, d).events
+        .where(col("user_id") < 150)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[(Long, java.sql.Timestamp, String)].collect()
+      val withheldKeys = ev.groupBy(_._1).map { case (u, rows) =>
+        val last = rows.maxBy(r => (us(r._2), r._3))
+        (u, us(last._2), last._3)
+      }.toSet
+      val (delayed, onTime) =
+        ev.partition(r => withheldKeys((r._1, us(r._2), r._3)))
+      val ordered = onTime.sortBy(r => (us(r._2), r._1, r._3))
+      val chunks = ordered.grouped(math.max(1, (ordered.length + 2) / 3)).toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.StreamOps.FunnelEvent]
+      val out = graft.streaming.StreamOps.funnelStream(
+        input.toDS(), Seq("view", "click", "purchase"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-q97").toString
+      val q = out.toDF().writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet").option("path", s"$dir/hits")
+        .start()
+      try {
+        chunks.foreach { c =>
+          input.addData(c.map(r =>
+            graft.streaming.StreamOps.FunnelEvent(r._1, r._2, r._3)): _*)
+          q.processAllAvailable()
+        }
+        input.addData(delayed.toSeq.sortBy(r => (us(r._2), r._1, r._3)).map(r =>
+          graft.streaming.StreamOps.FunnelEvent(r._1, r._2, r._3)): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$dir/hits")
+        .select(col("user_id"), col("funnel_stage"), col("stage_order"), col("ts"))
+    },
+
+    "q98_stream_late_dedup" -> { (s, d) =>
+      // Late data against the streaming dedup (the third stateful class
+      // after q87's windowed agg and q93's fMGWS): every 7th event is
+      // withheld past the watermark (1-hour delay) and delivered in one
+      // straggler batch. dropDuplicatesWithinWatermark's late filter is
+      // the non-strict rule LateDataRuleSpec pins — dropped iff
+      // ts <= watermark — so the surviving stream must be exactly the
+      // on-time rows plus the withheld rows from the stream's final
+      // hour. Ids are unique, so the dedup state itself never suppresses
+      // a row: divergence isolates the late filter.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = Tables(s, d).events
+        .where(col("user_id") < 150)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+      val (delayed, onTime) = ev.partition(_._1 % 7 == 0)
+      val ordered = onTime.sortBy(r => (us(r._2), r._1))
+      val wmUs = (ordered.map(r => us(r._2)).max / 1000 - 3600000L) * 1000
+      require(delayed.exists(r => us(r._2) <= wmUs),
+        "q98 fixture must drop at least one late row")
+      require(delayed.exists(r => us(r._2) > wmUs),
+        "q98 fixture must accept at least one late row")
+      val chunks = ordered.grouped(math.max(1, (ordered.length + 2) / 3)).toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+      val out = graft.streaming.StreamOps.dedupByIdWithinWatermark(
+        input.toDF().toDF("event_id", "ts", "user_id", "value"),
+        "ts", "event_id", "1 hour")
+      val dir = java.nio.file.Files.createTempDirectory("graft-q98").toString
+      val q = out.writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet").option("path", s"$dir/deduped")
+        .start()
+      try {
+        chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+        input.addData(delayed.sortBy(r => (us(r._2), r._1)): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$dir/deduped")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    },
+
     "q91_formats_roundtrip" -> { (s, d) =>
       // Interchange-format fidelity, driver-gated (the CSV/JSONL/ORC
       // readers+writers were spec-only): one capped event slice
@@ -1620,6 +1713,37 @@ object GateQueries {
         |  floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
         |FROM events WHERE user_id < 150
         |GROUP BY 1, 2""".stripMargin,
+
+    "q97_stream_late_funnel" ->
+      // q79's oracle verbatim: no watermark → nothing drops, and per-user
+      // arrival order equals event-time order, so the late feed must land
+      // the exact batch sequential-min funnel
+      """WITH e AS (SELECT user_id, ts, event_type FROM events WHERE user_id < 150),
+        |s1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS ts_view
+        |  FROM e GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS ts_click FROM e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.ts_view GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS ts_purchase FROM e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.ts_click GROUP BY 1)
+        |SELECT user_id, 'view' AS funnel_stage, 1 AS stage_order, ts_view AS ts
+        |FROM s1 WHERE ts_view IS NOT NULL
+        |UNION ALL SELECT user_id, 'click', 2, ts_click FROM s2
+        |UNION ALL SELECT user_id, 'purchase', 3, ts_purchase FROM s3""".stripMargin,
+
+    "q98_stream_late_dedup" ->
+      // kept = on-time rows plus withheld rows from the stream's final
+      // hour (wm = ms-floored max on-time ts minus 1 h; dropped iff
+      // ts <= wm — LateDataRuleSpec's dropDuplicatesWithinWatermark rule)
+      """WITH e AS (SELECT event_id, ts, user_id, value FROM events
+        |    WHERE user_id < 150),
+        |wm AS (SELECT (epoch_us(max(ts)) // 1000 - 3600000) * 1000 AS w
+        |    FROM e WHERE event_id % 7 <> 0)
+        |SELECT event_id, ts, user_id, value FROM e WHERE event_id % 7 <> 0
+        |UNION ALL
+        |SELECT e.event_id, e.ts, e.user_id, e.value FROM e CROSS JOIN wm
+        |WHERE e.event_id % 7 = 0 AND epoch_us(e.ts) > wm.w""".stripMargin,
 
     "q96_backfill_pipeline" ->
       // q86's oracle verbatim: incremental loads + backfill must land the

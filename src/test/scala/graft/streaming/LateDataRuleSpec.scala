@@ -148,4 +148,75 @@ class LateDataRuleSpec extends SparkSpec {
       (1L, "2024-01-01 05:00:10", "2024-01-01 05:00:10", 1L),
       (2L, "2024-01-01 05:00:01", "2024-01-01 05:00:01", 1L)))
   }
+
+  test("dropDuplicatesWithinWatermark drops a late row iff ts <= watermark") {
+    // Third op class, same probe shape: streaming dedup's late filter is
+    // on the raw event-time column and NON-strict like fMGWS's — a row
+    // exactly at the watermark is dropped (observed empirically). q98's
+    // oracle encodes this.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val out = StreamOps.dedupByIdWithinWatermark(
+      input.toDF().toDF("event_id", "ts", "value"), "ts", "event_id", "1 hour")
+    val dir = java.nio.file.Files.createTempDirectory("graft-latededup").toString
+    val q = out.writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append)
+      .format("parquet").option("path", s"$dir/deduped")
+      .start()
+    def t(s: String) = Timestamp.from(java.time.Instant.parse(s))
+    try {
+      // watermark after batch 1 = 06:00:00.000 - 1 h = 05:00:00.000
+      input.addData((1L, t("2024-01-01T06:00:00.000Z"), 1.0))
+      q.processAllAvailable()
+      // fresh ids against wm 05:00:00.000: under, exactly on, over
+      input.addData(
+        (2L, t("2024-01-01T04:59:59.999Z"), 1.0),
+        (3L, t("2024-01-01T05:00:00.000Z"), 1.0),
+        (4L, t("2024-01-01T05:00:01.000Z"), 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.read.parquet(s"$dir/deduped")
+      .select($"event_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 4L)) // 2 (< wm) and 3 (== wm) dropped
+  }
+
+  test("funnel's emit-once monotonicity: a late stage event never rewrites a reached stage") {
+    // funnelStream carries NO watermark (NoTimeout state), so late rows
+    // always reach the machine — the contract is MONOTONE emissions: a
+    // late click at 02:00 arriving after the funnel already reached
+    // click via 03:00 is ignored (batch would pick 02:00 — the
+    // documented emit-once divergence, StreamOps.funnelStream scaladoc).
+    // q97 sidesteps the divergence by withholding only per-user LATEST
+    // events; this spec pins the divergence itself.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.FunnelEvent]
+    val out = StreamOps.funnelStream(input.toDS(), Seq("view", "click", "purchase"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-latefunnel").toString
+    val q = out.toDF().writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append)
+      .format("parquet").option("path", s"$dir/hits")
+      .start()
+    def t(s: String) = Timestamp.from(java.time.Instant.parse(s))
+    try {
+      input.addData(
+        StreamOps.FunnelEvent(1L, t("2024-01-01T01:00:00Z"), "view"),
+        StreamOps.FunnelEvent(1L, t("2024-01-01T03:00:00Z"), "click"))
+      q.processAllAvailable()
+      // late click BEFORE the reached click time: ignored, not rewritten;
+      // a purchase after the ORIGINAL click time still advances
+      input.addData(
+        StreamOps.FunnelEvent(1L, t("2024-01-01T02:00:00Z"), "click"),
+        StreamOps.FunnelEvent(1L, t("2024-01-01T03:30:00Z"), "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(s"$dir/hits")
+      .select($"funnel_stage", $"ts".cast("string"))
+      .as[(String, String)].collect().toSet
+    assert(rows == Set(
+      ("view", "2024-01-01 01:00:00"),
+      ("click", "2024-01-01 03:00:00"),       // NOT rewritten to 02:00
+      ("purchase", "2024-01-01 03:30:00")))   // counted: > reached click
+  }
 }
