@@ -105,8 +105,14 @@ object CoreQueries {
         .where(col("event_type").isin("purchase", "click", "view"))
         .groupBy(col("user_id"), col("event_type"))
         .agg(Portable.q4(sum(col("value"))).as("worth"), count(lit(1)).as("n_events"))
-      val tot = base.groupBy(col("user_id")).agg(Portable.q4(sum(col("worth"))).as("total_worth"))
-        .withColumn("user_rank", rank().over(Window.orderBy(col("total_worth").desc, col("user_id"))).cast("int"))
+      // the rank order includes user_id (unique) so rank() == row_number():
+      // globalRank computes it distributed (range partition + offsets)
+      // instead of a single-partition global window — the per-user
+      // aggregate grows with the data, and at 100 TB it would not fit
+      // one task (Rankings.globalRank scaladoc)
+      val tot = Rankings.globalRank(
+        base.groupBy(col("user_id")).agg(Portable.q4(sum(col("worth"))).as("total_worth")),
+        Seq(col("total_worth").desc, col("user_id")), "user_rank")
       base.join(tot, "user_id")
         .withColumn("rnk_in_user",
           row_number().over(Window.partitionBy(col("user_id"))

@@ -115,6 +115,22 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 shuffle, found $exchanges:\n$plan")
   }
 
+  test("q08 never ranks the full user set through a single-partition window") {
+    // the global worth rank is data-sized (every user flows through it);
+    // Rankings.globalRank keeps it range-partitioned. The only WindowExec
+    // allowed with an EMPTY partition spec is globalRank's offsets frame,
+    // whose input is the per-partition (__pid, count) aggregate — bounded
+    // by the shuffle partition count, never the data.
+    val plan = CoreQueries.queries("q08_user_worth_rank")(spark, sf)
+      .queryExecution.executedPlan
+    val unpartitioned = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.forall(_.output.exists(_.name == "__off")),
+      s"data-sized single-partition window in q08:\n$plan")
+  }
+
   test("symDeleteLevenshtein candidates form by equi-join, never a pair scan") {
     // the whole point of the deletion-neighborhood path is that no plan
     // node ever enumerates a block square: candidates must come from a

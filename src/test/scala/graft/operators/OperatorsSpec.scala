@@ -281,6 +281,26 @@ class RankingsSpec extends SparkSpec {
       .select("id0", "rank").as[(String, Int)].collect().toSeq
     assert(out == Seq(("a", 1), ("c", 2)))
   }
+
+  test("globalRank equals the single-partition window rank, across many partitions") {
+    // 1000 rows with heavy value collisions (unique tiebreak id), spread
+    // over 8 input partitions so local positions genuinely need offsets
+    val df = (1L to 1000L).map(i => (i, (i * 7919 % 97).toDouble))
+      .toDF("id", "v").repartition(8)
+    val got = Rankings.globalRank(df, Seq(col("v").desc, col("id")), "rnk")
+      .select("id", "rnk").as[(Long, Int)].collect().toMap
+    val want = df.withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("v").desc, col("id"))))
+      .select("id", "rnk").as[(Long, Int)].collect().toMap
+    assert(got == want)
+  }
+
+  test("globalRank on empty input returns empty with the rank column present") {
+    val df = Seq.empty[(Long, Double)].toDF("id", "v")
+    val out = Rankings.globalRank(df, Seq(col("v"), col("id")), "rnk")
+    assert(out.columns.contains("rnk") && out.count() == 0)
+  }
 }
 
 class SessionizeSpec extends SparkSpec {

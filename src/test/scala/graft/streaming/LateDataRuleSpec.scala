@@ -181,6 +181,51 @@ class LateDataRuleSpec extends SparkSpec {
     assert(ids == Set(1L, 4L)) // 2 (< wm) and 3 (== wm) dropped
   }
 
+  test("stream-stream interval join drops a late input row iff ts <= watermark") {
+    // Fourth op class: the symmetric hash join filters late INPUT rows per
+    // side on the raw event-time column with the same NON-strict rule as
+    // fMGWS/dedup — a row exactly at the watermark is dropped (observed
+    // empirically). q99's oracle encodes this. Eviction strictness can
+    // never reach the oracle: an ACCEPTED late click (ts > wm) only
+    // matches views with l.ts > wm - horizon, strictly inside the kept
+    // state region.
+    implicit val sqlCtx = spark.sqlContext
+    val vIn = MemoryStream[(Long, Long, Timestamp)]
+    val cIn = MemoryStream[(Long, Long, Timestamp)]
+    val out = StreamOps.intervalJoinStream(
+      vIn.toDF().toDF("event_id", "user_id", "ts"),
+      cIn.toDF().toDF("event_id", "user_id", "ts"),
+      "user_id", "ts", horizonSeconds = 1800, watermarkDelay = "10 seconds")
+      .select(org.apache.spark.sql.functions.col("r.event_id").as("click_id"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-latejoin").toString
+    val q = out.writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append)
+      .format("parquet").option("path", s"$dir/pairs")
+      .start()
+    def t(s: String) = Timestamp.from(java.time.Instant.parse(s))
+    try {
+      // batch 1: user 1's view plus one sentinel per side (users 90/91
+      // have no counterpart, so the sentinels pair with nothing) —
+      // BOTH sides' watermark columns reach 05:00:10, so the global
+      // (min) watermark after the batch is 05:00:00.000
+      vIn.addData((10L, 1L, t("2024-01-01T04:45:00Z")),
+        (90L, 90L, t("2024-01-01T05:00:10Z")))
+      cIn.addData((91L, 91L, t("2024-01-01T05:00:10Z")))
+      q.processAllAvailable()
+      // batch 2: three late clicks for user 1, all inside the view's
+      // (04:45, 05:15] horizon — under, exactly on, and over the watermark
+      cIn.addData(
+        (2L, 1L, t("2024-01-01T04:59:59.999Z")),
+        (3L, 1L, t("2024-01-01T05:00:00.000Z")),
+        (4L, 1L, t("2024-01-01T05:00:01.000Z")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.read.parquet(s"$dir/pairs")
+      .select($"click_id").as[Long].collect().toSet
+    assert(ids == Set(4L)) // 2 (< wm) and 3 (== wm) dropped
+  }
+
   test("funnel's emit-once monotonicity: a late stage event never rewrites a reached stage") {
     // funnelStream carries NO watermark (NoTimeout state), so late rows
     // always reach the machine — the contract is MONOTONE emissions: a
