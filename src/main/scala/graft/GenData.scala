@@ -41,6 +41,8 @@ object GenData {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // driver fixtures carry naive µs timestamps: read as TIMESTAMP, not NTZ
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -72,12 +74,17 @@ object GenData {
       .withColumn("l_partkey", col("l_partkey") + off)
       .withColumn("l_suppkey", col("l_suppkey") + off))
 
-    // events: source files store TIMESTAMP(NANOS); apply the same
-    // nanos→micros truncation Tables.events applies and write a plain
-    // microsecond TIMESTAMP (Tables.events passes it through unchanged)
+    // events: older driver fixtures store TIMESTAMP(NANOS) (read as long
+    // under nanosAsLong, truncated to µs exactly as Tables.events does);
+    // current fixtures store naive µs TIMESTAMP and pass through (the
+    // session pins inferTimestampNTZ=false, so they read as TIMESTAMP)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    write("events", replicate(read("events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    val evSrc = read("events")
+    val evMicro =
+      if (evSrc.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        evSrc.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else evSrc
+    write("events", replicate(evMicro)
       .withColumn("event_id", col("event_id") + off)
       .withColumn("user_id", col("user_id") + off))
 

@@ -19,6 +19,8 @@ object Q47Probe {
       .appName("q47probe")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // driver fixtures carry naive µs timestamps: read as TIMESTAMP, not NTZ
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

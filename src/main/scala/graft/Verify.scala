@@ -16,6 +16,8 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // driver fixtures carry naive µs timestamps: read as TIMESTAMP, not NTZ
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       // bucketed-table gates (q88) saveAsTable; keep the warehouse out of
       // the repo and isolated per run (two concurrent sbt sessions must

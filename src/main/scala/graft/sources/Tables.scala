@@ -9,7 +9,20 @@ import org.apache.spark.sql.functions._
   * pushdown / column pruning all reach the file source.
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  /** The driver's fixtures carry NAIVE microsecond timestamps
+    * (isAdjustedToUTC=false). Spark 4 infers those as TIMESTAMP_NTZ by
+    * default, which poisons every downstream java.sql.Timestamp encoder
+    * and read-back (LocalDateTime where Timestamp is expected); with
+    * inference off they read as plain µs TIMESTAMP whose UTC instant
+    * equals the stored wall-clock — exactly how the DuckDB oracle reads
+    * the same files (every graft session pins session.timeZone=UTC).
+    * Set here like `nanosAsLong` below so the loader is correct in any
+    * caller-built session, not just the graft entry points.
+    */
+  def table(name: String): DataFrame = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region: DataFrame = table("region")
   def nation: DataFrame = table("nation")
@@ -18,11 +31,11 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = table("part")
   def orders: DataFrame = table("orders")
   def lineitem: DataFrame = table("lineitem")
-  /** The driver's events.parquet stores TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects by default: read nanos as long and truncate to
-    * microseconds — the exact conversion other µs-native engines (DuckDB)
-    * apply. Files already carrying a microsecond TIMESTAMP (the GenData
-    * scale fixtures) pass through unchanged.
+  /** Older driver fixtures stored events.ts as TIMESTAMP(NANOS), which
+    * Spark's parquet reader rejects by default: read nanos as long and
+    * truncate to microseconds — the exact conversion other µs-native
+    * engines (DuckDB) apply. Current fixtures carry a microsecond
+    * TIMESTAMP (naive; see `table` above) and pass through unchanged.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

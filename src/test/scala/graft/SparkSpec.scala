@@ -15,6 +15,8 @@ object SparkTestSession {
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .config("spark.sql.session.timeZone", "UTC")
+    // driver fixtures carry naive µs timestamps: read as TIMESTAMP, not NTZ
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
