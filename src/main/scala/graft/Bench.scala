@@ -54,7 +54,8 @@ object Bench {
     "q91_formats_roundtrip", "q92_daily_derived",
     "q93_stream_late_sessionize", "q94_stream_sessionize_recovery",
     "q95_landing_stream", "q96_backfill_pipeline",
-    "q97_stream_late_funnel", "q98_stream_late_dedup")
+    "q97_stream_late_funnel", "q98_stream_late_dedup",
+    "q99_stream_late_interval_join", "q100_neardup_recovery")
 
   /** Wait (bounded) for the 1-min loadavg to decay below `target` so the
     * next section's per-query `load` fields start from a clean machine;
@@ -76,6 +77,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // driver fixtures carry naive µs timestamps: read as TIMESTAMP, not NTZ
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       // bucketed-table gates (q88) saveAsTable; keep the warehouse out of
       // the repo and isolated per run

@@ -1210,6 +1210,148 @@ object GateQueries {
         .select(col("event_id"), col("ts"), col("user_id"), col("value"))
     },
 
+    "q99_stream_late_interval_join" -> { (s, d) =>
+      // Late data against the FOURTH stateful class (q87 windowed agg,
+      // q93 fMGWS sessionize, q98 dedup): the watermarked stream-stream
+      // interval join. q84 proves the in-order contract; here the CLICK
+      // side arrives damaged in both directions the rule distinguishes —
+      // every click from the stream's last 48 h is withheld (those land
+      // AHEAD of the watermark the on-time remainder parks: all
+      // accepted) and so is every 7th earlier click (those land behind
+      // it: all dropped) — and delivered in one straggler batch. The
+      // symmetric hash join filters late INPUT rows per side under the
+      // non-strict rule LateDataRuleSpec pins (dropped iff
+      // ts <= watermark; global wm = min over both sides' ms-floored
+      // max minus the delay), so the output must be exactly the on-time
+      // pairs plus the accepted withheld clicks' pairs. The 24 h match
+      // horizon (vs q84's 30 min) makes the acceptance path OBSERVABLE
+      // at every SF — the fixture's event stream is too sparse for a
+      // 30 min window to pair inside a 48 h tail (measured: 0 pairs at
+      // sf0.001–sf0.1). Eviction can never reach the oracle: an
+      // ACCEPTED late click (ts > wm) only matches views with
+      // view_ts > wm - horizon, strictly inside the kept state region
+      // (the spec's pinned argument, horizon-independent), and in-order
+      // zipped feeding keeps every on-time partner resident exactly as
+      // q84's scaladoc argues.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      def side(tpe: String) = Tables(s, d).events
+        .where(col("user_id") < 150 && col("event_type") === tpe)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .as[(Long, Long, java.sql.Timestamp)].collect()
+        .sortBy(r => (us(r._3), r._1))
+      val views = side("view")
+      val clicks = side("click")
+      val cutUs = clicks.map(r => us(r._3)).max - 48L * 3600L * 1000000L
+      val (delayed, onTime) =
+        clicks.partition(r => us(r._3) > cutUs || r._1 % 7 == 0)
+      val wmUs = (math.min(views.map(r => us(r._3)).max,
+        onTime.map(r => us(r._3)).max) / 1000 - 10000L) * 1000
+      val horizonUs = 86400L * 1000000L
+      require(delayed.exists(r => us(r._3) <= wmUs),
+        "q99 fixture must drop at least one late click")
+      require(delayed.exists(c => us(c._3) > wmUs && views.exists(v =>
+          v._2 == c._2 && us(c._3) > us(v._3) && us(c._3) <= us(v._3) + horizonUs)),
+        "q99 fixture must accept at least one late click that forms a pair")
+      def chunk3[T](a: Array[T]) = a.grouped(math.max(1, (a.length + 2) / 3)).toSeq
+      val vIn = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val cIn = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val joined = graft.streaming.StreamOps.intervalJoinStream(
+        vIn.toDF().toDF("event_id", "user_id", "ts"),
+        cIn.toDF().toDF("event_id", "user_id", "ts"),
+        "user_id", "ts", horizonSeconds = 86400, watermarkDelay = "10 seconds")
+        .select(col("l.event_id").as("view_id"), col("l.user_id").as("user_id"),
+          col("l.ts").as("view_ts"), col("r.event_id").as("click_id"),
+          col("r.ts").as("click_ts"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-q99").toString
+      val q = joined.writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet").option("path", s"$dir/matches")
+        .start()
+      try {
+        chunk3(views).zipAll(chunk3(onTime),
+            Array.empty[(Long, Long, java.sql.Timestamp)],
+            Array.empty[(Long, Long, java.sql.Timestamp)])
+          .foreach { case (vc, cc) =>
+            if (vc.nonEmpty) vIn.addData(vc: _*)
+            if (cc.nonEmpty) cIn.addData(cc: _*)
+            q.processAllAvailable()
+          }
+        cIn.addData(delayed: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$dir/matches")
+        .select(col("view_id"), col("user_id"), col("view_ts"),
+          col("click_id"), col("click_ts"))
+    },
+
+    "q100_neardup_recovery" -> { (s, d) =>
+      // Crash recovery + forced REPLAY of the near-dup sink. q74 proves
+      // the in-order contract and q89/q94 cover the upsert sink and the
+      // sessionize state store; this gate proves the sink's claimed
+      // replay idempotence (batch_id-partitioned stores + dynamic
+      // partition overwrite, StreamOps.nearDupSink) under the real
+      // failure mode foreachBatch is documented to surface: the batch's
+      // store writes all landed but the checkpoint commit record never
+      // did. Query 1 processes micro-batches 0 and 1 and is stopped;
+      // batch 1's commit record is deleted from the checkpoint; the
+      // restarted query re-executes batch 1 with the SAME batch id over
+      // the SAME offsets (MemoryStream retains its data), so
+      // foreachBatch(1) re-runs against a store that already holds
+      // batch 1's output. A non-idempotent sink would double batch 1's
+      // docs/bands and re-detect its pairs; the requires pin exact store
+      // counts around the replay and the oracle is q74's batch SQL —
+      // the interrupted-and-replayed run must be indistinguishable.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
+        .where(col("doc_id") < 2000)
+        .as[(Long, String)].collect()
+      require((0 until 3).forall(b => docs.exists(_._1 % 3 == b)),
+        "q100 fixture must populate all three residue classes")
+      val dir = java.nio.file.Files.createTempDirectory("graft-q100").toString
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      def startSink() = graft.streaming.StreamOps.nearDupSink(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        shingleN = 3, numSeeds = 12, rowsPerBand = 3,
+        storeDir = s"$dir/store", checkpointDir = s"$dir/ckpt")
+      val q1 = startSink()
+      try {
+        (0 until 2).foreach { b =>
+          input.addData(docs.filter(_._1 % 3 == b).toSeq: _*)
+          q1.processAllAvailable()
+        }
+      } finally q1.stop()
+      // the crash window: batch 1's writes are on disk, its commit isn't.
+      // The local checkpoint FS is checksummed, so the commit record is
+      // (1, .1.crc) — both must go or the replay's rename of the fresh
+      // record trips over the stale CRC
+      val commit1 = new java.io.File(s"$dir/ckpt/commits/1")
+      require(commit1.isFile, s"q100: expected a commit record at $commit1")
+      require(commit1.delete(), "q100: failed to delete batch 1's commit record")
+      val crc1 = new java.io.File(s"$dir/ckpt/commits/.1.crc")
+      if (crc1.isFile) require(crc1.delete(), "q100: failed to delete the commit CRC")
+      def docsInStore() = s.read.parquet(s"$dir/store/docs").count()
+      val afterKill = docsInStore()
+      require(afterKill == docs.count(_._1 % 3 < 2),
+        s"q100: store must hold exactly batches 0+1 before recovery, got $afterKill")
+      val q2 = startSink()
+      try {
+        input.addData(docs.filter(_._1 % 3 == 2).toSeq: _*)
+        q2.processAllAvailable()
+      } finally q2.stop()
+      require(docsInStore() == docs.length.toLong,
+        "q100: the replayed batch must overwrite its partitions, not append")
+      s.read.parquet(s"$dir/store/pairs")
+        .select(col("id_a"), col("id_b"), col("size_a"), col("size_b"),
+          col("intersection"), col("jaccard"),
+          col("batch_id").cast("bigint").as("detected_batch"))
+    },
+
     "q91_formats_roundtrip" -> { (s, d) =>
       // Interchange-format fidelity, driver-gated (the CSV/JSONL/ORC
       // readers+writers were spec-only): one capped event slice
@@ -1272,6 +1414,40 @@ object GateQueries {
       joined
     }
   )
+
+  /** The batch near-dup pipeline with per-pair batch attribution
+    * (detected_batch = greatest(id mod 3)) — the oracle for BOTH
+    * near-dup sink gates: q74 (in-order) and q100 (crash + replay),
+    * whose whole contract is that the replayed run is
+    * indistinguishable from the uninterrupted one.
+    */
+  private val nearDupSinkSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents
+      |        WHERE doc_id < 2000),
+      |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3
+      |        THEN list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])
+      |        ELSE [] END) AS shingle FROM toks),
+      |ab AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,8))::BIGINT AS a,
+      |        ('0x'||substr(md5(shingle),9,8))::BIGINT AS b FROM sh),
+      |mh AS (SELECT doc_id, CAST(s AS INT) AS seed,
+      |        min((a + s*(2*b+1)) % 4294967296) AS minh
+      |       FROM ab, (SELECT unnest(range(0,12)) AS s) GROUP BY 1,2),
+      |banded AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+      |        string_agg(CAST(minh AS VARCHAR), '_' ORDER BY seed) AS band_key
+      |       FROM mh GROUP BY 1,2),
+      |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |       FROM banded a JOIN banded b
+      |         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |inter AS (SELECT c.id_a, c.id_b, count(sb.shingle) AS intersection
+      |       FROM cands c
+      |       JOIN sh sa ON c.id_a = sa.doc_id
+      |       LEFT JOIN sh sb ON c.id_b = sb.doc_id AND sa.shingle = sb.shingle
+      |       GROUP BY 1,2)
+      |SELECT i.id_a, i.id_b, za.sz AS size_a, zb.sz AS size_b, i.intersection,
+      |  floor((i.intersection * 1.0 / (za.sz + zb.sz - i.intersection)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard,
+      |  greatest(i.id_a % 3, i.id_b % 3) AS detected_batch
+      |FROM inter i JOIN sizes za ON i.id_a = za.doc_id JOIN sizes zb ON i.id_b = zb.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q67_sketch_accuracy" ->
@@ -1386,33 +1562,33 @@ object GateQueries {
         |  (doc_id % 20 <> 0) AS decoded
         |FROM documents""".stripMargin,
 
-    "q74_stream_neardup" ->
-      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents
-        |        WHERE doc_id < 2000),
-        |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3
-        |        THEN list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])
-        |        ELSE [] END) AS shingle FROM toks),
-        |ab AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,8))::BIGINT AS a,
-        |        ('0x'||substr(md5(shingle),9,8))::BIGINT AS b FROM sh),
-        |mh AS (SELECT doc_id, CAST(s AS INT) AS seed,
-        |        min((a + s*(2*b+1)) % 4294967296) AS minh
-        |       FROM ab, (SELECT unnest(range(0,12)) AS s) GROUP BY 1,2),
-        |banded AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
-        |        string_agg(CAST(minh AS VARCHAR), '_' ORDER BY seed) AS band_key
-        |       FROM mh GROUP BY 1,2),
-        |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |       FROM banded a JOIN banded b
-        |         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        |inter AS (SELECT c.id_a, c.id_b, count(sb.shingle) AS intersection
-        |       FROM cands c
-        |       JOIN sh sa ON c.id_a = sa.doc_id
-        |       LEFT JOIN sh sb ON c.id_b = sb.doc_id AND sa.shingle = sb.shingle
-        |       GROUP BY 1,2)
-        |SELECT i.id_a, i.id_b, za.sz AS size_a, zb.sz AS size_b, i.intersection,
-        |  floor((i.intersection * 1.0 / (za.sz + zb.sz - i.intersection)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard,
-        |  greatest(i.id_a % 3, i.id_b % 3) AS detected_batch
-        |FROM inter i JOIN sizes za ON i.id_a = za.doc_id JOIN sizes zb ON i.id_b = zb.doc_id""".stripMargin,
+    "q74_stream_neardup" -> nearDupSinkSql,
+
+    "q100_neardup_recovery" -> nearDupSinkSql,
+
+    "q99_stream_late_interval_join" ->
+      // on-time pairs plus the accepted withheld clicks' pairs: withheld
+      // = the clicks' last 48 h plus every 7th earlier click; wm = min
+      // over both sides of the ms-floored on-time max minus 10 s; a
+      // withheld click survives iff ts > wm (LateDataRuleSpec's
+      // stream-stream join rule — non-strict drop at equality)
+      """WITH v AS (SELECT event_id, user_id, ts FROM events
+        |    WHERE user_id < 150 AND event_type = 'view'),
+        |c0 AS (SELECT event_id, user_id, ts FROM events
+        |    WHERE user_id < 150 AND event_type = 'click'),
+        |cut AS (SELECT max(epoch_us(ts)) - 172800000000 AS cut FROM c0),
+        |c AS (SELECT c0.*,
+        |    (epoch_us(ts) > (SELECT cut FROM cut) OR event_id % 7 = 0) AS withheld
+        |  FROM c0),
+        |wm AS (SELECT (least((SELECT max(epoch_us(ts)) FROM v),
+        |    (SELECT max(epoch_us(ts)) FROM c WHERE NOT withheld))
+        |    // 1000 - 10000) * 1000 AS w)
+        |SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts,
+        |  c.event_id AS click_id, c.ts AS click_ts
+        |FROM v JOIN c ON v.user_id = c.user_id AND c.ts > v.ts
+        |  AND c.ts <= v.ts + INTERVAL 86400 SECOND
+        |CROSS JOIN wm
+        |WHERE (NOT c.withheld) OR epoch_us(c.ts) > wm.w""".stripMargin,
 
     "q76_simhash_wide" ->
       """WITH wh AS (SELECT doc_id, ('0x'||substr(md5(word),1,15))::BIGINT AS wh
