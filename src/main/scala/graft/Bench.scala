@@ -14,11 +14,14 @@ import org.apache.spark.sql.SparkSession
   *
   * Sectioning (round-6 lesson): queries run in two sections — data-bound
   * batch queries first (sorted), harness-bound gates (streaming
-  * micro-batch fixtures + the daily-pipeline composition) LAST, separated
-  * by a bounded loadavg settle. In round 5 the streaming gates' micro-
-  * batch storms pushed loadavg to 17–27 under neighboring batch queries'
-  * reps; now no batch rep runs after the first storm. The JSON carries
-  * batch_total / streaming_total subtotals plus settle_sec.
+  * micro-batch fixtures + the daily-pipeline composition) LAST, so no
+  * batch rep runs after the first streaming storm (in round 5 those
+  * storms pushed loadavg to 17–27 under neighboring batch reps). Round-7
+  * refinement: each harness gate gets its own bounded settle and ONE rep
+  * — constant-size fixtures gain nothing from min-of-3, and at 22 gates
+  * the tripled storm cascaded into every later gate's timing. The JSON
+  * carries batch_total / streaming_total subtotals plus settle_sec
+  * (total seconds spent settling between gates).
   *
   * Load accounting (round-5 lesson): the round-4 bench artifact reported
   * 2-3.5x "regressions" on untouched queries because the machine was
@@ -115,18 +118,26 @@ object Bench {
     // the warmup pass itself drives 1-min loadavg to ~10+; settle before
     // the first timed rep so early batch queries aren't measured under
     // the bench's own residue (observed 1.3-1.6x wobble on them)
-    settle(target = cpusN / 4, maxWaitSec = 180)
+    settle(target = cpusN / 8, maxWaitSec = 240)
     val loadStart = loadAvg()
     val t0Wall = System.nanoTime()
     var settleSec = 0.0
     val results = names.map { name =>
-      if (harness.headOption.contains(name) && batch.nonEmpty)
-        settleSec = settle(target = cpusN / 2, maxWaitSec = 120)
+      // Harness-bound gates get a bounded settle EACH and run ONE rep:
+      // their cost is a constant-size fixture's micro-batch machinery, so
+      // min-of-3 defends against nothing (no data-sized work for a GC
+      // pause to distort) while tripling the section's storm — in the
+      // 22-gate round-7 section the back-to-back reps cascaded loadavg
+      // to ~37 and timed every later gate 1.5-1.6x high (the same
+      // machine-not-code failure the section split fixed for batch).
+      if (harnessBound(name) && batch.nonEmpty)
+        settleSec += settle(target = cpusN / 2, maxWaitSec = 60)
       // stderr marker so engine warnings in the surrounding log (GC, large
       // task binaries, skew) can be attributed to a query after the fact
       System.err.println(s"[bench] start $name")
       val load = loadAvg()
-      val reps = (1 to 3).map { _ =>
+      val nReps = if (harnessBound(name)) 1 else 3
+      val reps = (1 to nReps).map { _ =>
         val t0 = System.nanoTime()
         try { run(name, sfDir) } catch {
           case e: Throwable =>
