@@ -1352,6 +1352,100 @@ object GateQueries {
           col("batch_id").cast("bigint").as("detected_batch"))
     },
 
+    "q101_parquet_landing" -> { (s, d) =>
+      // The parquet landing-directory stream, driver-gated — q95 gates
+      // the JSONL twin; this closes `Formats.readParquetStream`, the
+      // binary-format form of the reference's directory-polling loader.
+      // Same three-wave incremental-discovery contract (per-wave
+      // cumulative counts require-pinned: a source that re-reads old
+      // files or misses new ones fails loudly), but where q95/q91 must
+      // exclude timestamps as a TEXT-format formatting concern, parquet
+      // carries them in binary — so this gate INCLUDES `ts` and pins µs
+      // timestamp fidelity through the landing path end to end.
+      import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+      import org.apache.spark.sql.types._
+      val slice = Tables(s, d).events
+        .where(col("user_id") < 150)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+      val root = JFiles.createTempDirectory("graft-q101")
+      val landing = root.resolve("landing")
+      JFiles.createDirectories(landing)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("ts", TimestampType)))
+      def land(k: Int): Unit = {
+        val stage = root.resolve(s"stage$k").toString
+        slice.where(col("event_id") % 3 === k)
+          .write.mode("overwrite").parquet(stage)
+        JFiles.list(Paths.get(stage)).toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.getFileName.toString.endsWith(".parquet")).zipWithIndex
+          .foreach { case (f, i) =>
+            JFiles.move(f, landing.resolve(s"wave$k-part$i.parquet"),
+              StandardCopyOption.ATOMIC_MOVE)
+          }
+      }
+      val counts = (0 until 3).map(k =>
+        slice.where(col("event_id") % 3 === k).count())
+      val sink = root.resolve("sink").toString
+      val q = graft.sources.Formats.readParquetStream(s, landing.toString, schema)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet").option("path", sink)
+        .start()
+      try {
+        (0 until 3).foreach { k =>
+          land(k)
+          q.processAllAvailable()
+          val seen = s.read.parquet(sink).count()
+          val want = counts.take(k + 1).sum
+          require(seen == want,
+            s"q101: after wave $k the sink must hold exactly $want rows, got $seen")
+        }
+      } finally q.stop()
+      s.read.parquet(sink)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+    },
+
+    "q102_compaction" -> { (s, d) =>
+      // Small-file compaction, driver-gated: the maintenance pass every
+      // incremental pipeline in this library needs at scale (each daily
+      // load / streaming sink / backfill appends files into the
+      // partitions it touches; at 100 TB scan cost becomes file-open
+      // cost). The fixture fragments a date-partitioned rollup — six
+      // round-robin slices land up to six files in every partition, the
+      // shape months of appends produce — then `Compaction.compact`
+      // must rewrite EXACTLY the fragmented partitions to one file each
+      // (require-pinned: the rewritten set, the final census with no
+      // partition lost, and a no-op second run), and the healed table
+      // must hash-equal the batch rollup.
+      val rollup = Tables(s, d).events
+        .where(col("user_id") < 150)
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.functions.Portable.q4(sum(col("value"))).as("total_value"))
+      val target = java.nio.file.Files.createTempDirectory("graft-q102")
+        .toString + "/rollup"
+      rollup.repartition(6).write.partitionBy("d").parquet(target)
+      val before = graft.operators.Compaction.partitionFileCounts(s, target, "d")
+      require(before.values.max > 1, "q102 fixture must be fragmented")
+      val want = before.filter(_._2 > 1).keys.toSeq.sorted
+      val done = graft.operators.Compaction.compact(s, target, "d")
+      require(done == want,
+        s"compaction must rewrite exactly the fragmented partitions: got $done, want $want")
+      val after = graft.operators.Compaction.partitionFileCounts(s, target, "d")
+      require(after.keySet == before.keySet && after.values.forall(_ == 1),
+        s"every partition must end at one file with none lost: $after")
+      require(graft.operators.Compaction.compact(s, target, "d").isEmpty,
+        "q102: a second compaction must be a no-op")
+      s.read.parquet(target)
+        .select(col("user_id"), col("d").cast("timestamp").as("d"),
+          col("n_events"), col("total_value"))
+    },
+
     "q91_formats_roundtrip" -> { (s, d) =>
       // Interchange-format fidelity, driver-gated (the CSV/JSONL/ORC
       // readers+writers were spec-only): one capped event slice
@@ -1933,6 +2027,22 @@ object GateQueries {
       // of the same files
       """SELECT event_id, user_id, event_type, value
         |FROM events WHERE user_id < 150""".stripMargin,
+
+    "q101_parquet_landing" ->
+      // the parquet twin carries timestamps in binary: exactly-once AND
+      // µs-exact ts through the landing path
+      """SELECT event_id, user_id, event_type, value, ts
+        |FROM events WHERE user_id < 150""".stripMargin,
+
+    "q102_compaction" ->
+      // the compacted table must hold exactly the batch rollup — q90's
+      // oracle shape: a compaction that lost, duplicated, or cross-wired
+      // a partition's rows diverges
+      """SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d,
+        |  count(*) AS n_events,
+        |  floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
+        |FROM events WHERE user_id < 150
+        |GROUP BY 1, 2""".stripMargin,
 
     "q91_formats_roundtrip" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value FROM events
