@@ -1446,6 +1446,43 @@ object GateQueries {
           col("n_events"), col("total_value"))
     },
 
+    "q103_clustered_layout" -> { (s, d) =>
+      // Range-clustered data-skipping layout, driver-gated — the third
+      // leg of the layout-management triad (q88 = bucketed equi-join
+      // layout, q102 = small-file compaction): `writeRangeClustered`
+      // lays the slice out so every file's min/max footer statistics on
+      // user_id are tight and PAIRWISE DISJOINT, which is what lets a
+      // pushed range predicate skip whole row groups at read time
+      // (FormatsSpec pins the runtime skip against a scattered twin:
+      // 4000 rows scanned vs ≤1500). The requires pin the layout
+      // invariant itself — a multi-file census whose [min,max] ranges
+      // never overlap — and the oracle checks a range scan over the
+      // clustered table against the batch filter, so a layout that
+      // dropped, duplicated, or mis-ranged rows diverges.
+      val slice = Tables(s, d).events
+        .where(col("user_id") < 150)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-q103")
+        .toString + "/clustered"
+      graft.sources.Formats.writeRangeClustered(slice, dir, "user_id", numFiles = 8)
+      val back = s.read.parquet(dir)
+      val ranges = back.groupBy(input_file_name().as("f"))
+        .agg(min(col("user_id")).as("lo"), max(col("user_id")).as("hi"))
+        .select(col("lo"), col("hi"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      require(ranges.length >= 4,
+        s"q103: expected a multi-file clustered layout, got ${ranges.length} files")
+      ranges.sliding(2).foreach {
+        case Array((_, hi), (lo, _)) =>
+          require(hi < lo, s"q103: file key ranges overlap: ${ranges.toSeq}")
+        case _ => ()
+      }
+      back.where(col("user_id").between(40, 79))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+    },
+
     "q91_formats_roundtrip" -> { (s, d) =>
       // Interchange-format fidelity, driver-gated (the CSV/JSONL/ORC
       // readers+writers were spec-only): one capped event slice
@@ -2043,6 +2080,12 @@ object GateQueries {
         |  floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
         |FROM events WHERE user_id < 150
         |GROUP BY 1, 2""".stripMargin,
+
+    "q103_clustered_layout" ->
+      // a range scan over the clustered layout must equal the batch
+      // filter: mis-ranged, dropped, or duplicated rows diverge
+      """SELECT event_id, user_id, event_type, value, ts
+        |FROM events WHERE user_id BETWEEN 40 AND 79""".stripMargin,
 
     "q91_formats_roundtrip" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value FROM events

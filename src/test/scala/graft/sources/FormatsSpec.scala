@@ -93,6 +93,50 @@ class FormatsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_b")
     }
   }
+
+  test("range-clustered layout: disjoint per-file key ranges, content preserved") {
+    val dir = Files.createTempDirectory("graft-rc").toString + "/t"
+    val df = (0 until 400).map(i => ((i * 7919) % 400L, i.toDouble))
+      .toDF("k", "v")
+    Formats.writeRangeClustered(df, dir, "k", numFiles = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.as[(Long, Double)].collect().toSet ==
+      df.as[(Long, Double)].collect().toSet)
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(min($"k").as("lo"), max($"k").as("hi"))
+      .select($"lo", $"hi").as[(Long, Long)].collect().sortBy(_._1)
+    assert(ranges.length == 4, s"expected 4 files: ${ranges.toSeq}")
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi < lo, s"file ranges overlap: ${ranges.toSeq}")
+    }
+  }
+
+  test("range clustering lets a pushed range predicate skip row groups at read time") {
+    val root = Files.createTempDirectory("graft-rc-skip").toString
+    val df = (0 until 4000).map(i => ((i * 7919) % 4000L, i.toDouble))
+      .toDF("k", "v")
+    Formats.writeRangeClustered(df, s"$root/clustered", "k", numFiles = 8)
+    // round-robin twin: same rows, same file count, scattered key ranges
+    df.repartition(8).write.parquet(s"$root/scattered")
+    def scannedRows(path: String): Long = {
+      val q = spark.read.parquet(path).where($"k".between(1000, 1499))
+      // collect(), not count(): count() plans its own aggregate execution,
+      // leaving THIS queryExecution's scan metrics untouched
+      assert(q.collect().length == 500) // keys are a permutation of 0..3999
+      q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.get
+    }
+    val clustered = scannedRows(s"$root/clustered")
+    val scattered = scannedRows(s"$root/scattered")
+    // every scattered file's [min,max] covers the predicate range, so all
+    // 4000 rows stream through its scan; the clustered layout's disjoint
+    // footer stats let the reader skip every non-overlapping row group
+    assert(scattered == 4000L, s"scattered twin must scan everything, got $scattered")
+    assert(clustered <= 1500L,
+      s"clustered scan must skip non-overlapping row groups, scanned $clustered")
+  }
 }
 
 class ParquetStreamSpec extends graft.SparkSpec {
