@@ -59,7 +59,8 @@ object Bench {
     "q95_landing_stream", "q96_backfill_pipeline",
     "q97_stream_late_funnel", "q98_stream_late_dedup",
     "q99_stream_late_interval_join", "q100_neardup_recovery",
-    "q101_parquet_landing", "q102_compaction", "q103_clustered_layout")
+    "q101_parquet_landing", "q102_compaction", "q103_clustered_layout",
+    "q106_zorder_layout")
 
   /** Wait (bounded) for the 1-min loadavg to decay below `target` so the
     * next section's per-query `load` fields start from a clean machine;

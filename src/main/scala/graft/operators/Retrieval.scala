@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.functions.{Portable, TextFns}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked full-text retrieval over the corpus — the "find the training
+  * examples most relevant to this probe" primitive (eval-set neighbor
+  * inspection, targeted corpus audits, memorization probes). The reference
+  * ships its search to Postgres LIKE scans (adhoc queries); here it is a
+  * distributed inverted-index scoring pipeline: postings are (term, doc)
+  * rows, every join is term-sharded, and nothing pairwise ever forms.
+  *
+  * Scale shape (100 TB corpus): the postings lists are the only large
+  * intermediate — linear in corpus tokens, built by one map-side-combined
+  * groupBy. Query terms and the per-term document frequencies are
+  * vocabulary-sized (AQE broadcasts them); the per-(query, doc) rollup
+  * shuffles only matched postings, and the final top-k plans as a
+  * WindowGroupLimit (each map task keeps its local k per query before the
+  * exchange). The `maxDfFrac` guard drops stopword-grade terms whose
+  * postings lists are a constant fraction of the corpus — the same
+  * heavy-hitter cap as `Similarity.maxShingleDF` (SURVEY §4), applied
+  * BEFORE the postings join so the cost bound is structural, not
+  * score-based (BM25's idf already ranks such terms near zero; the cap is
+  * about never materializing their O(corpus) join output at all).
+  */
+object Retrieval {
+
+  /** BM25 top-k: for each query (rows of (queryIdCol, termCol)), the k
+    * highest-scoring documents with deterministic doc-id tiebreaks.
+    *
+    * Determinism contract (SURVEY §5): tf/df/dl are exact integers; the
+    * per-(query, doc) score folds its per-term contributions in TERM ORDER
+    * (sorted collect + left fold) so float addition associates identically
+    * in any engine, then quantizes to 6 decimals before ranking.
+    *
+    * Output: (queryIdCol, docIdCol, score, n_terms, rank), rank 1..k.
+    */
+  def bm25TopK(docs: DataFrame, docIdCol: String, textCol: String,
+               queries: DataFrame, queryIdCol: String, termCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75,
+               maxDfFrac: Double = 0.9): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxDfFrac > 0 && maxDfFrac <= 1, "maxDfFrac must be in (0, 1]")
+
+    val id = col(docIdCol)
+    // One tokenization pass feeds postings AND doc lengths: dl rides the
+    // explode as a per-row constant, so no second scan / no dl join.
+    val toks = docs.select(id, TextFns.words(col(textCol)).as("__w"))
+      .select(id, size(col("__w")).as("dl"), explode(col("__w")).as("term"))
+    val postings = toks.groupBy(id, col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+    // Corpus scalars (N, avgdl): one 1-row aggregate, broadcast-joined.
+    val corpus = docs.select(size(TextFns.words(col(textCol))).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+
+    // Per-term document frequency over the (already distinct) postings
+    // keys; the stopword cap compares df against the corpus size.
+    val termStats = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(corpus))
+      .where(col("df") <= lit(maxDfFrac) * col("n_docs"))
+
+    val qTerms = queries.select(col(queryIdCol), col(termCol).as("term"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val lengthNorm = col("tf") + lit(k1) *
+      (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
+    val perTerm = qTerms
+      .join(termStats, "term")
+      .join(postings, "term")
+      .withColumn("tscore", idf * (col("tf") * lit(k1 + 1.0)) / lengthNorm)
+
+    // Ordered fold: sort matched terms, then left-fold the additions so
+    // the double sum is bit-identical across engines (SURVEY §5).
+    val folded = perTerm.groupBy(col(queryIdCol), id)
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("term"), col("tscore")))),
+          lit(0.0),
+          (acc: Column, x: Column) => acc + x.getField("tscore")).as("__raw"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("score", Portable.q6(col("__raw")))
+      .drop("__raw")
+
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, id.asc)
+    folded.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col(queryIdCol), id, col("score"), col("n_terms"), col("rank"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{Portable, TextFns}
-import graft.operators.{Decontaminate, Funnel, Fuzzy, Rankings, Sampling, Similarity, Temporal}
+import graft.operators.{Decontaminate, Funnel, Fuzzy, Rankings, Retrieval, Sampling, Similarity, Temporal}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -288,6 +288,23 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("n_occurrences"),
           countDistinct(col("doc_id")).as("n_docs"))
       Rankings.topK(vocab, Seq(col("n_occurrences").desc, col("word").asc), 50)
+    },
+
+    "q104_bm25_search" -> { (s, d) =>
+      // Ranked retrieval over the corpus (Retrieval.bm25TopK): every 25th
+      // document poses a query from its first four distinct words, and
+      // the engine returns the 10 highest-BM25 documents per query. The
+      // postings lists are the only corpus-sized intermediate; query
+      // terms and term stats stay vocabulary-sized; the top-k cut plans
+      // as a WindowGroupLimit. The score fold is term-ordered so the
+      // DuckDB oracle reproduces the double sum bit-for-bit (SURVEY §5).
+      val docs = Tables(s, d).documentsSpread
+      val probes = docs.where(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(slice(TextFns.words(col("text")), 1, 4)))
+            .as("term"))
+      Retrieval.bm25TopK(docs, "doc_id", "text", probes, "query_id", "term",
+        k = 10, k1 = 1.2, b = 0.75, maxDfFrac = 0.9)
     }
   )
 
@@ -486,6 +503,47 @@ object ExtendedQueries {
         |SELECT * FROM (
         |  SELECT word, n_occurrences, n_docs,
         |    CAST(row_number() OVER (ORDER BY n_occurrences DESC, word) AS INT) AS rank
-        |  FROM v) WHERE rank <= 50""".stripMargin
+        |  FROM v) WHERE rank <= 50""".stripMargin,
+
+    // BM25 replay: identical tf/df/dl integers, the same per-term double
+    // formula, and the same TERM-ORDERED left fold of the score sum
+    // (list_reduce over a 0.0-prepended term-sorted list == Spark's
+    // aggregate(array_sort(...), 0.0, +)), quantized to 6 decimals before
+    // the per-query ranking.
+    "q104_bm25_search" ->
+      """WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |toks AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM base),
+        |postings AS (SELECT doc_id, term, dl, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+        |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
+        |           FROM (SELECT len(w) AS dl FROM base)),
+        |term_stats AS (
+        |  SELECT term, df, n_docs, avgdl
+        |  FROM (SELECT term, count(*) AS df FROM postings GROUP BY 1), corpus
+        |  WHERE df <= 0.9 * n_docs),
+        |probes AS (SELECT doc_id AS query_id,
+        |    unnest(list_distinct(list_slice(w, 1, 4))) AS term
+        |  FROM base WHERE doc_id % 25 = 0),
+        |per_term AS (
+        |  SELECT q.query_id, p.doc_id, p.term,
+        |    ln(1.0 + (t.n_docs - t.df + 0.5) / (t.df + 0.5)) *
+        |      (p.tf * 2.2) /
+        |      (p.tf + 1.2 * (0.25 + 0.75 * p.dl / t.avgdl)) AS tscore
+        |  FROM probes q JOIN term_stats t ON q.term = t.term
+        |    JOIN postings p ON t.term = p.term),
+        |folded AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(list_reduce(
+        |      list_prepend(CAST(0.0 AS DOUBLE),
+        |        list(CAST(tscore AS DOUBLE) ORDER BY term)),
+        |      (a, b) -> a + b) AS DOUBLE) AS raw,
+        |    count(*) AS n_terms
+        |  FROM per_term GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT query_id, doc_id,
+        |    floor(raw * 1000000.0 + 0.5) / 1000000.0 AS score, n_terms,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY floor(raw * 1000000.0 + 0.5) / 1000000.0 DESC, doc_id)
+        |      AS INT) AS rank
+        |  FROM folded) WHERE rank <= 10""".stripMargin
   )
 }

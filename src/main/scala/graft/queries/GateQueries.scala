@@ -1483,6 +1483,127 @@ object GateQueries {
           col("value"), col("ts"))
     },
 
+    "q106_zorder_layout" -> { (s, d) =>
+      // Z-order (Morton) layout, driver-gated — the MULTI-column leg of
+      // the data-skipping story (q103 gates single-key range clustering,
+      // which leaves the second column's per-file ranges table-wide).
+      // `Formats.writeZOrdered` interleaves the bit-normalized bins of
+      // (user_id, event_id) into one Morton code and range-clusters on
+      // it, so every file covers a small RECTANGLE of the key plane. The
+      // requires pin exactly that: the mean normalized per-file footer
+      // width stays cell-sized in EACH dimension — a lexicographic
+      // (user_id, event_id) sort passes the user_id pin but fails the
+      // event_id one, and a plain scatter fails both. The oracle checks
+      // a box scan (both predicates) against the batch filter, so a
+      // layout that dropped, duplicated, or mis-binned rows also
+      // diverges.
+      val slice = Tables(s, d).events
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-q106")
+        .toString + "/zordered"
+      graft.sources.Formats.writeZOrdered(slice, dir, "user_id", "event_id",
+        numFiles = 16)
+      val back = s.read.parquet(dir)
+      val stats = back.groupBy(input_file_name().as("f"))
+        .agg(min(col("user_id")).as("alo"), max(col("user_id")).as("ahi"),
+          min(col("event_id")).as("blo"), max(col("event_id")).as("bhi"))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      require(stats.length >= 8,
+        s"q106: expected a multi-file z-ordered layout, got ${stats.length} files")
+      val (aLo, aHi) = (stats.map(_._1).min, stats.map(_._2).max)
+      val (bLo, bHi) = (stats.map(_._3).min, stats.map(_._4).max)
+      // Layout invariant, robust to the range partitioner's SAMPLED
+      // boundaries (file edges jitter run to run — a fixed overlap count
+      // would flake): every file must cover a small RECTANGLE, i.e. its
+      // mean normalized footer-stat width stays near the quadtree cell
+      // width (~1/4 at 16 files) in EACH dimension. A single-key sort
+      // has mean width ~1 in the other dimension; a scatter ~1 in both.
+      val (spanA, spanB) = (aHi - aLo, bHi - bLo)
+      def meanWidth(f: ((Long, Long, Long, Long)) => (Long, Long), span: Long) =
+        stats.map { s => val (lo, hi) = f(s); (hi - lo + 1).toDouble }.sum /
+          stats.length / (span + 1).toDouble
+      val (wa, wb) = (meanWidth(s => (s._1, s._2), spanA),
+        meanWidth(s => (s._3, s._4), spanB))
+      require(wa <= 0.45,
+        s"q106: mean user_id file width must stay cell-sized, got $wa")
+      require(wb <= 0.45,
+        s"q106: mean event_id file width must stay cell-sized, got $wb")
+      // quarter-range probe aligned to the second quadrant [1/4, 1/2) of
+      // each dimension's normalized space (ceil on the lower bound so
+      // integer division can't land it just below the quadrant edge)
+      val (pa1, pa2) = (aLo + (spanA + 3) / 4, aLo + (spanA + 1) / 2 - 1)
+      val (pb1, pb2) = (bLo + (spanB + 3) / 4, bLo + (spanB + 1) / 2 - 1)
+      back.where(col("user_id").between(pa1, pa2) &&
+          col("event_id").between(pb1, pb2))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+    },
+
+    "q107_table_diff" -> { (s, d) =>
+      // Table reconciliation, driver-gated (Reconcile.diff): per-partition
+      // content checksums answer "is the rebuilt table equal to the
+      // source, and where not?" in ONE scan of each side — the
+      // verification primitive q86/q90/q96 implicitly rely on, promoted
+      // to an operator (at 100 TB a row-level compare is its own
+      // migration; this shuffles partitions × 4 longs). The right side is
+      // the left with three deterministic injuries: the min-day partition
+      // dropped (missing_right), day-15 rows thinned (differ), and a
+      // +10000-day shifted slice appended (missing_left); untouched days
+      // must come back `match`. The requires pin all four statuses
+      // present; the oracle replays the md5-lane checksums bit-for-bit.
+      val ev = Tables(s, d).events
+        .select(to_date(col("ts")).as("day"), col("event_id"),
+          col("user_id"), col("event_type"))
+      val rowKey = concat_ws("|", col("event_id"), col("user_id"),
+        col("event_type"))
+      val minDay = ev.agg(min(col("day"))).head().getDate(0)
+      val right = ev
+        .where(!(dayofmonth(col("day")) === 15 && col("event_id") % 3 === 1) &&
+          col("day") > lit(minDay))
+        .unionByName(ev.where(col("event_id") % 1009 === 5)
+          .withColumn("day", date_add(col("day"), 10000)))
+      val out = graft.operators.Reconcile.diff(ev, right, "day", rowKey)
+        .select(col("day").cast("timestamp").as("day"),
+          col("l_n_rows"), col("r_n_rows"), col("status"))
+      val statuses = out.select(col("status")).distinct()
+        .collect().map(_.getString(0)).toSet
+      require(Set("match", "differ", "missing_left", "missing_right")
+          .subsetOf(statuses),
+        s"q107: every diff class must appear in the fixture, got $statuses")
+      out
+    },
+
+    "q105_bloom_prune" -> { (s, d) =>
+      // Bloom-filter scan pruning, driver-gated: the flagged-key fact
+      // filter (q69's exclusion shape, q51's semi-join shape) with a
+      // fixed-size bloom sketch pushed IN FRONT of the shuffle
+      // (Pruning.bloomPrunedSemiJoin — Spark's own runtime-filter
+      // machinery driven by an explicit key set). The requires pin the
+      // sketch's two contracts: the prefilter alone is a SUPERSET of the
+      // exact semi-join (false negatives impossible) and it genuinely
+      // prunes (a broken sketch that degenerates to "keep everything"
+      // fails loudly, not silently). The oracle is the exact semi-join —
+      // a false positive surviving the verify join hash-mismatches.
+      val t = Tables(s, d)
+      val fact = t.events
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+      val keys = t.customer.where(col("c_custkey") % 37 === 0)
+        .select(col("c_custkey"))
+      val bloom = graft.operators.Pruning.buildBloom(keys, "c_custkey",
+        expectedItems = 4096L, fpp = 0.01)
+      val pre = graft.operators.Pruning.bloomPrefilter(fact, "user_id", bloom)
+      val result = pre.join(keys, pre("user_id") === col("c_custkey"), "left_semi")
+      val (total, kept, exact) = (fact.count(), pre.count(), result.count())
+      require(kept >= exact,
+        s"q105: bloom prefilter must be a superset of the semi-join ($kept < $exact)")
+      require(kept < total / 2,
+        s"q105: bloom prefilter must actually prune ($kept of $total kept)")
+      result
+    },
+
     "q91_formats_roundtrip" -> { (s, d) =>
       // Interchange-format fidelity, driver-gated (the CSV/JSONL/ORC
       // readers+writers were spec-only): one capped event slice
@@ -2099,6 +2220,61 @@ object GateQueries {
         |    floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
         |  FROM events GROUP BY user_id)
         |SELECT r.user_id, r.n_events, r.total_value, c.c_mktsegment, c.c_acctbal
-        |FROM r JOIN customer c ON r.user_id = c.c_custkey""".stripMargin
+        |FROM r JOIN customer c ON r.user_id = c.c_custkey""".stripMargin,
+
+    "q105_bloom_prune" ->
+      // the exact semi-join: any bloom false positive that survived the
+      // verify join (or true match the prefilter dropped) diverges
+      """SELECT e.event_id, e.user_id, e.event_type, e.value, e.ts
+        |FROM events e
+        |WHERE e.user_id IN
+        |  (SELECT c_custkey FROM customer WHERE c_custkey % 37 = 0)""".stripMargin,
+
+    "q107_table_diff" ->
+      // per-partition checksum replay: identical md5 uint32 lanes
+      // (bit_xor + sum + count), identical right-side injuries, identical
+      // full-outer status classification
+      """WITH le AS (SELECT CAST(ts AS DATE) AS day, event_id, user_id, event_type
+        |    FROM events),
+        |mn AS (SELECT min(day) AS mind FROM le),
+        |re AS (
+        |  SELECT day, event_id, user_id, event_type FROM le, mn
+        |  WHERE NOT (date_part('day', day) = 15 AND event_id % 3 = 1)
+        |    AND day > mind
+        |  UNION ALL
+        |  SELECT day + 10000 AS day, event_id, user_id, event_type FROM le
+        |  WHERE event_id % 1009 = 5),
+        |lc AS (SELECT day, count(*) AS n,
+        |    bit_xor(CAST(('0x' || substr(md5(concat_ws('|', event_id, user_id, event_type)), 1, 8))::UBIGINT AS BIGINT)) AS xa,
+        |    bit_xor(CAST(('0x' || substr(md5(concat_ws('|', event_id, user_id, event_type)), 9, 8))::UBIGINT AS BIGINT)) AS xb,
+        |    CAST(sum(CAST(('0x' || substr(md5(concat_ws('|', event_id, user_id, event_type)), 1, 8))::UBIGINT AS BIGINT)) AS BIGINT) AS sa
+        |  FROM le GROUP BY 1),
+        |rc AS (SELECT day, count(*) AS n,
+        |    bit_xor(CAST(('0x' || substr(md5(concat_ws('|', event_id, user_id, event_type)), 1, 8))::UBIGINT AS BIGINT)) AS xa,
+        |    bit_xor(CAST(('0x' || substr(md5(concat_ws('|', event_id, user_id, event_type)), 9, 8))::UBIGINT AS BIGINT)) AS xb,
+        |    CAST(sum(CAST(('0x' || substr(md5(concat_ws('|', event_id, user_id, event_type)), 1, 8))::UBIGINT AS BIGINT)) AS BIGINT) AS sa
+        |  FROM re GROUP BY 1)
+        |SELECT CAST(coalesce(lc.day, rc.day) AS TIMESTAMP) AS day,
+        |  lc.n AS l_n_rows, rc.n AS r_n_rows,
+        |  CASE WHEN lc.n IS NULL THEN 'missing_left'
+        |       WHEN rc.n IS NULL THEN 'missing_right'
+        |       WHEN lc.n = rc.n AND lc.xa = rc.xa AND lc.xb = rc.xb
+        |         AND lc.sa = rc.sa THEN 'match'
+        |       ELSE 'differ' END AS status
+        |FROM lc FULL OUTER JOIN rc ON lc.day = rc.day""".stripMargin,
+
+    "q106_zorder_layout" ->
+      // the box scan over the z-ordered layout must equal the batch box
+      // filter; probe bounds re-derived from the same global min/max the
+      // gate reads out of the footer stats (// = DuckDB floor division,
+      // matching Scala's nonneg Long division)
+      """WITH b AS (SELECT min(user_id) AS alo, max(user_id) AS ahi,
+        |    min(event_id) AS blo, max(event_id) AS bhi FROM events)
+        |SELECT e.event_id, e.user_id, e.event_type, e.value, e.ts
+        |FROM events e, b
+        |WHERE e.user_id BETWEEN b.alo + (b.ahi - b.alo + 3) // 4
+        |                    AND b.alo + (b.ahi - b.alo + 1) // 2 - 1
+        |  AND e.event_id BETWEEN b.blo + (b.bhi - b.blo + 3) // 4
+        |                     AND b.blo + (b.bhi - b.blo + 1) // 2 - 1""".stripMargin
   )
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** Source/sink formats beyond the default parquet tables: CSV and JSON
@@ -81,6 +81,53 @@ object Formats {
     require(numFiles >= 1, "numFiles must be >= 1")
     df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(clusterCol))
       .sortWithinPartitions(clusterCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Z-ordered parquet layout — the MULTI-column data-skipping complement
+    * of [[writeRangeClustered]]. Range clustering makes footer stats tight
+    * on ONE key; sorting on (a, b) lexicographically leaves b's per-file
+    * ranges as wide as the table. Interleaving the bits of both keys'
+    * normalized bin indices into one Morton code and range-clustering on
+    * THAT gives every file a small rectangle in (a, b) space, so pushed
+    * range predicates on EITHER column (or both) skip most files — the
+    * layout Delta/Iceberg `OPTIMIZE ZORDER BY` builds, here as one range
+    * shuffle at write time.
+    *
+    * Bin normalization is min/max over the frame (two scalar aggregates,
+    * collected once — bounded driver state); `bits` bins per dimension is
+    * 2^bits, 16 by default (a 32-bit Morton code). The interleave itself
+    * is a chain of shift/and/or column expressions — pure codegen, no UDF.
+    * The Morton column is dropped before the write; only the layout
+    * remembers it.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    numFiles: Int, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions._
+    require(numFiles >= 1, "numFiles must be >= 1")
+    require(bits >= 1 && bits <= 31, "bits must be in 1..31")
+    val bounds = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    require(!bounds.anyNull, "z-order columns must have non-null bounds")
+    val (loA, hiA) = (bounds.getDouble(0), bounds.getDouble(1))
+    val (loB, hiB) = (bounds.getDouble(2), bounds.getDouble(3))
+    val scale = (1L << bits).toDouble
+    def bin(c: String, lo: Double, hi: Double) = {
+      val span = math.max(hi - lo, 1e-12)
+      least(lit((1L << bits) - 1L),
+        floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(scale))
+          .cast("long"))
+    }
+    def bitAt(c: Column, i: Int) = shiftright(c, i).bitwiseAND(lit(1L))
+    val (ba, bb) = (bin(colA, loA, hiA), bin(colB, loB, hiB))
+    val z = (0 until bits).map { i =>
+      shiftleft(bitAt(ba, i), 2 * i).bitwiseOR(shiftleft(bitAt(bb, i), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
