@@ -90,4 +90,33 @@ object Sampling {
       .where(hashUnit(col(idCol), salt) < col("__rate"))
       .drop("__n", "__rate")
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES),
+    * deterministic: each row draws u = (hash+1)/2^32 ∈ (0, 1] from the
+    * shared md5 coin and scores key = u^(1/weight); the k largest keys
+    * ARE the weighted sample — equivalent in distribution to k
+    * sequential weighted draws without replacement, which is how a
+    * training mix takes "more of the high-quality/long documents"
+    * without a rate per stratum (the per-DOC weighted complement of
+    * [[mixtureSample]]'s per-SOURCE shares).
+    *
+    * Membership is a pure function of (id, salt, weight): reruns,
+    * engines, and partitionings agree, and like [[capPerStratum]] the
+    * hash order is stable, so raising k only ADDS rows (top-k sets
+    * nest). The global top-k plans as TakeOrderedAndProject — each task
+    * keeps k local rows, only k × tasks reach the driver-side heap —
+    * never a full sort. Weights must be positive.
+    *
+    * Output: input columns + `sample_rank` (1..k by key desc, id asc).
+    */
+  def weightedTopK(df: DataFrame, idCol: String, weight: Column, k: Int,
+                   salt: String): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    // (0, 1]: +1 keeps u off zero so pow(u, 1/w) is never pinned at 0
+    val u = (hashLong(col(idCol), salt) + lit(1L)) / lit(4294967296.0)
+    val keyed = df.withColumn("__key", pow(u, lit(1.0) / weight))
+    Rankings.topK(keyed, Seq(col("__key").desc, col(idCol).asc), k)
+      .withColumnRenamed("rank", "sample_rank")
+      .drop("__key")
+  }
 }

@@ -305,6 +305,23 @@ object ExtendedQueries {
             .as("term"))
       Retrieval.bm25TopK(docs, "doc_id", "text", probes, "query_id", "term",
         k = 10, k1 = 1.2, b = 0.75, maxDfFrac = 0.9)
+    },
+
+    "q108_weighted_sample" -> { (s, d) =>
+      // Deterministic weighted sampling without replacement
+      // (Sampling.weightedTopK, Efraimidis–Spirakis): the 100 documents
+      // drawn with probability proportional to length — the "take more
+      // of the long/high-quality docs" step of a training mix, per-DOC
+      // weighted where q65 rebalances per-SOURCE. The md5-coin key makes
+      // membership a pure function of (doc_id, salt, weight), so the
+      // DuckDB oracle replays the exact same top-k; the raw double key
+      // is dropped from the output (rank + id carry the evidence).
+      Sampling.weightedTopK(
+          Tables(s, d).documents
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          "doc_id", greatest(col("n_chars"), lit(1L)), k = 100, salt = "w8")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("sample_rank"))
     }
   )
 
@@ -544,6 +561,23 @@ object ExtendedQueries {
         |    CAST(row_number() OVER (PARTITION BY query_id
         |      ORDER BY floor(raw * 1000000.0 + 0.5) / 1000000.0 DESC, doc_id)
         |      AS INT) AS rank
-        |  FROM folded) WHERE rank <= 10""".stripMargin
+        |  FROM folded) WHERE rank <= 10""".stripMargin,
+
+    // A-ES replay: identical md5 coin (hex slice -> uint32, +1, /2^32),
+    // identical pow key, identical (key DESC, doc_id) ranking. The raw
+    // key is not emitted; u and 1/w are bit-identical IEEE doubles in
+    // both engines, so pow differs by <= 1 ulp — far inside the key
+    // gaps that decide ranks.
+    "q108_weighted_sample" ->
+      """WITH k AS (SELECT doc_id, source, n_chars,
+        |    pow((CAST(('0x' || substr(md5(doc_id || '#w8'), 1, 8))::UBIGINT AS BIGINT) + 1)
+        |          / 4294967296.0,
+        |        1.0 / greatest(n_chars, 1)) AS key
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, sample_rank FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT)
+        |      AS sample_rank
+        |  FROM k) WHERE sample_rank <= 100""".stripMargin
   )
 }

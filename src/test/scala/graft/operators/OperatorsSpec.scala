@@ -204,6 +204,32 @@ class SamplingSpec extends SparkSpec {
     assert(out.forall(_ == "a")) // stratum b (share 0) fully dropped
     assert(math.abs(out.length - 200.0) / 200.0 < 0.2) // rate 200/1000 in expectation
   }
+
+  test("weightedTopK: exact k, contiguous ranks, deterministic, nesting") {
+    val weighted = ids.withColumn("w", lit(1.0) + ($"id" % 7))
+    val s50 = Sampling.weightedTopK(weighted, "id", $"w", 50, "es")
+    val rows = s50.collect()
+    assert(rows.length == 50)
+    assert(rows.map(_.getAs[Int]("sample_rank")).sorted.sameElements(1 to 50))
+    val again = Sampling.weightedTopK(weighted.repartition(13), "id", $"w", 50, "es")
+      .select("id").as[Long].collect().toSet
+    assert(again == s50.select("id").as[Long].collect().toSet)
+    // raising k only adds rows (top-k sets nest under one salt)
+    val s80 = Sampling.weightedTopK(weighted, "id", $"w", 80, "es")
+      .select("id").as[Long].collect().toSet
+    assert(again.subsetOf(s80))
+  }
+
+  test("weightedTopK favors heavy rows as A-ES promises") {
+    // two weight classes over the 2000 ids: w=20 (ids < 200, a 10%
+    // population share) vs w=1 — the A-ES threshold equation puts ~120
+    // heavy rows in a 200-row sample (vs 20 under uniform sampling)
+    val weighted = ids.withColumn("w", when($"id" < 200, 20.0).otherwise(1.0))
+    val heavy = Sampling.weightedTopK(weighted, "id", $"w", 200, "es2")
+      .where($"id" < 200).count()
+    assert(heavy > 100 && heavy < 140,
+      s"expected ~120 heavy rows of 200, got $heavy")
+  }
 }
 
 class AsOfSpec extends SparkSpec {
