@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.functions.Portable
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics as join-relinked DataFrame plans — the
+  * influence-ranking class behind the reference's insider/whale cohorts
+  * (`circle_insider`, update_etl.py:838 picks cohorts by ordered LIMIT;
+  * an influence propagation ranks by STRUCTURE instead, surfacing the
+  * addresses whales buy from even when their own volume is modest).
+  *
+  * Per iteration: one equi-join of the rank vector against the edge list
+  * plus one aggregation back to nodes — the canonical Spark shape whose
+  * cost is two hash shuffles on the node id, linear in edges, no
+  * driver-side graph state. Each iteration's ranks quantize to 1e-6
+  * (`Portable.q6`) exactly like `Similarity.kMeansCentroids` rounds its
+  * means: the fixpoint drift stays bounded AND the whole trajectory is
+  * cross-engine replayable, so a DuckDB oracle can re-run the SAME
+  * unrolled iterations bit-for-bit. Within an iteration the per-node
+  * inbound sum folds in SOURCE order (sorted collect + left fold, the
+  * q104 construction) — float addition associates identically anywhere.
+  *
+  * At 100 TB: the edge list is the only large table; it is scanned once
+  * per iteration, pre-shuffled on src by the degree join so AQE reuses
+  * the exchange, and iterations are a fixed small count (influence
+  * ranking needs the mass to move a few hops, not converge to 1e-12).
+  */
+object Graph {
+
+  /** Weighted PageRank over an edge list, `iters` exact iterations.
+    *
+    * rank₀ = 1/N for every node (sources ∪ destinations);
+    * rankₜ₊₁(n) = q6( (1−d)/N + d · Σ_{e: dst=n} rankₜ(src) · w/outw(src) ).
+    *
+    * Dangling mass (nodes with no out-edges) is dropped, not
+    * redistributed — the conventional "leaky" formulation; the oracle
+    * replays the identical rule. Returns (node, rank, n_iters).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               weight: Column, iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    // weight stays untouched: with integer weights the per-source sum is
+    // exact, so share = w/outw is a bit-deterministic double in any
+    // engine (a double weight would make `outw` depend on addition order)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      weight.as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().cache()
+    // out-weight per source, folded onto the edges once: each edge
+    // carries its share of the source's outbound mass
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    // nodes and shares feed every iteration: materialize once instead of
+    // re-deriving the edge scan per hop (callers at production scale
+    // should checkpoint instead — same trade as connectedComponents)
+    val shares = e.join(outW, "src")
+      .select(col("src"), col("dst"), (col("w") / col("outw")).as("share"))
+      .cache()
+    val n = nodes.agg(count(lit(1)).as("n_nodes"))
+    var ranks = nodes.crossJoin(broadcast(n))
+      .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = ranks.join(shares, ranks("node") === shares("src"))
+        .select(col("dst"), col("src"), (col("rank") * col("share")).as("c"))
+      val inbound = contribs.groupBy(col("dst"))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("src"), col("c")))),
+          lit(0.0),
+          (acc: Column, x: Column) => acc + x.getField("c")).as("in_mass"))
+      ranks = nodes.join(inbound, nodes("node") === inbound("dst"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("node"),
+          Portable.q6(lit((1.0 - damping)) / col("n_nodes") +
+            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
+    }
+    ranks.withColumn("n_iters", lit(iters))
+  }
+}

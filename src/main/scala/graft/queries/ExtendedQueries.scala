@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{Portable, TextFns}
-import graft.operators.{Decontaminate, Funnel, Fuzzy, Rankings, Retrieval, Sampling, Similarity, Temporal}
+import graft.operators.{Decontaminate, Funnel, Fuzzy, Graph, Rankings, Retrieval, Sampling, Similarity, Temporal}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -322,6 +322,25 @@ object ExtendedQueries {
           "doc_id", greatest(col("n_chars"), lit(1L)), k = 100, salt = "w8")
         .select(col("doc_id"), col("source"), col("n_chars"),
           col("sample_rank"))
+    },
+
+    "q109_pagerank" -> { (s, d) =>
+      // Influence propagation over the supplier→customer trade graph
+      // (Graph.pageRank, 3 exact iterations, damping 0.85): the
+      // structural complement of the reference's volume-ordered insider
+      // cohorts (circle_insider, update_etl.py:838). Each iteration is
+      // one rank⋈edges join + one node aggregation; per-iteration q6
+      // quantization and a source-ordered inbound fold make the whole
+      // trajectory DuckDB-replayable — the oracle runs the SAME three
+      // unrolled iterations (the q75 k-means construction, for graphs).
+      val t = Tables(s, d)
+      val edges = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("c"), col("o_custkey")).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      Graph.pageRank(edges, "src", "dst", col("w"), iters = 3)
+        .select(col("node"), col("rank"), col("n_iters"))
     }
   )
 
@@ -578,6 +597,39 @@ object ExtendedQueries {
         |  SELECT doc_id, source, n_chars,
         |    CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT)
         |      AS sample_rank
-        |  FROM k) WHERE sample_rank <= 100""".stripMargin
+        |  FROM k) WHERE sample_rank <= 100""".stripMargin,
+
+    // PageRank replay, the q75 construction for graphs: identical edge
+    // weights (exact counts), identical share doubles (int/int
+    // division), the SAME three unrolled iterations with per-iteration
+    // q6 quantization and a source-ordered left fold of the inbound
+    // mass. (1-d) is computed as 1.0 - 0.85 IN DOUBLES on both sides so
+    // even its last-ulp value agrees.
+    "q109_pagerank" -> {
+      def iter(prev: String, out: String) =
+        s"""$out AS (SELECT nd.node,
+           |    floor(((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+           |        + CAST(0.85 AS DOUBLE) * coalesce(m.mass, CAST(0.0 AS DOUBLE)))
+           |      * 1000000.0 + 0.5) / 1000000.0 AS rank
+           |  FROM nodes nd LEFT JOIN (
+           |    SELECT s.dst, CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |        list(CAST(r.rank * s.share AS DOUBLE) ORDER BY s.src)),
+           |      (a, b) -> a + b) AS DOUBLE) AS mass
+           |    FROM $prev r JOIN sh s ON r.node = s.src GROUP BY s.dst) m
+           |    ON nd.node = m.dst, nn)""".stripMargin
+      s"""WITH e AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+        |    'c' || CAST(o_custkey AS VARCHAR) AS dst, count(*) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |sh AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS share
+        |  FROM e),
+        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn),
+        |${iter("r0", "r1")},
+        |${iter("r1", "r2")},
+        |${iter("r2", "r3")}
+        |SELECT node, rank, 3 AS n_iters FROM r3""".stripMargin
+    }
   )
 }

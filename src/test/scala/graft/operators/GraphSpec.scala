@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: a sink everyone links to outranks its sources") {
+    val edges = Seq(("a", "hub", 1L), ("b", "hub", 1L), ("c", "hub", 1L),
+      ("hub", "a", 1L)).toDF("src", "dst", "w")
+    val r = Graph.pageRank(edges, "src", "dst", $"w", iters = 5)
+      .collect().map(x => x.getAs[String]("node") -> x.getAs[Double]("rank")).toMap
+    assert(r("hub") > r("a") && r("a") > r("b"))
+    assert(r("b") == r("c")) // symmetric sources tie exactly
+  }
+
+  test("pageRank: weights steer the split") {
+    val edges = Seq(("s", "heavy", 3L), ("s", "light", 1L)).toDF("src", "dst", "w")
+    val r = Graph.pageRank(edges, "src", "dst", $"w", iters = 1)
+      .collect().map(x => x.getAs[String]("node") -> x.getAs[Double]("rank")).toMap
+    // one iteration from uniform 1/3: heavy gets 3/4 of s's mass
+    assert(r("heavy") > r("light") && r("light") > 0.0)
+    val expectedHeavy = 0.15 / 3 + 0.85 * ((1.0 / 3) * 0.75)
+    assert(math.abs(r("heavy") - expectedHeavy) < 1e-6)
+  }
+
+  test("pageRank is deterministic under re-partitioning (ordered fold)") {
+    val edges = (0L until 200L).map(i => (s"n${i % 20}", s"n${(i * 7) % 20}", 1L + i % 3))
+      .toDF("src", "dst", "w")
+    val a = Graph.pageRank(edges, "src", "dst", $"w", iters = 3)
+      .collect().map(x => (x.getString(0), x.getDouble(1))).toSet
+    val b = Graph.pageRank(edges.repartition(7), "src", "dst", $"w", iters = 3)
+      .collect().map(x => (x.getString(0), x.getDouble(1))).toSet
+    assert(a == b)
+  }
+}
