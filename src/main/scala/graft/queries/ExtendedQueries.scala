@@ -341,6 +341,28 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("w"))
       Graph.pageRank(edges, "src", "dst", col("w"), iters = 3)
         .select(col("node"), col("rank"), col("n_iters"))
+    },
+
+    "q110_source_lang_rollup" -> { (s, d) =>
+      // Subtotaled corpus report: the q66 "dataset card" cut by
+      // (source × lang) WITH the source-level and grand-total rows a
+      // reporting surface actually publishes — Spark's native ROLLUP
+      // grouping sets, which plan as ONE Expand + aggregate (a single
+      // shuffle carrying all three grouping levels' partials) instead of
+      // three scans unioned. Grouping-null subtotal rows are labeled
+      // 'ALL' (the fixture columns are non-null, so the coalesce is
+      // unambiguous); mean_chars stays engine-exact because integer
+      // addends keep double sums exact below 2^53.
+      Tables(s, d).documents
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(TextFns.words(col("text"))).cast("bigint").as("__toks"))
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__toks")).as("total_tokens"),
+          Portable.q4(avg(col("n_chars"))).as("mean_chars"))
+        .select(coalesce(col("source"), lit("ALL")).as("source"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("n_docs"), col("total_tokens"), col("mean_chars"))
     }
   )
 
@@ -630,6 +652,14 @@ object ExtendedQueries {
         |${iter("r1", "r2")},
         |${iter("r2", "r3")}
         |SELECT node, rank, 3 AS n_iters FROM r3""".stripMargin
-    }
+    },
+
+    "q110_source_lang_rollup" ->
+      """SELECT coalesce(source, 'ALL') AS source,
+        |  coalesce(lang, 'ALL') AS lang,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  floor(avg(n_chars) * 10000.0 + 0.5) / 10000.0 AS mean_chars
+        |FROM documents GROUP BY ROLLUP(source, lang)""".stripMargin
   )
 }
