@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.functions.{Portable, TextFns}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statistical language-model quality filtering — the CCNet/Gopher-style
+  * "score every document against an n-gram LM and drop the gibberish"
+  * pass of a training-data pipeline. The reference has no LM analog (its
+  * quality signals are heuristic: q26's ratios); this operator adds the
+  * distributional one: a bigram model with add-alpha smoothing is trained
+  * ON the corpus itself in one aggregation pass, then every document is
+  * scored by its mean negative log-likelihood (cross-entropy, nats per
+  * bigram) under that model. Out-of-place documents — wrong language,
+  * template spam, shuffled tokens — sit in the high-entropy tail.
+  *
+  * Scale shape (100 TB corpus): every intermediate is either linear in
+  * corpus tokens (the bigram rows: one projection + posexplode, no join)
+  * or vocabulary-sized (the count tables). Training is ONE map-side-
+  * combined groupBy over the bigram rows; context counts derive from the
+  * bigram counts (vocabulary-sized input, not a second corpus pass).
+  * Scoring re-shuffles the corpus bigrams once to join the model (the
+  * count tables broadcast under AQE at vocabulary scale) and once to
+  * fold per-document. Nothing pairwise ever forms and no state exceeds
+  * the vocabulary.
+  *
+  * Determinism contract (SURVEY §5): counts and V are exact integers;
+  * each bigram's log-probability is computed independently (libm `ln` on
+  * identical IEEE inputs — the q104 BM25 idf precedent); the per-document
+  * sum folds in POSITION order (sorted collect + left fold) so float
+  * addition associates identically in any engine; the final score is
+  * quantized to 6 decimals.
+  */
+object LanguageModel {
+
+  /** Per-document bigram cross-entropy under a corpus-trained add-alpha
+    * bigram model.
+    *
+    * P(w2 | w1) = (C(w1 w2) + alpha) / (C(w1 ·) + alpha * V), where
+    * C(w1 ·) counts w1 as a bigram CONTEXT and V is the corpus
+    * vocabulary size. Documents with fewer than two tokens have no
+    * bigrams and are excluded (they carry no LM evidence; length-based
+    * filters own them).
+    *
+    * Output: (idCol, n_bigrams, cross_entropy, flagged) — flagged iff
+    * cross_entropy > tau. At corpus scale a fixed tau comes from a
+    * GK-sketch quantile of a scored sample ([[Sketches]]); the operator
+    * takes it as a parameter so the cut stays engine-replayable.
+    */
+  def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
+                         alpha: Double = 0.5, tau: Double = 8.0): DataFrame = {
+    require(alpha > 0, "alpha must be > 0")
+    val id = col(idCol)
+    val base = docs.select(id, TextFns.words(col(textCol)).as("__w"))
+
+    // (id, pos, w1, w2) bigram rows: one zip_with + posexplode, no join.
+    val bigrams = base.where(size(col("__w")) >= 2)
+      .select(id, posexplode(zip_with(
+        slice(col("__w"), lit(1), size(col("__w")) - 1),
+        slice(col("__w"), lit(2), size(col("__w")) - 1),
+        (a: Column, b: Column) => struct(a.as("w1"), b.as("w2")))))
+      .select(id, col("pos"), col("col.w1").as("w1"), col("col.w2").as("w2"))
+
+    // Model: bigram counts (one corpus shuffle, map-side combined);
+    // context counts derive from them (vocabulary-sized input).
+    val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = base.select(explode(col("__w")).as("word"))
+      .agg(countDistinct(col("word")).as("v"))
+
+    val scored = bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        log((col("c2") + lit(alpha)) / (col("c1") + lit(alpha) * col("v"))))
+
+    // Position-ordered fold: float addition associates identically in
+    // any engine (the q104 construction).
+    val folded = scored.groupBy(id)
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("pos"), col("logp")))),
+          lit(0.0),
+          (acc: Column, x: Column) => acc + x.getField("logp")).as("__sum"),
+        count(lit(1)).as("n_bigrams"))
+      .withColumn("cross_entropy", Portable.q6(-col("__sum") / col("n_bigrams")))
+
+    folded.select(id, col("n_bigrams"), col("cross_entropy"),
+      (col("cross_entropy") > lit(tau)).as("flagged"))
+  }
+}

@@ -285,6 +285,21 @@ object LLMQueries {
       Tables(s, d).events.groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_distinct_users"),
           count(lit(1)).as("n_events"))
+    },
+
+    "q111_lm_perplexity" -> { (s, d) =>
+      // Statistical LM quality filter (LanguageModel.bigramCrossEntropy):
+      // an add-0.5-smoothed bigram model is trained ON the corpus in one
+      // map-side-combined aggregation, then every document is scored by
+      // its mean negative log-likelihood under that model — the
+      // CCNet-style distributional complement of q26's heuristic quality
+      // ratios (wrong-language / template-spam / shuffled-token docs sit
+      // in the high-entropy tail). Every intermediate is linear in
+      // corpus tokens or vocabulary-sized; the per-doc float sum folds
+      // in position order so the DuckDB oracle replays it bit-for-bit.
+      graft.operators.LanguageModel.bigramCrossEntropy(
+        Tables(s, d).documentsSpread, "doc_id", "text",
+        alpha = 0.5, tau = 8.0)
     }
   )
 
@@ -605,6 +620,33 @@ object LLMQueries {
         |SELECT k.doc_id, k.source, k.quality_score
         |FROM ke k JOIN comp c ON k.doc_id = c.node
         |WHERE c.cluster_id = k.doc_id
-        |  AND ('0x'||substr(md5(CAST(k.doc_id AS VARCHAR)||'#corpus'),1,8))::BIGINT / 4294967296.0 < 0.8""".stripMargin
+        |  AND ('0x'||substr(md5(CAST(k.doc_id AS VARCHAR)||'#corpus'),1,8))::BIGINT / 4294967296.0 < 0.8""".stripMargin,
+
+    // Bigram-LM replay: identical integer counts and vocabulary size,
+    // per-bigram ln() on identical IEEE inputs (the q104 idf precedent),
+    // position-ordered left fold of the per-doc sum, q6 quantization.
+    "q111_lm_perplexity" ->
+      """WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |bgr AS (SELECT doc_id, u['pos'] AS pos, u['w1'] AS w1, u['w2'] AS w2
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |      i -> {'pos': i, 'w1': w[i], 'w2': w[i+1]})) AS u
+        |    FROM base WHERE len(w) >= 2)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bgr GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT word) AS v
+        |  FROM (SELECT unnest(w) AS word FROM base)),
+        |scored AS (SELECT b.doc_id, b.pos,
+        |    ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)) AS logp
+        |  FROM bgr b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v),
+        |folded AS (SELECT doc_id,
+        |    CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list(CAST(logp AS DOUBLE) ORDER BY pos)),
+        |      (a, b) -> a + b) AS DOUBLE) AS s,
+        |    count(*) AS n_bigrams
+        |  FROM scored GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        |  floor((-s / n_bigrams) * 1000000.0 + 0.5) / 1000000.0 AS cross_entropy,
+        |  (floor((-s / n_bigrams) * 1000000.0 + 0.5) / 1000000.0 > 8.0) AS flagged
+        |FROM folded""".stripMargin
   )
 }
