@@ -300,6 +300,18 @@ object LLMQueries {
       graft.operators.LanguageModel.bigramCrossEntropy(
         Tables(s, d).documentsSpread, "doc_id", "text",
         alpha = 0.5, tau = 8.0)
+    },
+
+    "q112_random_projection" -> { (s, d) =>
+      // JL dimensionality reduction (Projection.randomProject): every
+      // 64-dim embedding → 16 ±1-projected components, the "shrink the
+      // vectors before the ANN fan-out" step. The sign matrix is md5-
+      // derived on the DRIVER and shipped as a plan literal (executors do
+      // zero hashing; the whole operator is one codegen'd projection, no
+      // shuffle). Exploded output so the oracle checks each component.
+      graft.operators.Projection.randomProject(
+        Tables(s, d).embeddings, "vec_id", "embedding",
+        outDim = 16, salt = "rp-v1")
     }
   )
 
@@ -647,6 +659,29 @@ object LLMQueries {
         |SELECT doc_id, n_bigrams,
         |  floor((-s / n_bigrams) * 1000000.0 + 0.5) / 1000000.0 AS cross_entropy,
         |  (floor((-s / n_bigrams) * 1000000.0 + 0.5) / 1000000.0 > 8.0) AS flagged
+        |FROM folded""".stripMargin,
+
+    // Sign-matrix replay: sign(j,i) = parity of the first md5 hex char of
+    // 'rp-v1:j:i'; ±1 multiplies are exact IEEE sign flips and the
+    // component sum folds in element order, so every double agrees
+    // bit-for-bit before q6.
+    "q112_random_projection" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |js AS (SELECT unnest(range(0, 16)) AS j),
+        |ii AS (SELECT unnest(range(0, (SELECT max(len(v)) FROM e))) AS i),
+        |sg AS (SELECT j, i,
+        |    CASE WHEN ('0x'||substr(md5('rp-v1:'||j||':'||i), 1, 1))::INT % 2 = 0
+        |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS s
+        |  FROM js, ii),
+        |terms AS (SELECT e.vec_id, sg.j, sg.i, e.v[sg.i + 1] * sg.s AS t
+        |  FROM e CROSS JOIN sg),
+        |folded AS (SELECT vec_id, j,
+        |    CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list(CAST(t AS DOUBLE) ORDER BY i)),
+        |      (a, b) -> a + b) AS DOUBLE) AS comp
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT vec_id, CAST(j AS INT) AS out_pos,
+        |  floor(comp * 1000000.0 + 0.5) / 1000000.0 AS component
         |FROM folded""".stripMargin
   )
 }
