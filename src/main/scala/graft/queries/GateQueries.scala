@@ -1664,6 +1664,39 @@ object GateQueries {
       require(!plan.contains("Exchange"),
         s"bucketed join must be exchange-free (no shuffle, no broadcast), got:\n$plan")
       joined
+    },
+
+    "q113_schema_evolution" -> { (s, d) =>
+      // Merge-on-read schema evolution, driver-gated: the lake reality
+      // every long-lived 100 TB table hits — old partitions were written
+      // BEFORE a column existed, and rewriting history to add it is its
+      // own migration. One event slice is split into a 'legacy' epoch
+      // written WITHOUT event_type and an 'evolved' epoch written WITH
+      // it; the gate requires the legacy footers genuinely lack the
+      // column (the fixture really models evolution, not two copies of
+      // one schema), then reads the whole table with mergeSchema — the
+      // union-of-footers schema — so legacy rows surface the new column
+      // as NULL. The oracle replays the epoch split with a CASE, so a
+      // reader that drops legacy rows, fills the wrong default, or loses
+      // the epoch attribution hash-mismatches. Scale shape: mergeSchema
+      // is a footer-only pass (no data read) and the epoch split is the
+      // partition layout the daily pipeline (q86) already writes.
+      val base = Tables(s, d).events.where(col("user_id") < 150)
+      val root = java.nio.file.Files.createTempDirectory("graft-q113").toString
+      base.where(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .write.parquet(s"$root/epoch=legacy")
+      base.where(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .write.parquet(s"$root/epoch=evolved")
+      val legacyCols = s.read.parquet(s"$root/epoch=legacy").columns.toSet
+      require(!legacyCols.contains("event_type"),
+        s"q113: legacy epoch must predate the column, saw $legacyCols")
+      val merged = s.read.option("mergeSchema", "true").parquet(root)
+      require(merged.columns.contains("event_type"),
+        s"q113: merged schema must carry the evolved column, saw ${merged.columns.toSeq}")
+      merged.select(col("event_id"), col("user_id"), col("value"),
+        col("event_type"), col("epoch").cast("string").as("epoch"))
     }
   )
 
@@ -2214,6 +2247,14 @@ object GateQueries {
         |f AS (SELECT unnest(['csv', 'jsonl', 'orc']) AS fmt)
         |SELECT e.event_id, e.user_id, e.event_type, e.value, f.fmt
         |FROM e CROSS JOIN f""".stripMargin,
+
+    "q113_schema_evolution" ->
+      // epoch split replay: even event_ids predate the column (NULL
+      // under merge-on-read), odd ids carry it
+      """SELECT event_id, user_id, value,
+        |  CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type,
+        |  CASE WHEN event_id % 2 = 1 THEN 'evolved' ELSE 'legacy' END AS epoch
+        |FROM events WHERE user_id < 150""".stripMargin,
 
     "q88_bucketed_join" ->
       """WITH r AS (SELECT user_id, count(*) AS n_events,
