@@ -509,6 +509,56 @@ object Similarity {
     cents.select(col("centroid_id"), col("centv"))
   }
 
+  /** SemDeDup-style semantic deduplication: cluster the embedding space
+    * with the trained k-means ([[kMeansCentroids]]), then search for
+    * near-duplicates ONLY within each cluster and keep one representative
+    * per duplicate pair (the lowest id). This is the embedding-space
+    * answer to "the corpus says the same thing twice in different words"
+    * — q29's `nearDupWithin` needs a metadata blocking key; here the
+    * blocks are LEARNED, so semantically-close documents land together
+    * regardless of labels.
+    *
+    * Scale shape (100 TB): assignment is one broadcast of k×dim doubles
+    * over the corpus (no shuffle); the pair search shuffles once on
+    * centroid_id and the pairwise cost is Σ sᵢ² over cluster sizes — the
+    * whole point of cluster scoping vs the corpus square. Raise k to
+    * shrink clusters; the q64 domain-cap shape bounds a runaway cluster.
+    *
+    * Drop rule (deterministic): a vector is dropped iff some LOWER-id
+    * vector in its cluster has rounded cosine >= minCosine. Chained
+    * near-dups collapse greedily toward the lowest id — the documented
+    * SemDeDup approximation (a, b) + (b, c) keeps only `a` even when
+    * (a, c) alone is below the bar.
+    *
+    * Output: (idCol, centroid_id, kept).
+    */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int, minCosine: Double): DataFrame =
+    semDedupWith(emb, idCol, vecCol,
+      kMeansCentroids(emb, idCol, vecCol, k, iters), minCosine)
+
+  /** [[semDedup]] against pre-trained centroids (centroid_id, centv). */
+  def semDedupWith(emb: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame, minCosine: Double): DataFrame = {
+    val c = emb.select(col(idCol).as("vid"), VectorFns.asDouble(col(vecCol)).as("v"))
+      .withColumn("vn", VectorFns.norm2(col("v")))
+    val withN = centroids.withColumn("centn", VectorFns.norm2(col("centv")))
+    val assigned = Dedup.oneByKey(
+        c.crossJoin(broadcast(withN))
+          .withColumn("sim",
+            Portable.q6(VectorFns.dot(col("v"), col("centv")) / (col("vn") * col("centn")))),
+        Seq("vid"), Seq(col("sim").desc, col("centroid_id").asc))
+      .select(col("vid"), col("v"), col("vn"), col("centroid_id"))
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") && col("a.vid") < col("b.vid"))
+      .where(Portable.q6(VectorFns.dot(col("a.v"), col("b.v")) /
+        (col("a.vn") * col("b.vn"))) >= minCosine)
+      .select(col("b.vid").as("vid")).distinct()
+    assigned.join(dropped.withColumn("__dup", lit(true)), Seq("vid"), "left")
+      .select(col("vid").as(idCol), col("centroid_id"),
+        not(coalesce(col("__dup"), lit(false))).as("kept"))
+  }
+
   /** Scale path for near-dup: SRP-bucket first (candidates only within the
     * same (block, srp) bucket). Recall < 1 by construction; used when the
     * exact within-block square is too large.

@@ -1697,8 +1697,72 @@ object GateQueries {
         s"q113: merged schema must carry the evolved column, saw ${merged.columns.toSeq}")
       merged.select(col("event_id"), col("user_id"), col("value"),
         col("event_type"), col("epoch").cast("string").as("epoch"))
+    },
+
+    "q114_semdedup" -> { (s, d) =>
+      // Semantic (embedding-space) deduplication, SemDeDup-style: the
+      // TRAINED k-means from q75 (k=16, iters=3 — same seeds, same
+      // rounded Lloyd updates, so the oracle's shared replay prefix
+      // covers it) partitions the corpus into learned clusters, and
+      // near-duplicates (rounded cosine >= 0.35, the q29 bar) are
+      // searched ONLY within each cluster — Σ sᵢ² pairwise work instead
+      // of the corpus square. Dropped = has a lower-id near-dup in its
+      // cluster. The requires pin that the gate is non-trivial in both
+      // directions (some drops, most kept).
+      val out = Similarity.semDedup(Tables(s, d).embeddings,
+        "vec_id", "embedding", k = 16, iters = 3, minCosine = 0.35)
+      val dropped = out.where(!col("kept")).count()
+      val kept = out.where(col("kept")).count()
+      require(dropped > 0, "q114: fixture must contain semantic near-dups")
+      require(kept > dropped, s"q114: dedup must keep the majority ($kept kept, $dropped dropped)")
+      out
     }
   )
+
+  /** The trained-k-means replay shared by q75 (IVF recall) and q114
+    * (SemDeDup): the same three unrolled Lloyd iterations the Spark
+    * `Similarity.kMeansCentroids(k=16, iters=3)` runs — seed = 16
+    * lowest-id vectors, rounded-cosine assignment with id tiebreaks,
+    * means rounded to 1e-6 before becoming the next iteration's
+    * centroids, empty clusters keeping their centroid — ending at the
+    * final assignment `asgn(nid, nv, cid)`.
+    */
+  private val KMeansAsgnCte: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |dims AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM e) + 1)) AS i),
+      |c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+      |b1 AS (SELECT vec_id, v, cid FROM (
+      |    SELECT e.vec_id, e.v, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        floor(list_cosine_similarity(e.v, c.cv) * 1000000.0 + 0.5) / 1000000.0 DESC, c.cid) AS rn
+      |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
+      |m1 AS (SELECT cid, list(m ORDER BY i) AS cv FROM (
+      |    SELECT b.cid, d.i, floor(avg(b.v[d.i]) * 1000000.0 + 0.5) / 1000000.0 AS m
+      |    FROM b1 b CROSS JOIN dims d GROUP BY b.cid, d.i) GROUP BY cid),
+      |c1 AS (SELECT c.cid, coalesce(m.cv, c.cv) AS cv FROM c0 c LEFT JOIN m1 m USING (cid)),
+      |b2 AS (SELECT vec_id, v, cid FROM (
+      |    SELECT e.vec_id, e.v, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        floor(list_cosine_similarity(e.v, c.cv) * 1000000.0 + 0.5) / 1000000.0 DESC, c.cid) AS rn
+      |    FROM e CROSS JOIN c1 c) WHERE rn = 1),
+      |m2 AS (SELECT cid, list(m ORDER BY i) AS cv FROM (
+      |    SELECT b.cid, d.i, floor(avg(b.v[d.i]) * 1000000.0 + 0.5) / 1000000.0 AS m
+      |    FROM b2 b CROSS JOIN dims d GROUP BY b.cid, d.i) GROUP BY cid),
+      |c2 AS (SELECT c.cid, coalesce(m.cv, c.cv) AS cv FROM c1 c LEFT JOIN m2 m USING (cid)),
+      |b3 AS (SELECT vec_id, v, cid FROM (
+      |    SELECT e.vec_id, e.v, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        floor(list_cosine_similarity(e.v, c.cv) * 1000000.0 + 0.5) / 1000000.0 DESC, c.cid) AS rn
+      |    FROM e CROSS JOIN c2 c) WHERE rn = 1),
+      |m3 AS (SELECT cid, list(m ORDER BY i) AS cv FROM (
+      |    SELECT b.cid, d.i, floor(avg(b.v[d.i]) * 1000000.0 + 0.5) / 1000000.0 AS m
+      |    FROM b3 b CROSS JOIN dims d GROUP BY b.cid, d.i) GROUP BY cid),
+      |c3 AS (SELECT c.cid, coalesce(m.cv, c.cv) AS cv FROM c2 c LEFT JOIN m3 m USING (cid)),
+      |asgn AS (SELECT vec_id AS nid, v AS nv, cid FROM (
+      |    SELECT e.vec_id, e.v, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        floor(list_cosine_similarity(e.v, c.cv) * 1000000.0 + 0.5) / 1000000.0 DESC, c.cid) AS rn
+      |    FROM e CROSS JOIN c3 c) WHERE rn = 1)""".stripMargin
 
   /** The batch near-dup pipeline with per-pair batch attribution
     * (detected_batch = greatest(id mod 3)) — the oracle for BOTH
@@ -1991,42 +2055,9 @@ object GateQueries {
       // empty clusters keep their centroid), then IVF probe/top-10 vs
       // the brute-force exact top-10 — so n_hits is recomputed EXACTLY.
       // recall_ge_half documents the 0.5-recall@10 label; the gate is
-      // the value-for-value n_hits match.
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |dims AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM e) + 1)) AS i),
-        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
-        |b1 AS (SELECT vec_id, v, cid FROM (
-        |    SELECT e.vec_id, e.v, c.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        floor(list_cosine_similarity(e.v, c.cv) * 1000000.0 + 0.5) / 1000000.0 DESC, c.cid) AS rn
-        |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
-        |m1 AS (SELECT cid, list(m ORDER BY i) AS cv FROM (
-        |    SELECT b.cid, d.i, floor(avg(b.v[d.i]) * 1000000.0 + 0.5) / 1000000.0 AS m
-        |    FROM b1 b CROSS JOIN dims d GROUP BY b.cid, d.i) GROUP BY cid),
-        |c1 AS (SELECT c.cid, coalesce(m.cv, c.cv) AS cv FROM c0 c LEFT JOIN m1 m USING (cid)),
-        |b2 AS (SELECT vec_id, v, cid FROM (
-        |    SELECT e.vec_id, e.v, c.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        floor(list_cosine_similarity(e.v, c.cv) * 1000000.0 + 0.5) / 1000000.0 DESC, c.cid) AS rn
-        |    FROM e CROSS JOIN c1 c) WHERE rn = 1),
-        |m2 AS (SELECT cid, list(m ORDER BY i) AS cv FROM (
-        |    SELECT b.cid, d.i, floor(avg(b.v[d.i]) * 1000000.0 + 0.5) / 1000000.0 AS m
-        |    FROM b2 b CROSS JOIN dims d GROUP BY b.cid, d.i) GROUP BY cid),
-        |c2 AS (SELECT c.cid, coalesce(m.cv, c.cv) AS cv FROM c1 c LEFT JOIN m2 m USING (cid)),
-        |b3 AS (SELECT vec_id, v, cid FROM (
-        |    SELECT e.vec_id, e.v, c.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        floor(list_cosine_similarity(e.v, c.cv) * 1000000.0 + 0.5) / 1000000.0 DESC, c.cid) AS rn
-        |    FROM e CROSS JOIN c2 c) WHERE rn = 1),
-        |m3 AS (SELECT cid, list(m ORDER BY i) AS cv FROM (
-        |    SELECT b.cid, d.i, floor(avg(b.v[d.i]) * 1000000.0 + 0.5) / 1000000.0 AS m
-        |    FROM b3 b CROSS JOIN dims d GROUP BY b.cid, d.i) GROUP BY cid),
-        |c3 AS (SELECT c.cid, coalesce(m.cv, c.cv) AS cv FROM c2 c LEFT JOIN m3 m USING (cid)),
-        |asgn AS (SELECT vec_id AS nid, v AS nv, cid FROM (
-        |    SELECT e.vec_id, e.v, c.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        floor(list_cosine_similarity(e.v, c.cv) * 1000000.0 + 0.5) / 1000000.0 DESC, c.cid) AS rn
-        |    FROM e CROSS JOIN c3 c) WHERE rn = 1),
+      // the value-for-value n_hits match. The training prefix
+      // (KMeansAsgnCte) is shared with q114's SemDeDup replay.
+      s"""$KMeansAsgnCte,
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 50),
         |probes AS (SELECT qid, qv, cid FROM (
         |    SELECT q.qid, q.qv, c.cid,
@@ -2255,6 +2286,17 @@ object GateQueries {
         |  CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type,
         |  CASE WHEN event_id % 2 = 1 THEN 'evolved' ELSE 'legacy' END AS epoch
         |FROM events WHERE user_id < 150""".stripMargin,
+
+    "q114_semdedup" ->
+      // SemDeDup replay on the shared trained-k-means prefix: same final
+      // assignment, then within-cluster pairs at rounded cosine >= 0.35;
+      // dropped = has a lower-id near-dup in its cluster
+      s"""$KMeansAsgnCte,
+        |dup AS (SELECT DISTINCT b.nid AS vid
+        |  FROM asgn a JOIN asgn b ON a.cid = b.cid AND a.nid < b.nid
+        |  WHERE floor(list_cosine_similarity(a.nv, b.nv) * 1000000.0 + 0.5) / 1000000.0 >= 0.35)
+        |SELECT a.nid AS vec_id, a.cid AS centroid_id, (d.vid IS NULL) AS kept
+        |FROM asgn a LEFT JOIN dup d ON a.nid = d.vid""".stripMargin,
 
     "q88_bucketed_join" ->
       """WITH r AS (SELECT user_id, count(*) AS n_events,
