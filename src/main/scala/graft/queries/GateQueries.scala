@@ -1716,6 +1716,74 @@ object GateQueries {
       require(dropped > 0, "q114: fixture must contain semantic near-dups")
       require(kept > dropped, s"q114: dedup must keep the majority ($kept kept, $dropped dropped)")
       out
+    },
+
+    "q115_stream_left_interval_join" -> { (s, d) =>
+      // LEFT OUTER stream-stream interval join, driver-gated — the fifth
+      // streaming semantics class: NULL-emission on watermark proof.
+      // q84's inner join emits pairs on match; here every view that
+      // never converts must ALSO emit, with null click columns, and
+      // streaming may do so only once the global watermark passes
+      // view_ts + horizon (before that a qualifying click could still
+      // arrive). The replay drives that proof point explicitly: after
+      // the in-order chunk feed, sentinel rows on BOTH sides (the
+      // global watermark is the min) push the watermark past every
+      // view's horizon, and one more sentinel batch runs the eviction
+      // that emits the null rows. Oracle = the batch LEFT JOIN, so a
+      // missing null row (eviction without emission), a duplicate (emit
+      // on both match and eviction), or a premature null all
+      // hash-mismatch. Fixture capped as q84; constant cost at every SF.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      def side(tpe: String) = Tables(s, d).events
+        .where(col("user_id") < 150 && col("event_type") === tpe)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .as[(Long, Long, java.sql.Timestamp)].collect()
+        .sortBy(r => (us(r._3), r._1))
+      val (views, clicks) = (side("view"), side("click"))
+      def chunk3[T](a: Array[T]) = a.grouped(math.max(1, (a.length + 2) / 3)).toSeq
+      val vIn = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val cIn = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val horizonSeconds = 1800L
+      val joined = graft.streaming.StreamOps.intervalJoinStreamLeftOuter(
+        vIn.toDF().toDF("event_id", "user_id", "ts"),
+        cIn.toDF().toDF("event_id", "user_id", "ts"),
+        "user_id", "ts", horizonSeconds, watermarkDelay = "10 seconds")
+        .select(col("l.event_id").as("view_id"), col("l.user_id").as("user_id"),
+          col("l.ts").as("view_ts"), col("r.event_id").as("click_id"),
+          col("r.ts").as("click_ts"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-q115").toString
+      val q = joined.writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet").option("path", s"$dir/matches")
+        .start()
+      try {
+        chunk3(views).zipAll(chunk3(clicks), Array.empty[(Long, Long, java.sql.Timestamp)],
+            Array.empty[(Long, Long, java.sql.Timestamp)])
+          .foreach { case (vc, cc) =>
+            if (vc.nonEmpty) vIn.addData(vc: _*)
+            if (cc.nonEmpty) cIn.addData(cc: _*)
+            q.processAllAvailable()
+          }
+        // sentinel pair 1: push the global watermark past every view's
+        // horizon; sentinel pair 2: run the eviction batch that emits
+        // the null rows (watermark updates take effect NEXT batch)
+        val maxUs = math.max(views.map(r => us(r._3)).max, clicks.map(r => us(r._3)).max)
+        Seq(1L, 2L).foreach { i =>
+          val sentinelTs = microTs(maxUs +
+            (horizonSeconds + 7200L * i) * 1000000L)
+          vIn.addData((-i, -1L, sentinelTs))
+          cIn.addData((-i, -1L, sentinelTs))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.read.parquet(s"$dir/matches")
+        .where(col("user_id") >= 0)
+        .select(col("view_id"), col("user_id"), col("view_ts"),
+          col("click_id"), col("click_ts"))
     }
   )
 
@@ -2031,6 +2099,19 @@ object GateQueries {
         |FROM (SELECT event_id, user_id, ts FROM events
         |      WHERE user_id < 150 AND event_type = 'view') l
         |JOIN (SELECT event_id, user_id, ts FROM events
+        |      WHERE user_id < 150 AND event_type = 'click') r
+        |  ON l.user_id = r.user_id AND r.ts > l.ts
+        |  AND r.ts <= l.ts + INTERVAL 1800 SECOND""".stripMargin,
+
+    "q115_stream_left_interval_join" ->
+      // the batch LEFT JOIN twin of q84's inner oracle: unmatched views
+      // carry NULL click columns — exactly the rows the streaming side
+      // may emit only after the watermark proves no match can arrive
+      """SELECT l.event_id AS view_id, l.user_id, l.ts AS view_ts,
+        |  r.event_id AS click_id, r.ts AS click_ts
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE user_id < 150 AND event_type = 'view') l
+        |LEFT JOIN (SELECT event_id, user_id, ts FROM events
         |      WHERE user_id < 150 AND event_type = 'click') r
         |  ON l.user_id = r.user_id AND r.ts > l.ts
         |  AND r.ts <= l.ts + INTERVAL 1800 SECOND""".stripMargin,

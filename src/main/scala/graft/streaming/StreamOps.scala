@@ -146,6 +146,31 @@ object StreamOps {
         col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $horizonSeconds SECONDS"))
   }
 
+  /** LEFT OUTER form of [[intervalJoinStream]] — the "which views never
+    * converted" variant (funnel drop-off, abandoned-cart, unanswered
+    * alert). Matched pairs emit on match exactly as the inner join; an
+    * UNMATCHED left row emits with nulls only once the global watermark
+    * passes `left.ts + horizonSeconds` — the earliest moment streaming
+    * can PROVE no qualifying right row can still arrive (a late match
+    * after that is behind the watermark and would be dropped anyway).
+    * The null emission therefore rides state eviction, one more batch
+    * after the watermark advance; a bounded replay must push the
+    * watermark past the last left row's horizon (sentinel rows on BOTH
+    * sides — the global watermark is the minimum) and run a final
+    * batch. Same provable O(horizon) state bound as the inner form.
+    */
+  def intervalJoinStreamLeftOuter(left: DataFrame, right: DataFrame,
+                                  keyCol: String, tsCol: String,
+                                  horizonSeconds: Long, watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(tsCol, watermarkDelay).alias("l")
+    val r = right.withWatermark(tsCol, watermarkDelay).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$tsCol") > col(s"l.$tsCol") &&
+        col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $horizonSeconds SECONDS"),
+      "left_outer")
+  }
+
   final case class FunnelEvent(user_id: Long, ts: Timestamp, event_type: String)
   final case class FunnelHit(user_id: Long, funnel_stage: String, stage_order: Int,
                              ts: Timestamp)

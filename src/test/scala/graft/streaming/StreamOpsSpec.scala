@@ -221,4 +221,36 @@ class StreamOpsSpec extends SparkSpec {
       assert(bandIds == Set(1L, 2L, 3L, 4L, 5L))
     } finally q.stop()
   }
+
+  test("left-outer interval join: null row only after the watermark proves no match") {
+    implicit val sqlCtx = spark.sqlContext
+    val vIn = MemoryStream[(Long, Long, Timestamp)]
+    val cIn = MemoryStream[(Long, Long, Timestamp)]
+    val joined = StreamOps.intervalJoinStreamLeftOuter(
+      vIn.toDF().toDF("event_id", "user_id", "ts"),
+      cIn.toDF().toDF("event_id", "user_id", "ts"),
+      "user_id", "ts", horizonSeconds = 60, watermarkDelay = "0 seconds")
+      .select(col("l.event_id").as("view_id"), col("r.event_id").as("click_id"))
+    val q = joined.writeStream.format("memory").queryName("loj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def rows() = spark.table("loj").as[(Long, Option[Long])].collect().toSet
+      // view 1 matches click 10; view 2 never converts
+      vIn.addData((1L, 7L, ts("2024-01-01 10:00:00")), (2L, 8L, ts("2024-01-01 10:00:00")))
+      cIn.addData((10L, 7L, ts("2024-01-01 10:00:30")))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, Some(10L))),
+        "no null row may emit while the horizon is still open")
+      // advance BOTH watermarks past view 2's horizon, then run the
+      // eviction batch (watermark updates take effect next batch)
+      Seq("11:00:00", "12:00:00").foreach { t =>
+        vIn.addData((-1L, -1L, ts(s"2024-01-01 $t")))
+        cIn.addData((-2L, -1L, ts(s"2024-01-01 $t")))
+        q.processAllAvailable()
+      }
+      assert(rows().contains((2L, None)), "evicted unmatched view must emit with nulls")
+      assert(rows().count(_._1 == 2L) == 1, "exactly once")
+      assert(rows().count(_._1 == 1L) == 1, "matched view must not re-emit on eviction")
+    } finally q.stop()
+  }
 }
