@@ -60,7 +60,8 @@ object Bench {
     "q97_stream_late_funnel", "q98_stream_late_dedup",
     "q99_stream_late_interval_join", "q100_neardup_recovery",
     "q101_parquet_landing", "q102_compaction", "q103_clustered_layout",
-    "q106_zorder_layout")
+    "q106_zorder_layout", "q113_schema_evolution",
+    "q115_stream_left_interval_join")
 
   /** Wait (bounded) for the 1-min loadavg to decay below `target` so the
     * next section's per-query `load` fields start from a clean machine;
