@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) merge training — the tokenizer-
+  * induction step of an LLM data pipeline, re-expressed Spark-first. The
+  * classic trainer trick makes this cheap at 100 TB: after ONE corpus
+  * aggregation into (word, freq), every iteration — pair counting, merge
+  * selection, merge application — runs on the VOCABULARY table, whose
+  * size is corpus-independent. Per merge the only driver state is the
+  * single winning pair (a bounded 1-row collect, the Incremental
+  * terminal-ts contract).
+  *
+  * Determinism contract (SURVEY §5): pair counts are exact integers;
+  * the winner ties-break on the joined "a b" pair string, which (symbols
+  * never contain spaces, and ' ' sorts below every symbol byte) orders
+  * identically to the (a, b) tuple; merge application is a LEFT FOLD
+  * over the symbol string ("greedy leftmost non-overlapping", the
+  * standard BPE application order) with string-suffix tests both engines
+  * evaluate identically — so the DuckDB oracle replays the whole
+  * trained trajectory merge-for-merge.
+  */
+object Bpe {
+
+  final case class MergeRule(rank: Int, left: String, right: String, count: Long)
+
+  /** (word, freq) vocabulary of the corpus: the one corpus-sized pass. */
+  def wordVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFns.words(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Initial segmentation: single characters + the '</w>' end marker. */
+  private def charSeg(word: Column): Column =
+    concat(trim(regexp_replace(word, "(.)", "$1 ")), lit(" </w>"))
+
+  /** Apply one learned merge (a, b) -> ab to a spaced symbol string via
+    * a left fold — greedy leftmost non-overlapping, like the reference
+    * BPE application.
+    */
+  private def applyMerge(tokens: Column, a: String, b: String): Column =
+    aggregate(split(tokens, " "), lit(""), (acc: Column, x: Column) =>
+      when(acc === "", x)
+        .when((acc === a || acc.endsWith(" " + a)) && x === b,
+          concat(substring(acc, lit(1), length(acc) - lit(a.length)), lit(a + b)))
+        .otherwise(concat(acc, lit(" "), x)))
+
+  /** Train `nMerges` BPE merges over a (word, freq) vocabulary. Returns
+    * the learned rules in rank order plus the final segmentation
+    * (word, freq, tokens, n_tokens). The vocabulary is cached for the
+    * duration of training (each iteration's pair count re-reads it).
+    */
+  def train(vocab: DataFrame, nMerges: Int): (Seq[MergeRule], DataFrame) = {
+    require(nMerges >= 1, "nMerges must be >= 1")
+    val v = vocab.cache()
+    var seg = v.select(col("word"), col("freq"), charSeg(col("word")).as("tokens"))
+    val rules = Seq.newBuilder[MergeRule]
+    for (r <- 1 to nMerges) {
+      val syms = split(col("tokens"), " ")
+      val pairs = seg.select(col("freq"), explode(zip_with(
+          slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1),
+          (x: Column, y: Column) => concat(x, lit(" "), y))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+      // 1-row bounded collect: the winning pair of this iteration
+      val top = pairs.orderBy(col("cnt").desc, col("pair").asc).limit(1).collect()(0)
+      val Array(a, b) = top.getAs[String]("pair").split(" ", 2)
+      rules += MergeRule(r, a, b, top.getAs[Long]("cnt"))
+      seg = seg.withColumn("tokens", applyMerge(col("tokens"), a, b))
+    }
+    (rules.result(),
+      seg.withColumn("n_tokens", size(split(col("tokens"), " ")).cast("long")))
+  }
+}

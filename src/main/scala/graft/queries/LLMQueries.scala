@@ -312,6 +312,23 @@ object LLMQueries {
       graft.operators.Projection.randomProject(
         Tables(s, d).embeddings, "vec_id", "embedding",
         outDim = 16, salt = "rp-v1")
+    },
+
+    "q116_bpe_train" -> { (s, d) =>
+      // Distributed BPE tokenizer induction (Bpe.train): 5 merges
+      // learned over the corpus word vocabulary, output = the final
+      // segmentation of every word — so ONE wrong merge (wrong pair,
+      // wrong tiebreak, wrong application order) reshapes many rows and
+      // hash-mismatches. After the single corpus pass into (word, freq),
+      // every iteration is vocabulary-sized; the only driver state is
+      // each iteration's winning pair (1-row bounded collect). The
+      // oracle replays the same 5 unrolled iterations (the q75/q109
+      // construction, for tokenizers).
+      val vocab = graft.operators.Bpe.wordVocab(Tables(s, d).documentsSpread, "text")
+      val (rules, seg) = graft.operators.Bpe.train(vocab, nMerges = 5)
+      require(rules.size == 5 && rules.map(_.rank) == (1 to 5),
+        s"q116: expected 5 ranked merges, got $rules")
+      seg.select(col("word"), col("freq"), col("tokens"), col("n_tokens"))
     }
   )
 
@@ -682,6 +699,41 @@ object LLMQueries {
         |  FROM terms GROUP BY 1, 2)
         |SELECT vec_id, CAST(j AS INT) AS out_pos,
         |  floor(comp * 1000000.0 + 0.5) / 1000000.0 AS component
-        |FROM folded""".stripMargin
+        |FROM folded""".stripMargin,
+
+    // BPE trajectory replay: the same 5 unrolled merge iterations —
+    // exact integer pair counts, winner tie-broken on the joined pair
+    // string (≡ (a,b) tuple order: symbols carry no spaces and ' '
+    // sorts below every symbol byte), greedy-leftmost application via
+    // the identical left fold.
+    "q116_bpe_train" -> {
+      def iter(prev: String, n: Int): String =
+        s"""p$n AS (SELECT pair, sum(freq) AS cnt FROM (
+           |    SELECT freq, unnest(list_transform(range(1, len(l)),
+           |        i -> l[i] || ' ' || l[i+1])) AS pair
+           |    FROM (SELECT freq, string_split(tokens, ' ') AS l FROM $prev))
+           |  GROUP BY 1),
+           |m$n AS (SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
+           |  FROM p$n ORDER BY cnt DESC, pair LIMIT 1),
+           |s$n AS (SELECT word, freq,
+           |    list_reduce(list_prepend('', string_split(tokens, ' ')),
+           |      (acc, x) -> CASE WHEN acc = '' THEN x
+           |        WHEN (acc = m.a OR ends_with(acc, ' ' || m.a)) AND x = m.b
+           |          THEN left(acc, len(acc) - len(m.a)) || m.a || m.b
+           |        ELSE acc || ' ' || x END) AS tokens
+           |  FROM $prev, m$n m)""".stripMargin
+      s"""WITH v AS (SELECT word, count(*) AS freq FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY 1),
+         |s0 AS (SELECT word, freq,
+         |    trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>' AS tokens FROM v),
+         |${iter("s0", 1)},
+         |${iter("s1", 2)},
+         |${iter("s2", 3)},
+         |${iter("s3", 4)},
+         |${iter("s4", 5)}
+         |SELECT word, freq, tokens,
+         |  CAST(len(string_split(tokens, ' ')) AS BIGINT) AS n_tokens
+         |FROM s5""".stripMargin
+    }
   )
 }
