@@ -1784,6 +1784,63 @@ object GateQueries {
         .where(col("user_id") >= 0)
         .select(col("view_id"), col("user_id"), col("view_ts"),
           col("click_id"), col("click_ts"))
+    },
+
+    "q117_available_now_catchup" -> { (s, d) =>
+      // Bounded catch-up drain (Formats.drainJsonlBacklog,
+      // Trigger.AvailableNow) — the reference's cron reality (run,
+      // drain the backlog, EXIT) with streaming bookkeeping, where
+      // q95's always-on daemon never stops. Run 1 starts AFTER waves
+      // 0-1 have landed and must (a) terminate on its own, (b) drain
+      // the backlog in MULTIPLE rate-limited micro-batches
+      // (maxFilesPerTrigger=4 — the contract Trigger.Once broke), and
+      // (c) hold exactly waves 0-1. Wave 2 lands after termination —
+      // provably invisible to run 1 — and run 2 resumes from the SAME
+      // checkpoint, picking up exactly the new files. Oracle = the
+      // batch read of all three waves (q91's text-safe column set).
+      import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+      import org.apache.spark.sql.types._
+      val slice = Tables(s, d).events
+        .where(col("user_id") < 150)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val root = JFiles.createTempDirectory("graft-q117")
+      val landing = root.resolve("landing")
+      JFiles.createDirectories(landing)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      def land(k: Int): Unit = {
+        val stage = root.resolve(s"stage$k").toString
+        // two files per wave so the run-1 backlog (4 files) genuinely
+        // exercises the 1-file-per-trigger rate limit
+        graft.sources.Formats.writeJsonl(
+          slice.where(col("event_id") % 3 === k).repartition(2), stage)
+        JFiles.list(Paths.get(stage)).toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.getFileName.toString.endsWith(".json")).zipWithIndex
+          .foreach { case (f, i) =>
+            JFiles.move(f, landing.resolve(s"wave$k-part$i.json"),
+              StandardCopyOption.ATOMIC_MOVE)
+          }
+      }
+      val counts = (0 until 3).map(k =>
+        slice.where(col("event_id") % 3 === k).count())
+      val sink = root.resolve("sink").toString
+      val ckpt = root.resolve("ckpt").toString
+      land(0); land(1)
+      val (term1, batches1) = graft.sources.Formats.drainJsonlBacklog(
+        s, landing.toString, schema, sink, ckpt, maxFilesPerTrigger = 1)
+      require(term1, "q117: AvailableNow run 1 must terminate on its own")
+      require(batches1 > 1,
+        s"q117: the backlog must drain in multiple bounded micro-batches, got $batches1")
+      val afterRun1 = s.read.parquet(sink).count()
+      require(afterRun1 == counts(0) + counts(1),
+        s"q117: run 1 must hold exactly waves 0-1 (${counts(0) + counts(1)}), got $afterRun1")
+      land(2)
+      val (term2, _) = graft.sources.Formats.drainJsonlBacklog(
+        s, landing.toString, schema, sink, ckpt, maxFilesPerTrigger = 1)
+      require(term2, "q117: AvailableNow run 2 must terminate on its own")
+      s.read.parquet(sink)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     }
   )
 
@@ -2328,6 +2385,13 @@ object GateQueries {
     "q95_landing_stream" ->
       // every landed row exactly once, no more, no less — the batch read
       // of the same files
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE user_id < 150""".stripMargin,
+
+    "q117_available_now_catchup" ->
+      // two bounded AvailableNow runs over one checkpoint must land all
+      // three waves exactly once — same exactly-once bar as q95, reached
+      // by run-drain-exit instead of an always-on daemon
       """SELECT event_id, user_id, event_type, value
         |FROM events WHERE user_id < 150""".stripMargin,
 

@@ -155,6 +155,35 @@ object Formats {
       .option("mode", "FAILFAST")
       .json(path)
 
+  /** Bounded catch-up drain of a JSONL landing backlog —
+    * `Trigger.AvailableNow`: process everything present at start in
+    * rate-limited micro-batches (maxFilesPerTrigger holds, unlike the
+    * legacy Trigger.Once's single giant batch), then STOP on our own.
+    * This is the reference's actual cron shape (daily_update_script runs,
+    * drains, exits) with streaming's exactly-once bookkeeping: each
+    * invocation resumes from the shared checkpoint, so run N+1 picks up
+    * exactly the files that landed after run N terminated. At 100 TB
+    * the rate limit is what keeps a month-long backlog from becoming
+    * one un-spillable batch.
+    *
+    * Returns (terminatedOnItsOwn, nonEmptyBatches).
+    */
+  def drainJsonlBacklog(spark: SparkSession, landingPath: String,
+                        schema: StructType, sinkPath: String, ckptPath: String,
+                        maxFilesPerTrigger: Int = 4,
+                        timeoutMs: Long = 300000L): (Boolean, Int) = {
+    val q = readJsonlStream(spark, landingPath, schema, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", ckptPath)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", sinkPath)
+      .start()
+    val terminated = q.awaitTermination(timeoutMs)
+    if (!terminated) q.stop()
+    (terminated, q.recentProgress.count(_.numInputRows > 0))
+  }
+
   /** ORC round-trip — interchange with ORC-based warehouses (Hive/Trino
     * deployments commonly hand over ORC). Same column-pruning/pushdown
     * properties as parquet under Spark's vectorized reader.
