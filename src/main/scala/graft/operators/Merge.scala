@@ -44,6 +44,33 @@ object Merge {
       source.join(target.select(col(key)), Seq(key), "left_anti"),
       allowMissingColumns = false)
 
+  /** CDC changelog application with tombstones — the missing DELETE leg
+    * of the SCD1 family ([[coalesceMerge]] upserts, [[insertMissing]]
+    * appends; neither can retract). `log` carries full row images plus an
+    * op column: 'D' is a tombstone, anything else an upsert. Per key the
+    * LATEST op wins ((tsCol desc, seqCol desc) — seq breaks same-
+    * timestamp ties, the upsert-sink convention); a terminal tombstone
+    * removes the key even if it only ever existed in the log. Keys the
+    * log never touches pass through from the snapshot.
+    *
+    * One shuffle on the key for the log dedup + one full-outer join
+    * (broadcast when the compacted delta is small — the common
+    * incremental case). Snapshot value columns must appear in the log
+    * row image (full-image CDC, the Debezium `after` shape).
+    */
+  def applyChangeLog(snapshot: DataFrame, log: DataFrame, key: String,
+                     tsCol: String, seqCol: String, opCol: String): DataFrame = {
+    val valueCols = snapshot.columns.filterNot(_ == key).toSeq
+    val latest = Dedup.oneByKey(log, Seq(key), Seq(col(tsCol).desc, col(seqCol).desc))
+    snapshot.alias("t")
+      .join(latest.alias("c"), col(s"t.$key") === col(s"c.$key"), "full_outer")
+      .where(col(s"c.$opCol").isNull || col(s"c.$opCol") =!= "D")
+      .select(coalesce(col(s"t.$key"), col(s"c.$key")).as(key) +:
+        valueCols.map(c =>
+          when(col(s"c.$key").isNotNull, col(s"c.$c"))
+            .otherwise(col(s"t.$c")).as(c)): _*)
+  }
+
   /** Daily-snapshot membership merge — the reference's
     * insider_to_circle_mapping maintenance (update_etl.py:905-920):
     * `delete where created_at = <snapshot date>` (idempotent re-run),

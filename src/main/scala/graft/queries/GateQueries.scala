@@ -1841,6 +1841,32 @@ object GateQueries {
       require(term2, "q117: AvailableNow run 2 must terminate on its own")
       s.read.parquet(sink)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    },
+
+    "q118_cdc_apply" -> { (s, d) =>
+      // CDC changelog application with tombstones (Merge.applyChangeLog)
+      // — the DELETE leg the SCD1 family lacked (coalesceMerge upserts,
+      // insertMissing appends; neither retracts). The customer base
+      // under 300 is the prior snapshot; the capped event log replays as
+      // full-image CDC (error = tombstone, everything else = upsert,
+      // latest (ts, event_id) op wins). The fixture exercises every
+      // path: updated keys, passthrough keys the log never touches,
+      // log-only inserts, and ~30 users whose LATEST op is a tombstone
+      // (require-pinned) — a merge that loses the delete leg, or applies
+      // a non-terminal tombstone, hash-mismatches.
+      val t = Tables(s, d)
+      val snapshot = t.customer.where(col("c_custkey") < 300)
+        .select(col("c_custkey").as("user_id"), col("c_acctbal").as("worth"))
+      val log = t.events.where(col("user_id") < 150)
+        .select(col("user_id"), col("value").as("worth"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("ts"), col("event_id"))
+      val out = graft.operators.Merge.applyChangeLog(
+        snapshot, log, "user_id", "ts", "event_id", "op")
+      val nDeleted = snapshot.count() + log.select("user_id").except(
+        snapshot.select("user_id")).count() - out.count()
+      require(nDeleted > 0, "q118: the tombstone path must delete at least one key")
+      out
     }
   )
 
@@ -2394,6 +2420,23 @@ object GateQueries {
       // by run-drain-exit instead of an always-on daemon
       """SELECT event_id, user_id, event_type, value
         |FROM events WHERE user_id < 150""".stripMargin,
+
+    "q118_cdc_apply" ->
+      // full-image CDC replay: latest (ts, event_id) op per key; 'error'
+      // is a tombstone; untouched snapshot keys pass through; log-only
+      // keys insert unless terminally tombstoned
+      """WITH snap AS (SELECT c_custkey AS user_id, c_acctbal AS worth
+        |    FROM customer WHERE c_custkey < 300),
+        |log AS (SELECT user_id, value AS worth,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    ts, event_id FROM events WHERE user_id < 150),
+        |latest AS (SELECT user_id, worth, op FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM log) WHERE rn = 1)
+        |SELECT coalesce(s.user_id, l.user_id) AS user_id,
+        |  CASE WHEN l.user_id IS NOT NULL THEN l.worth ELSE s.worth END AS worth
+        |FROM snap s FULL OUTER JOIN latest l ON s.user_id = l.user_id
+        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
 
     "q101_parquet_landing" ->
       // the parquet twin carries timestamps in binary: exactly-once AND
