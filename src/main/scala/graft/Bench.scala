@@ -61,7 +61,7 @@ object Bench {
     "q99_stream_late_interval_join", "q100_neardup_recovery",
     "q101_parquet_landing", "q102_compaction", "q103_clustered_layout",
     "q106_zorder_layout", "q113_schema_evolution",
-    "q115_stream_left_interval_join")
+    "q115_stream_left_interval_join", "q117_available_now_catchup")
 
   /** Wait (bounded) for the 1-min loadavg to decay below `target` so the
     * next section's per-query `load` fields start from a clean machine;
