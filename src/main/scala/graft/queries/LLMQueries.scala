@@ -329,8 +329,53 @@ object LLMQueries {
       require(rules.size == 5 && rules.map(_.rank) == (1 to 5),
         s"q116: expected 5 ranked merges, got $rules")
       seg.select(col("word"), col("freq"), col("tokens"), col("n_tokens"))
+    },
+
+    "q119_perplexity_buckets" -> { (s, d) =>
+      // CCNet's head/middle/tail corpus split, composed from q111's LM
+      // scores and the DISTRIBUTED global rank (Rankings.globalRank —
+      // range-partitioned positions + per-partition offsets, never a
+      // single-partition window; the corpus-scale path where a bare
+      // `ntile(3) over (order by ...)` would funnel 100 TB through one
+      // task). Terciles follow ntile's fill rule via exact integer
+      // arithmetic: bucket = ((rank-1)*3) div n.
+      val scored = graft.operators.LanguageModel.bigramCrossEntropy(
+          Tables(s, d).documentsSpread, "doc_id", "text", alpha = 0.5, tau = 8.0)
+        .select(col("doc_id"), col("cross_entropy"))
+      val ranked = graft.operators.Rankings.globalRank(scored,
+        Seq(col("cross_entropy").asc, col("doc_id").asc), "ce_rank")
+      ranked.crossJoin(broadcast(ranked.agg(count(lit(1)).as("__n"))))
+        .withColumn("bucket",
+          expr("CASE ((ce_rank - 1) * 3) div __n WHEN 0 THEN 'head' " +
+            "WHEN 1 THEN 'middle' ELSE 'tail' END"))
+        .select(col("doc_id"), col("cross_entropy"), col("ce_rank"), col("bucket"))
     }
   )
+
+  /** The bigram-LM scoring chain shared by q111 (perplexity filter) and
+    * q119 (corpus buckets): corpus-trained add-0.5 model, per-doc
+    * position-ordered log-prob fold, ending at `folded(doc_id, s,
+    * n_bigrams)`.
+    */
+  private val LmFoldedCte: String =
+    """WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |bgr AS (SELECT doc_id, u['pos'] AS pos, u['w1'] AS w1, u['w2'] AS w2
+      |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |      i -> {'pos': i, 'w1': w[i], 'w2': w[i+1]})) AS u
+      |    FROM base WHERE len(w) >= 2)),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bgr GROUP BY 1, 2),
+      |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+      |v AS (SELECT count(DISTINCT word) AS v
+      |  FROM (SELECT unnest(w) AS word FROM base)),
+      |scored AS (SELECT b.doc_id, b.pos,
+      |    ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)) AS logp
+      |  FROM bgr b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v),
+      |folded AS (SELECT doc_id,
+      |    CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list(CAST(logp AS DOUBLE) ORDER BY pos)),
+      |      (a, b) -> a + b) AS DOUBLE) AS s,
+      |    count(*) AS n_bigrams
+      |  FROM scored GROUP BY 1)""".stripMargin
 
   /** DuckDB spellings of the identical computations. Shared CTE fragments
     * inline the Spark-side constants (shingle n, seeds, bands).
@@ -654,25 +699,9 @@ object LLMQueries {
     // Bigram-LM replay: identical integer counts and vocabulary size,
     // per-bigram ln() on identical IEEE inputs (the q104 idf precedent),
     // position-ordered left fold of the per-doc sum, q6 quantization.
+    // The CTE chain is shared with q119's bucket composition.
     "q111_lm_perplexity" ->
-      """WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-        |bgr AS (SELECT doc_id, u['pos'] AS pos, u['w1'] AS w1, u['w2'] AS w2
-        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)),
-        |      i -> {'pos': i, 'w1': w[i], 'w2': w[i+1]})) AS u
-        |    FROM base WHERE len(w) >= 2)),
-        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bgr GROUP BY 1, 2),
-        |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
-        |v AS (SELECT count(DISTINCT word) AS v
-        |  FROM (SELECT unnest(w) AS word FROM base)),
-        |scored AS (SELECT b.doc_id, b.pos,
-        |    ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)) AS logp
-        |  FROM bgr b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v),
-        |folded AS (SELECT doc_id,
-        |    CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |        list(CAST(logp AS DOUBLE) ORDER BY pos)),
-        |      (a, b) -> a + b) AS DOUBLE) AS s,
-        |    count(*) AS n_bigrams
-        |  FROM scored GROUP BY 1)
+      s"""$LmFoldedCte
         |SELECT doc_id, n_bigrams,
         |  floor((-s / n_bigrams) * 1000000.0 + 0.5) / 1000000.0 AS cross_entropy,
         |  (floor((-s / n_bigrams) * 1000000.0 + 0.5) / 1000000.0 > 8.0) AS flagged
@@ -734,6 +763,22 @@ object LLMQueries {
          |SELECT word, freq, tokens,
          |  CAST(len(string_split(tokens, ' ')) AS BIGINT) AS n_tokens
          |FROM s5""".stripMargin
-    }
+    },
+
+    // shared LM chain + row_number over the identical unique order +
+    // ntile-fill-rule terciles via exact integer arithmetic
+    "q119_perplexity_buckets" ->
+      s"""$LmFoldedCte,
+        |ce AS (SELECT doc_id,
+        |    floor((-s / n_bigrams) * 1000000.0 + 0.5) / 1000000.0 AS cross_entropy
+        |  FROM folded),
+        |r AS (SELECT doc_id, cross_entropy,
+        |    CAST(row_number() OVER (ORDER BY cross_entropy, doc_id) AS INT) AS ce_rank,
+        |    count(*) OVER () AS n
+        |  FROM ce)
+        |SELECT doc_id, cross_entropy, ce_rank,
+        |  CASE ((ce_rank - 1) * 3) // n WHEN 0 THEN 'head'
+        |    WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM r""".stripMargin
   )
 }
