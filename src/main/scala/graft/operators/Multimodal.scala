@@ -151,6 +151,85 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Gray level (0..255) of grid cell (x, y) for fixture image `id`:
+    * the first two hex chars of md5("id:x:y:g") — the md5-derived
+    * construction ([[graft.operators.Projection]] signs, same family)
+    * that lets the DuckDB oracle recompute a PIXEL-derived hash from id
+    * arithmetic alone.
+    */
+  def gridGray(id: Long, x: Int, y: Int): Int = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s"$id:$x:$y:g".getBytes("UTF-8"))
+    (hex(0) & 0xff)
+  }
+
+  /** Deterministic 8×8-block grayscale fixture image: cell (x, y) of an
+    * (8·cell)² image is filled with [[gridGray]]. PNG and BMP encodes of
+    * one id carry IDENTICAL pixels — the cross-format duplicate pair
+    * content dedup must catch where byte-level hashing (q30) cannot.
+    */
+  def encodeGridImage(id: Long, cell: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      8 * cell, 8 * cell, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        val g = gridGray(id, gx, gy)
+        val rgb = (g << 16) | (g << 8) | g
+        var py = 0
+        while (py < cell) {
+          var px = 0
+          while (px < cell) {
+            img.setRGB(gx * cell + px, gy * cell + py, rgb); px += 1
+          }
+          py += 1
+        }
+        gx += 1
+      }
+      gy += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, bos), s"no $format writer")
+    bos.toByteArray
+  }
+
+  /** 56-bit difference hash over DECODED pixels (dHash, 8×8 grid, 7
+    * horizontal comparisons per row — 56 bits keeps the value inside a
+    * signed long, the q76 convention): bit (y·7+x) is set iff the grid
+    * cell right of (x, y) is brighter. Content-addressed, so the same
+    * image re-encoded through a different lossless container (PNG vs
+    * BMP) hashes identically — the image-dedup primitive a byte hash
+    * can't provide. Full pixel decode, partition-wise (mapPartitions,
+    * the imageio codec boundary); grid cells are sampled top-left
+    * nearest-neighbor at width/8 strides, so any integer upscale of the
+    * same grid hashes the same.
+    */
+  def dHash56(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("row_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val cw = math.max(1, img.getWidth / 8)
+          val ch = math.max(1, img.getHeight / 8)
+          var hash = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 7) {
+              val l = img.getRGB(x * cw, y * ch) & 0xff
+              val r = img.getRGB((x + 1) * cw, y * ch) & 0xff
+              if (r > l) hash |= (1L << (y * 7 + x))
+              x += 1
+            }
+            y += 1
+          }
+          (id, hash)
+        }
+      }.toDF("row_id", "dhash")
+  }
+
   /** Deterministic frame sampling plan: every `stride`-th frame index up to
     * `nFrames` — the "frame-sample" op of a video pipeline, computed
     * declaratively (codegen'd `sequence`, no UDF).

@@ -1867,6 +1867,41 @@ object GateQueries {
         snapshot.select("user_id")).count() - out.count()
       require(nDeleted > 0, "q118: the tombstone path must delete at least one key")
       out
+    },
+
+    "q120_image_content_dedup" -> { (s, d) =>
+      // Cross-format image CONTENT dedup over real decoded pixels
+      // (Multimodal.dHash56): every doc carries a PNG of its md5-derived
+      // 8×8 gray grid, every third doc ALSO a BMP re-encode of the SAME
+      // grid — the duplicate class a byte hash (q30's md5) can never
+      // catch, since the containers share not one byte. The difference
+      // hash is computed from pixels the JVM codecs actually decode, so
+      // PNG and BMP copies land in one hash bucket and exact hash-groupBy
+      // (q20's shape, content-addressed) counts them. The oracle
+      // recomputes every 56-bit hash from doc_id arithmetic alone (the
+      // fixture's md5 grid — the q68 construction, extended from headers
+      // to pixels): a decoder that misreads pixels, a sampler that drifts
+      // off the grid, or a lost format twin all hash-mismatch.
+      import s.implicits._
+      val ids = Tables(s, d).documents.select(col("doc_id")).as[Long]
+      val payloads = ids.mapPartitions { rows =>
+        rows.flatMap { id =>
+          val png = (id * 10, id, "png",
+            graft.operators.Multimodal.encodeGridImage(id, cell = 4, "png"))
+          if (id % 3 == 0)
+            Seq(png, (id * 10 + 1, id, "bmp",
+              graft.operators.Multimodal.encodeGridImage(id, cell = 4, "bmp")))
+          else Seq(png)
+        }
+      }.toDF("row_id", "doc_id", "fmt", "payload")
+      val hashes = graft.operators.Multimodal.dHash56(
+        s, payloads.select(col("row_id"), col("payload")))
+      val tagged = payloads.select(col("row_id"), col("doc_id"), col("fmt"))
+        .join(hashes, "row_id")
+      val counts = tagged.groupBy(col("dhash")).agg(count(lit(1)).as("n_copies"))
+      tagged.join(counts, "dhash")
+        .select(col("row_id"), col("doc_id"), col("fmt"), col("dhash"),
+          col("n_copies"))
     }
   )
 
@@ -2437,6 +2472,25 @@ object GateQueries {
         |  CASE WHEN l.user_id IS NOT NULL THEN l.worth ELSE s.worth END AS worth
         |FROM snap s FULL OUTER JOIN latest l ON s.user_id = l.user_id
         |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
+
+    "q120_image_content_dedup" ->
+      // every 56-bit pixel hash recomputed from the md5 grid the fixture
+      // painted; PNG/BMP twins of one doc_id share a hash by construction
+      """WITH copies AS (
+        |  SELECT doc_id * 10 AS row_id, doc_id, 'png' AS fmt FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 10 + 1, doc_id, 'bmp' FROM documents WHERE doc_id % 3 = 0),
+        |cells AS (SELECT x, y
+        |  FROM (SELECT unnest(range(0, 7)) AS x), (SELECT unnest(range(0, 8)) AS y)),
+        |bits AS (SELECT c.row_id, c.doc_id, c.fmt,
+        |    CAST(sum(CASE WHEN
+        |        ('0x'||substr(md5(c.doc_id||':'||(l.x+1)||':'||l.y||':g'), 1, 2))::INT >
+        |        ('0x'||substr(md5(c.doc_id||':'||l.x||':'||l.y||':g'), 1, 2))::INT
+        |      THEN (CAST(1 AS BIGINT) << (l.y * 7 + l.x)) ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM copies c CROSS JOIN cells l GROUP BY 1, 2, 3),
+        |counts AS (SELECT dhash, count(*) AS n_copies FROM bits GROUP BY 1)
+        |SELECT b.row_id, b.doc_id, b.fmt, b.dhash, n.n_copies
+        |FROM bits b JOIN counts n USING (dhash)""".stripMargin,
 
     "q101_parquet_landing" ->
       // the parquet twin carries timestamps in binary: exactly-once AND

@@ -51,6 +51,27 @@ class GateQueriesSpec extends SparkSpec {
       out(1).width == 32 && out(1).height == 16)
   }
 
+  test("dHash56: cross-format and cross-scale pixel identity, content sensitivity") {
+    import spark.implicits._
+    val rows = Seq(
+      (10L, Multimodal.encodeGridImage(1L, cell = 4, "png")),
+      (11L, Multimodal.encodeGridImage(1L, cell = 4, "bmp")),   // same grid, other container
+      (12L, Multimodal.encodeGridImage(1L, cell = 8, "png")),   // same grid, 2x upscale
+      (20L, Multimodal.encodeGridImage(2L, cell = 4, "png"))    // different content
+    ).toDF("row_id", "payload")
+    val h = Multimodal.dHash56(spark, rows).collect()
+      .map(r => r.getAs[Long]("row_id") -> r.getAs[Long]("dhash")).toMap
+    assert(h(10L) == h(11L), "PNG and BMP of one grid must hash identically")
+    assert(h(10L) == h(12L), "integer upscale of one grid must hash identically")
+    assert(h(10L) != h(20L), "different content must hash apart")
+    // the hash is the md5-grid prediction the q120 oracle computes
+    val expected = (for (y <- 0 until 8; x <- 0 until 7) yield {
+      if (Multimodal.gridGray(1L, x + 1, y) > Multimodal.gridGray(1L, x, y))
+        1L << (y * 7 + x) else 0L
+    }).reduce(_ | _)
+    assert(h(10L) == expected)
+  }
+
   test("duplicatedSpans counts corpus-wide window repeats, incl. self-repeats") {
     import spark.implicits._
     val docs = Seq(
