@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.Portable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -118,5 +119,51 @@ object Sampling {
     Rankings.topK(keyed, Seq(col("__key").desc, col(idCol).asc), k)
       .withColumnRenamed("rank", "sample_rank")
       .drop("__key")
+  }
+
+  /** Token-budget mixture planning — the "fill an N-token training
+    * budget at these source proportions" solver plus its execution
+    * audit, in one frame. [[mixtureSample]] takes RATES as given; real
+    * mixes are specified as a token budget and target fractions, and the
+    * per-group rate must be SOLVED from what each group can supply:
+    * rate = min(1, target·budget / available). A group whose supply
+    * falls short caps at rate 1 and the plan surfaces the shortfall
+    * (picked_tokens < want_tokens) — the "high-quality source is
+    * exhausted" signal a mix designer acts on — instead of silently
+    * over-sampling other groups.
+    *
+    * Scale shape: two group-sized aggregations over the (id, group,
+    * tokens) projection with the group-count-sized plan broadcast back
+    * for the coin filter; the md5 coin makes membership a pure function
+    * of (id, salt), so the audit columns are engine-replayable exact
+    * integers. `toks` columns: idCol, groupCol, tokenCol.
+    *
+    * Output per group: n_docs, avail_tokens, target_frac (q6),
+    * want_tokens (q4), rate (q6), picked_docs, picked_tokens. Groups
+    * absent from `targets` get rate 0 (planned to zero, still listed).
+    */
+  def tokenBudgetPlan(toks: DataFrame, idCol: String, groupCol: String,
+                      tokenCol: String, targets: Map[String, Double],
+                      budgetTokens: Long, salt: String): DataFrame = {
+    val frac = targets.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (g, f)) => when(col(groupCol) === g, lit(f)).otherwise(acc)
+    }
+    val plan = toks.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokenCol)).as("avail_tokens"))
+      .withColumn("__frac", frac)
+      .withColumn("__want", col("__frac") * lit(budgetTokens))
+      .withColumn("__rate", least(lit(1.0), col("__want") / col("avail_tokens")))
+    val picked = toks
+      .join(broadcast(plan.select(col(groupCol), col("__rate"))), Seq(groupCol))
+      .where(hashUnit(col(idCol), salt) < col("__rate"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("picked_docs"), sum(col(tokenCol)).as("picked_tokens"))
+    plan.join(picked, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_docs"), col("avail_tokens"),
+        Portable.q6(col("__frac")).as("target_frac"),
+        Portable.q4(col("__want")).as("want_tokens"),
+        Portable.q6(col("__rate")).as("rate"),
+        coalesce(col("picked_docs"), lit(0L)).as("picked_docs"),
+        coalesce(col("picked_tokens"), lit(0L)).as("picked_tokens"))
   }
 }

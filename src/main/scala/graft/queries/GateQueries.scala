@@ -1713,8 +1713,14 @@ object GateQueries {
         "vec_id", "embedding", k = 16, iters = 3, minCosine = 0.35)
       val dropped = out.where(!col("kept")).count()
       val kept = out.where(col("kept")).count()
+      // Both verdict branches must be live; their RATIO is SF-shaped and
+      // belongs to the oracle, not a require: at sf0.01 near-dups are the
+      // planted few (≈7% dropped), while the sf1 generator builds each
+      // replica as a deterministic perturbation of the original corpus —
+      // so ~90% of vectors genuinely ARE semantic dups there and SemDeDup
+      // dropping them is the operator doing its job.
       require(dropped > 0, "q114: fixture must contain semantic near-dups")
-      require(kept > dropped, s"q114: dedup must keep the majority ($kept kept, $dropped dropped)")
+      require(kept > 0, "q114: every cluster representative must survive")
       out
     },
 

@@ -349,6 +349,28 @@ object LLMQueries {
           expr("CASE ((ce_rank - 1) * 3) div __n WHEN 0 THEN 'head' " +
             "WHEN 1 THEN 'middle' ELSE 'tail' END"))
         .select(col("doc_id"), col("cross_entropy"), col("ce_rank"), col("bucket"))
+    },
+
+    "q121_token_budget_plan" -> { (s, d) =>
+      // Token-budget mixture planning (Sampling.tokenBudgetPlan): fill
+      // half the corpus's tokens at 30% en / 40% zh / 10% each de-es-fr.
+      // zh's demand (0.4 × half ≈ 20% of tokens) exceeds its ~10%
+      // supply with 2× margin at every SF, so its rate caps at 1.0 and
+      // the plan surfaces the shortfall — the "source exhausted" branch
+      // — while en solves a fractional rate; the require pins both
+      // branches live. Budget is a bounded scalar collect (the
+      // Incremental terminal-ts contract); every audit column is an
+      // exact md5-coin integer.
+      val toks = Tables(s, d).documents.select(col("doc_id"), col("lang"),
+        size(TextFns.words(col("text"))).cast("long").as("n_tokens"))
+      val total = toks.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+      val out = Sampling.tokenBudgetPlan(toks, "doc_id", "lang", "n_tokens",
+        Map("en" -> 0.3, "de" -> 0.1, "es" -> 0.1, "fr" -> 0.1, "zh" -> 0.4),
+        budgetTokens = total / 2, salt = "mix121")
+      val rates = out.select(col("rate")).collect().map(_.getDouble(0))
+      require(rates.exists(_ == 1.0) && rates.exists(_ < 1.0),
+        s"q121: fixture must exercise both the capped and fractional branches, got ${rates.toSeq}")
+      out
     }
   )
 
@@ -779,6 +801,40 @@ object LLMQueries {
         |SELECT doc_id, cross_entropy, ce_rank,
         |  CASE ((ce_rank - 1) * 3) // n WHEN 0 THEN 'head'
         |    WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    // mixture-plan replay: budget = total // 2 (exact integer), fracs
+    // as DOUBLE literals so frac*budget/avail is the identical IEEE
+    // chain, md5 coin < unquantized rate — picked counts exact
+    "q121_token_budget_plan" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |b AS (SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS budget FROM toks),
+        |tgt AS (SELECT * FROM (VALUES
+        |    ('de', CAST(0.1 AS DOUBLE)), ('en', CAST(0.3 AS DOUBLE)),
+        |    ('es', CAST(0.1 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE)),
+        |    ('zh', CAST(0.4 AS DOUBLE))) t(lang, frac)),
+        |plan AS (SELECT a.lang, a.n_docs, a.avail_tokens,
+        |    coalesce(t.frac, CAST(0.0 AS DOUBLE)) AS frac,
+        |    coalesce(t.frac, CAST(0.0 AS DOUBLE)) * b.budget AS want_raw,
+        |    least(CAST(1.0 AS DOUBLE),
+        |      (coalesce(t.frac, CAST(0.0 AS DOUBLE)) * b.budget) / a.avail_tokens) AS rate_raw
+        |  FROM (SELECT lang, count(*) AS n_docs,
+        |      CAST(sum(n_tokens) AS BIGINT) AS avail_tokens
+        |    FROM toks GROUP BY 1) a
+        |  LEFT JOIN tgt t USING (lang), b),
+        |picked AS (SELECT p.lang, count(*) AS picked_docs,
+        |    CAST(sum(k.n_tokens) AS BIGINT) AS picked_tokens
+        |  FROM toks k JOIN plan p USING (lang)
+        |  WHERE ('0x'||substr(md5(k.doc_id||'#mix121'), 1, 8))::BIGINT / 4294967296.0
+        |    < p.rate_raw
+        |  GROUP BY 1)
+        |SELECT p.lang, p.n_docs, p.avail_tokens,
+        |  floor(p.frac * 1000000.0 + 0.5) / 1000000.0 AS target_frac,
+        |  floor(p.want_raw * 10000.0 + 0.5) / 10000.0 AS want_tokens,
+        |  floor(p.rate_raw * 1000000.0 + 0.5) / 1000000.0 AS rate,
+        |  coalesce(pi.picked_docs, 0) AS picked_docs,
+        |  coalesce(pi.picked_tokens, 0) AS picked_tokens
+        |FROM plan p LEFT JOIN picked pi USING (lang)""".stripMargin
   )
 }
