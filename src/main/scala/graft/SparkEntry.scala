@@ -1,5 +1,5 @@
 package graft
-import graft.queries.{CoreQueries, DerivedQueries, ExtendedQueries, GateQueries, LLMQueries}
+import graft.queries.{CoreQueries, CurationQueries, DerivedQueries, ExtendedQueries, GateQueries, LLMQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -11,11 +11,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ LLMQueries.queries ++ DerivedQueries.queries ++
-      ExtendedQueries.queries ++ GateQueries.queries
+      ExtendedQueries.queries ++ GateQueries.queries ++ CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ LLMQueries.oracles ++ DerivedQueries.oracles ++
-      ExtendedQueries.oracles ++ GateQueries.oracles
+      ExtendedQueries.oracles ++ GateQueries.oracles ++ CurationQueries.oracles
 }

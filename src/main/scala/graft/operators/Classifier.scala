@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.functions.Portable
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed linear quality-classifier training — the fastText-style
+  * "distill a seed rule (or a pile of LLM judgments) into a cheap model
+  * and score the whole corpus with it" step of modern data curation
+  * (the DCLM / FineWeb-Edu pattern). The reference's quality signals
+  * are hand-written heuristics (q26's ratios); this operator LEARNS the
+  * signal: logistic regression over hashed bag-of-words features,
+  * trained full-batch ON the corpus, then every document scored.
+  *
+  * Scale shape (100 TB corpus): the feature frame — (doc, bucket,
+  * count) sparse rows, one map-side-combined groupBy — is built ONCE
+  * and cached; each training iteration is two keyed aggregations over
+  * it (per-doc score fold, per-bucket gradient sum) and the ONLY driver
+  * state is the weight vector itself (nBuckets+1 doubles, shipped back
+  * as a plan literal — the [[Projection]] sign-matrix move). Nothing
+  * pairwise forms; no per-doc state exceeds the feature dimension.
+  *
+  * Determinism contract (SURVEY §5, the q75/q109/q116 trained-path
+  * construction): the gradient is an EXACT INTEGER sum — each doc's
+  * residual (p − y) is quantized to the 1e-6 grid and scaled to a long,
+  * so the per-bucket sum is associative and map-side combinable with no
+  * float-order dependence; weight updates are then a fixed double
+  * expression over those integers that any engine replays bit-for-bit.
+  * The per-doc margin folds over its (bounded, ≤ dim) features in
+  * bucket order. `exp` runs on identical IEEE inputs in either engine
+  * (the q111 `ln` precedent). The DuckDB oracle replays every unrolled
+  * iteration. At extreme corpus sizes the long gradient bound is
+  * 1e6 × corpus tokens — past ~9e18 switch the sum to decimal(38,0).
+  */
+object Classifier {
+
+  final case class TrainedLogistic(weights: Seq[Double], scored: DataFrame)
+
+  /** Hashed feature bucket of a token column: md5 coin mod nBuckets. */
+  def bucketOf(token: Column, nBuckets: Int, salt: String): Column =
+    (Sampling.hashLong(token, salt) % nBuckets).cast("int")
+
+  /** Train `iters` full-batch gradient steps of logistic regression on
+    * hashed bag-of-words counts; `label` must evaluate to 0/1. The bias
+    * rides as synthetic bucket −1 with count 1, so weights, gradients
+    * and the margin fold treat it as just another feature.
+    *
+    * Returns the final weights (index 0 = bias, then buckets 0..n−1)
+    * and the scored corpus: (idCol, label, score, predicted).
+    */
+  def logisticTrain(docs: DataFrame, idCol: String, textCol: String,
+                    label: Column, nBuckets: Int, iters: Int, lr: Double,
+                    salt: String): TrainedLogistic = {
+    require(nBuckets >= 2 && iters >= 1 && lr > 0, "need nBuckets>=2, iters>=1, lr>0")
+    val base = docs.select(col(idCol).as("__id"), label.cast("int").as("__y"),
+      split(col(textCol), " ").as("__w"))
+    val labels = base.select(col("__id"), col("__y")).persist()
+    val feat = base
+      .select(col("__id"), explode(col("__w")).as("__tok"))
+      .select(col("__id"), bucketOf(col("__tok"), nBuckets, salt).as("__b"))
+      .groupBy(col("__id"), col("__b")).agg(count(lit(1)).as("__cnt"))
+      .unionByName(labels.select(col("__id"), lit(-1).as("__b"), lit(1L).as("__cnt")))
+      .persist()
+    val n = labels.count() // bounded scalar; also materializes the caches
+
+    // margin fold: contributions in bucket order (bias first), so float
+    // addition associates identically in any engine (q111 construction)
+    def margins(wts: Array[Double]): DataFrame = {
+      val wcol = element_at(typedLit(wts.toSeq), col("__b") + 2)
+      feat.select(col("__id"),
+          struct(col("__b").as("b"), (wcol * col("__cnt")).as("c")).as("__bc"))
+        .groupBy(col("__id"))
+        .agg(aggregate(array_sort(collect_list(col("__bc"))), lit(0.0),
+          (acc: Column, x: Column) => acc + x.getField("c")).as("__z"))
+        .join(labels, Seq("__id"))
+        .withColumn("__p", Portable.q6(
+          lit(1.0) / (lit(1.0) + exp(-Portable.q6(col("__z"))))))
+    }
+
+    val weights = Array.fill(nBuckets + 1)(0.0)
+    for (_ <- 1 to iters) {
+      // residual on the exact 1e-6 grid → integer gradient (order-free)
+      val resid = margins(weights).select(col("__id"),
+        floor((col("__p") - col("__y")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("__e"))
+      val grads = feat.join(resid, Seq("__id"))
+        .groupBy(col("__b")).agg(sum(col("__e") * col("__cnt")).as("__g"))
+        .collect() // bounded: one row per feature bucket (+ bias)
+      grads.foreach { r =>
+        val b = r.getInt(0); val g = r.getLong(1)
+        weights(b + 1) = weights(b + 1) - lr * (g.toDouble / 1000000.0 / n)
+      }
+    }
+
+    val scored = margins(weights)
+      .select(col("__id").as(idCol), col("__y").as("label"),
+        col("__p").as("score"), (col("__p") >= 0.5).as("predicted"))
+    TrainedLogistic(weights.toSeq, scored)
+  }
+}

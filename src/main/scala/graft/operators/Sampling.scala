@@ -166,4 +166,45 @@ object Sampling {
         coalesce(col("picked_docs"), lit(0L)).as("picked_docs"),
         coalesce(col("picked_tokens"), lit(0L)).as("picked_tokens"))
   }
+
+  /** Deterministic per-epoch global shuffle + contiguous shard layout —
+    * the "write each training epoch in a fresh random order, split into
+    * loader shards" step between curation and the trainer. Three
+    * properties a trainer needs that `df.orderBy(rand())` can't give:
+    * REPRODUCIBLE (the order is a pure function of (id, salt, epoch) —
+    * a re-run after a crash regenerates byte-identical shards),
+    * DECORRELATED across epochs (each epoch re-keys the md5 coin, so
+    * epoch orders are independent permutations), and BALANCED (shards
+    * are contiguous rank ranges under ntile's fill rule, sized within
+    * one row of each other).
+    *
+    * Scale shape: per epoch, ONE range exchange — the md5 coin is a
+    * codegen'd projection and [[Rankings.globalRank]] turns the
+    * range-partitioned sort into global positions without ever
+    * funnelling the data through a single-partition window; the shard
+    * id is then pure integer arithmetic on the rank (`((rank-1)·k) div
+    * n` — exactly ntile's contiguous fill), with n from a broadcast
+    * scalar. Epochs are independent passes (a trainer materializes them
+    * one at a time; the per-epoch cost is the sort a shuffled write
+    * pays anyway).
+    *
+    * Output: epoch, idCol…, shuffle_key (the coin), epoch_rank, shard.
+    */
+  def epochShards(df: DataFrame, idCol: String, epochs: Seq[Int],
+                  nShards: Int, salt: String): DataFrame = {
+    require(epochs.nonEmpty && nShards >= 1, "need >= 1 epoch and shard")
+    val n = broadcast(df.agg(count(lit(1)).as("__n")))
+    epochs.map { e =>
+      val keyed = df.withColumn("epoch", lit(e))
+        .withColumn("shuffle_key", hashLong(col(idCol), s"$salt:e$e"))
+      Rankings.globalRank(keyed,
+          Seq(col("shuffle_key").asc, col(idCol).asc), "epoch_rank")
+        .crossJoin(n)
+        .withColumn("shard",
+          // integer `div`, not `/`: Spark's `/` is fractional and a
+          // double quotient loses exactness once rank*k exceeds 2^53
+          expr(s"CAST(((CAST(epoch_rank AS BIGINT) - 1) * $nShards) div __n AS INT)"))
+        .drop("__n")
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -1,0 +1,217 @@
+package graft.queries
+
+import graft.functions.Portable
+import graft.operators.{Classifier, Cleaning, Drift, Quantize, Sampling}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-7 curation surface (SURVEY §2 rows 122-126): the data-curation
+  * stages between raw corpus and trainer that the earlier LLM rows
+  * don't cover — structural cleaning (C4 line rules), epoch
+  * shuffle/shard layout, LEARNED quality scoring (hashed-feature
+  * logistic regression, the fastText/DCLM pattern), product-quantized
+  * embedding compression, and distribution-drift monitoring.
+  *
+  * Portability contract unchanged (SURVEY §5): md5 coins, exact
+  * integer intermediate state wherever a sum crosses rows, ordered
+  * folds where floats must accumulate, q6 quantization on every float
+  * output; trained paths unroll their full trajectory in the oracle
+  * (the q75/q109/q116 construction).
+  */
+object CurationQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q122_line_clean" -> { (s, d) =>
+      // C4-style structural cleaning: synthesize 12-word lines (the
+      // corpus has no hard breaks — the q85 chunking move), keep lines
+      // with >= 5 words containing a stopword, keep docs with >= 3
+      // surviving lines, rejoin in order. One codegen'd projection +
+      // filter — no explode, no shuffle; at sf0.01 the rules genuinely
+      // cut (≈1211/2477 lines, ≈214/500 docs survive).
+      Cleaning.c4LineClean(Tables(s, d).documents, "doc_id", "text",
+        lineLen = 12, minWordsPerLine = 5, stopwords = Seq("a", "the"),
+        minKeptLines = 3)
+    },
+
+    "q123_epoch_shuffle" -> { (s, d) =>
+      // Deterministic per-epoch global shuffle + contiguous shards:
+      // two epochs, eight shards. The order is a pure function of
+      // (doc_id, salt, epoch) — crash-rerun reproducible, decorrelated
+      // across epochs — and the rank comes from Rankings.globalRank
+      // (range-partitioned positions + offsets), never a
+      // single-partition window.
+      Sampling.epochShards(Tables(s, d).documents.select(col("doc_id")),
+        "doc_id", epochs = Seq(1, 2), nShards = 8, salt = "epoch123")
+    },
+
+    "q124_quality_classifier" -> { (s, d) =>
+      // Learned quality scoring (Classifier.logisticTrain): distill a
+      // seed rule — here "mentions 'vector'", the stand-in for an LLM
+      // judgment column — into a hashed bag-of-words logistic model
+      // (32 buckets, 3 full-batch steps, lr 0.5) and score every doc.
+      // Gradients are exact integer sums on the 1e-6 residual grid, so
+      // the oracle replays all three unrolled iterations bit-for-bit.
+      val out = Classifier.logisticTrain(Tables(s, d).documents, "doc_id", "text",
+        label = array_contains(split(col("text"), " "), "vector"),
+        nBuckets = 32, iters = 3, lr = 0.5, salt = "clf124").scored
+      val classes = out.select(col("label")).distinct().collect().map(_.getInt(0)).sorted
+      require(classes.sameElements(Array(0, 1)),
+        s"q124: fixture must carry both label classes, got ${classes.toSeq}")
+      out
+    },
+
+    "q125_pq_codes" -> { (s, d) =>
+      // Product quantization: 64-dim embeddings -> 8 subspaces x 16
+      // seeded codes (the q41 lowest-id convention, so the oracle
+      // replays codebook construction). Output is each vector's code
+      // string plus its q6 reconstruction error — the compressed form
+      // IVF-PQ ANN serves from.
+      val emb = Tables(s, d).embeddings
+      Quantize.pqEncode(emb, "vec_id", "embedding", nSub = 8,
+        Quantize.seededCodebook(emb, "vec_id", "embedding", nSub = 8, nCodes = 16))
+    },
+
+    "q126_corpus_drift" -> { (s, d) =>
+      // Distribution-drift report: per-source unigram JS divergence vs
+      // the whole corpus (+ token volume and absent-word coverage) —
+      // the dataset-card rollup's health-monitoring complement.
+      Drift.jsDivergence(Tables(s, d).documents, "source", "text")
+    }
+  )
+
+  /** DuckDB replays. The classifier oracle unrolls all three training
+    * iterations (the q75/q109/q116 trained-path construction).
+    */
+  val oracles: Map[String, String] = Map(
+    "q122_line_clean" ->
+      """WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |lines AS (SELECT doc_id, len(w) AS nw, unnest(list_transform(
+        |    range(0, CAST((len(w)-1)//12 AS INT)+1, 1),
+        |    i -> {'pos': i, 'lw': w[i*12+1 : i*12+12]})) AS u FROM base),
+        |lr AS (SELECT doc_id, nw, u['pos'] AS pos, u['lw'] AS lw,
+        |    (len(u['lw']) >= 5 AND list_has_any(u['lw'], ['a','the'])) AS keep
+        |  FROM lines)
+        |SELECT doc_id,
+        |  CAST(count(*) AS INT) AS n_lines,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept,
+        |  floor(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) * 1000000.0 + 0.5) / 1000000.0 AS kept_frac,
+        |  string_agg(array_to_string(lw, ' '), ' | ' ORDER BY pos)
+        |    FILTER (WHERE keep) AS clean_text
+        |FROM lr GROUP BY doc_id
+        |HAVING sum(CASE WHEN keep THEN 1 ELSE 0 END) >= 3""".stripMargin,
+
+    "q123_epoch_shuffle" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |keyed AS (SELECT e.epoch, doc_id,
+        |    ('0x'||substr(md5(doc_id::VARCHAR||'#epoch123:e'||epoch::VARCHAR),1,8))::BIGINT
+        |      AS shuffle_key
+        |  FROM d, (SELECT CAST(unnest([1,2]) AS INT) AS epoch) e),
+        |r AS (SELECT *, row_number()
+        |    OVER (PARTITION BY epoch ORDER BY shuffle_key, doc_id) AS rk
+        |  FROM keyed),
+        |n AS (SELECT count(*) AS n FROM d)
+        |SELECT epoch, doc_id, shuffle_key, CAST(rk AS INT) AS epoch_rank,
+        |  CAST(((rk - 1) * 8) // n.n AS INT) AS shard
+        |FROM r, n""".stripMargin,
+
+    "q124_quality_classifier" -> {
+      // shared residual->gradient->weights step, parameterized by the
+      // previous weights CTE; iteration 1 starts from all-zero weights
+      // (z = 0 exactly, so p = q6(1/(1+exp(0))) = 0.5 in any engine)
+      def resid(pCte: String) =
+        s"SELECT id, CAST(floor((p - y) * 1000000.0 + 0.5) AS BIGINT) AS e FROM $pCte"
+      def grad(eCte: String) =
+        s"SELECT bucket, sum(e * cnt) AS g FROM feat JOIN $eCte USING (id) GROUP BY 1"
+      def nextW(wCte: String, gCte: String) =
+        s"""SELECT bucket, $wCte.wt - 0.5 * (CAST(g AS DOUBLE) / 1000000.0 / n.n) AS wt
+           |  FROM $wCte JOIN $gCte USING (bucket), n""".stripMargin
+      def margin(wCte: String, pCte: String) =
+        s"""$pCte AS (SELECT id, y,
+           |    floor(1.0 / (1.0 + exp(-(floor(z * 1000000.0 + 0.5) / 1000000.0)))
+           |      * 1000000.0 + 0.5) / 1000000.0 AS p
+           |  FROM (SELECT id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |        list(CAST(wt * cnt AS DOUBLE) ORDER BY bucket)), (a,b) -> a + b) AS z
+           |      FROM feat JOIN $wCte USING (bucket) GROUP BY id) z
+           |  JOIN base USING (id))""".stripMargin
+      s"""WITH raw AS (SELECT doc_id AS id, string_split(text,' ') AS w FROM documents),
+         |base AS (SELECT id,
+         |    CASE WHEN list_contains(w, 'vector') THEN 1 ELSE 0 END AS y
+         |  FROM raw),
+         |n AS (SELECT count(*) AS n FROM base),
+         |feat AS (
+         |  SELECT id, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT id, CAST(('0x'||substr(md5(word||'#clf124'),1,8))::BIGINT % 32 AS INT)
+         |        AS bucket
+         |    FROM (SELECT id, unnest(w) AS word FROM raw))
+         |  GROUP BY 1, 2
+         |  UNION ALL SELECT id, -1, 1 FROM base),
+         |e1 AS (SELECT id, CAST(floor((0.5 - y) * 1000000.0 + 0.5) AS BIGINT) AS e FROM base),
+         |g1 AS (${grad("e1")}),
+         |w1 AS (SELECT bucket, 0.0 - 0.5 * (CAST(g AS DOUBLE) / 1000000.0 / n.n) AS wt
+         |  FROM g1, n),
+         |${margin("w1", "p2")},
+         |e2 AS (${resid("p2")}),
+         |g2 AS (${grad("e2")}),
+         |w2 AS (${nextW("w1", "g2")}),
+         |${margin("w2", "p3")},
+         |e3 AS (${resid("p3")}),
+         |g3 AS (${grad("e3")}),
+         |w3 AS (${nextW("w2", "g3")}),
+         |${margin("w3", "p4")}
+         |SELECT id AS doc_id, y AS label, p AS score, p >= 0.5 AS predicted
+         |FROM p4""".stripMargin
+    },
+
+    "q125_pq_codes" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sv AS (SELECT vec_id, CAST(s AS INT) AS sub, v[s*8+1 : s*8+8] AS sv
+        |  FROM e, (SELECT unnest(range(0, 8)) AS s)),
+        |cb AS (SELECT CAST(vec_id AS INT) AS code, sub, sv AS cent
+        |  FROM sv WHERE vec_id < 16),
+        |d AS (SELECT a.vec_id, a.sub, cb.code,
+        |    floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, 9),
+        |          i -> (a.sv[i] - cb.cent[i]) * (a.sv[i] - cb.cent[i]))),
+        |      (x, y) -> x + y) * 1000000.0 + 0.5) / 1000000.0 AS dist2
+        |  FROM sv a JOIN cb USING (sub)),
+        |best AS (SELECT vec_id, sub, code, dist2 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |        ORDER BY dist2, code) AS rn FROM d)
+        |  WHERE rn = 1)
+        |SELECT vec_id,
+        |  string_agg(code::VARCHAR, '_' ORDER BY sub) AS codes,
+        |  floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(dist2 ORDER BY sub)), (a, b) -> a + b)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS recon_err
+        |FROM best GROUP BY 1""".stripMargin,
+
+    "q126_corpus_drift" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text,' ')) AS word
+        |  FROM documents),
+        |c AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+        |s AS (SELECT source, word, CAST(count(*) AS BIGINT) AS s FROM toks GROUP BY 1, 2),
+        |m AS (SELECT source, CAST(count(*) AS BIGINT) AS m FROM toks GROUP BY 1),
+        |grid AS (SELECT m.source, m.m, c.word, c.c, nn.n, coalesce(s.s, 0) AS s
+        |  FROM m CROSS JOIN c CROSS JOIN nn
+        |  LEFT JOIN s ON s.source = m.source AND s.word = c.word),
+        |terms AS (SELECT source, m, word, s,
+        |    CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) / m)
+        |        * ln((CAST(s AS DOUBLE) / m)
+        |            / ((CAST(s AS DOUBLE) / m + CAST(c AS DOUBLE) / n) / 2.0))
+        |      ELSE 0.0 END
+        |    + (CAST(c AS DOUBLE) / n)
+        |        * ln((CAST(c AS DOUBLE) / n)
+        |            / ((CAST(s AS DOUBLE) / m + CAST(c AS DOUBLE) / n) / 2.0)) AS t
+        |  FROM grid)
+        |SELECT source, max(m) AS n_tokens,
+        |  CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS INT) AS n_words_absent,
+        |  floor(0.5 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(CAST(t AS DOUBLE) ORDER BY word)), (a, b) -> a + b)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS js_divergence
+        |FROM terms GROUP BY source""".stripMargin
+  )
+}
