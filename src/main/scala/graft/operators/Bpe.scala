@@ -72,4 +72,31 @@ object Bpe {
     (rules.result(),
       seg.withColumn("n_tokens", size(split(col("tokens"), " ")).cast("long")))
   }
+
+  /** Tokenize the CORPUS with a trained segmentation — the serving step
+    * after [[train]]. The same vocabulary trick that makes training
+    * corpus-independent makes encoding cheap: the per-WORD segmentation
+    * (vocabulary-sized) BROADCASTS onto the corpus's exploded tokens,
+    * so no merge rule ever re-applies per occurrence — each word's fold
+    * ran once, at training time. Per document the token stream
+    * reassembles in position order (exact strings — no float anywhere),
+    * one corpus shuffle on the doc id.
+    *
+    * Output: (idCol, n_words, n_bpe_tokens, tokenized) — tokenized is
+    * the space-joined BPE symbol stream in document order.
+    */
+  def encodeCorpus(docs: DataFrame, idCol: String, textCol: String,
+                   seg: DataFrame): DataFrame = {
+    val id = col(idCol)
+    docs.select(id, posexplode(TextFns.words(col(textCol))))
+      .select(id, col("pos"), col("col").as("word"))
+      .join(broadcast(seg.select(col("word"), col("tokens"), col("n_tokens"))),
+        Seq("word"))
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tokens")).as("n_bpe_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tokens")))),
+          (x: Column) => x.getField("tokens")), " ").as("tokenized"))
+  }
 }

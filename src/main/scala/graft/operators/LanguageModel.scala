@@ -89,4 +89,68 @@ object LanguageModel {
     folded.select(id, col("n_bigrams"), col("cross_entropy"),
       (col("cross_entropy") > lit(tau)).as("flagged"))
   }
+
+  /** A trained bigram model: bigram counts, context counts, and the
+    * 1-row vocabulary size — everything [[crossEntropyUnder]] needs to
+    * score a DIFFERENT corpus than the one it was trained on.
+    */
+  final case class BigramModel(c2: DataFrame, c1: DataFrame, vocab: DataFrame)
+
+  /** Train the add-alpha bigram model alone (the [[bigramCrossEntropy]]
+    * training pass, factored): one map-side-combined corpus aggregation;
+    * every output is vocabulary-sized.
+    */
+  def trainBigram(docs: DataFrame, textCol: String): BigramModel = {
+    val base = docs.select(TextFns.words(col(textCol)).as("__w"))
+    val bigrams = base.where(size(col("__w")) >= 2)
+      .select(posexplode(zip_with(
+        slice(col("__w"), lit(1), size(col("__w")) - 1),
+        slice(col("__w"), lit(2), size(col("__w")) - 1),
+        (a: Column, b: Column) => struct(a.as("w1"), b.as("w2")))))
+      .select(col("col.w1").as("w1"), col("col.w2").as("w2"))
+    val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = base.select(explode(col("__w")).as("word"))
+      .agg(countDistinct(col("word")).as("v"))
+    BigramModel(c2, c1, vocab)
+  }
+
+  /** Score `docs` under a model trained ELSEWHERE — the cross-domain
+    * form behind DSIR-style importance weighting: bigrams the model
+    * never saw take C(w1 w2) = 0 (and unseen contexts C(w1 ·) = 0), so
+    * add-alpha smoothing alone carries them — LEFT joins with exact
+    * integer zero fills, the same fold and q6 contract as
+    * [[bigramCrossEntropy]] (which is this function over a same-corpus
+    * model, where every join matches).
+    *
+    * Output: (idCol, n_bigrams, cross_entropy).
+    */
+  def crossEntropyUnder(model: BigramModel, docs: DataFrame, idCol: String,
+                        textCol: String, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, "alpha must be > 0")
+    val id = col(idCol)
+    val base = docs.select(id, TextFns.words(col(textCol)).as("__w"))
+    val bigrams = base.where(size(col("__w")) >= 2)
+      .select(id, posexplode(zip_with(
+        slice(col("__w"), lit(1), size(col("__w")) - 1),
+        slice(col("__w"), lit(2), size(col("__w")) - 1),
+        (a: Column, b: Column) => struct(a.as("w1"), b.as("w2")))))
+      .select(id, col("pos"), col("col.w1").as("w1"), col("col.w2").as("w2"))
+    val scored = bigrams
+      .join(model.c2, Seq("w1", "w2"), "left")
+      .join(model.c1, Seq("w1"), "left")
+      .crossJoin(broadcast(model.vocab))
+      .withColumn("logp",
+        log((coalesce(col("c2"), lit(0L)) + lit(alpha)) /
+          (coalesce(col("c1"), lit(0L)) + lit(alpha) * col("v"))))
+    scored.groupBy(id)
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("pos"), col("logp")))),
+          lit(0.0),
+          (acc: Column, x: Column) => acc + x.getField("logp")).as("__sum"),
+        count(lit(1)).as("n_bigrams"))
+      .withColumn("cross_entropy", Portable.q6(-col("__sum") / col("n_bigrams")))
+      .select(id, col("n_bigrams"), col("cross_entropy"))
+  }
 }

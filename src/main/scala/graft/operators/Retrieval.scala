@@ -89,4 +89,44 @@ object Retrieval {
     folded.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col(queryIdCol), id, col("score"), col("n_terms"), col("rank"))
   }
+
+  /** Dense rerank of a sparse candidate set — the second stage of the
+    * standard hybrid-retrieval cascade: a cheap term-level recall pass
+    * ([[bm25TopK]]) bounds the candidate set, then embedding cosine
+    * re-orders only those candidates and keeps `k`. At 100 TB this is
+    * the whole point of the cascade: the dense model never scores the
+    * corpus — vector work is O(queries × candidates).
+    *
+    * Scale shape: candidate embeddings arrive by an equi-join on the doc
+    * id (candidate-count-sized output); QUERY embeddings are first
+    * semi-joined down to the queries actually present and then broadcast
+    * — never the full embedding table. Self-hits (a probe retrieving
+    * itself) are excluded before ranking. Cosines quantize to q6 with
+    * doc-id tiebreaks (the q24/q41 contract), so the oracle replays the
+    * rerank exactly.
+    *
+    * Output: `cands` columns + cosine + rerank (1..k per query).
+    */
+  def denseRerank(cands: DataFrame, queryIdCol: String, docIdCol: String,
+                  emb: DataFrame, embIdCol: String, vecCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val e = emb.select(col(embIdCol), graft.functions.VectorFns.asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", graft.functions.VectorFns.norm2(col("__v")))
+    val ce = e.select(col(embIdCol).as(docIdCol), col("__v").as("__cv"), col("__n").as("__cn"))
+    val qe = e.join(cands.select(col(queryIdCol).as(embIdCol)).distinct(),
+        Seq(embIdCol), "left_semi")
+      .select(col(embIdCol).as(queryIdCol), col("__v").as("__qv"), col("__n").as("__qn"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(docIdCol).asc)
+    cands.where(col(docIdCol) =!= col(queryIdCol))
+      .join(ce, Seq(docIdCol))
+      .join(broadcast(qe), Seq(queryIdCol))
+      .withColumn("cosine", Portable.q6(
+        graft.functions.VectorFns.dot(col("__qv"), col("__cv")) /
+          (col("__qn") * col("__cn"))))
+      .withColumn("rerank", row_number().over(w))
+      .where(col("rerank") <= k)
+      .drop("__qv", "__qn", "__cv", "__cn")
+  }
 }

@@ -78,6 +78,55 @@ object CurationQueries {
       // the whole corpus (+ token volume and absent-word coverage) —
       // the dataset-card rollup's health-monitoring complement.
       Drift.jsDivergence(Tables(s, d).documents, "source", "text")
+    },
+
+    "q127_bpe_encode" -> { (s, d) =>
+      // The serving step after q116's trainer: tokenize the CORPUS with
+      // the learned merges. The per-word segmentation (vocabulary-sized)
+      // broadcasts onto the exploded corpus and each document's token
+      // stream reassembles in position order — no merge rule ever
+      // re-applies per occurrence. The oracle replays the SAME trained
+      // trajectory (shared q116 CTE) and the per-doc reassembly.
+      val docs = Tables(s, d).documentsSpread
+      val (rules, seg) = graft.operators.Bpe.train(
+        graft.operators.Bpe.wordVocab(docs, "text"), nMerges = 5)
+      require(rules.size == 5, s"q127: expected 5 merges, got $rules")
+      graft.operators.Bpe.encodeCorpus(docs, "doc_id", "text", seg)
+    },
+
+    "q128_hybrid_retrieval" -> { (s, d) =>
+      // The standard two-stage retrieval cascade: BM25 bounds the
+      // candidate set (top-20 per probe — q104's recall pass), then
+      // embedding cosine reranks ONLY those candidates to a final
+      // top-5 (Retrieval.denseRerank). The dense model never scores
+      // the corpus — vector work is O(queries × candidates), which is
+      // what makes the cascade the 100 TB shape. Embeddings join on
+      // doc id (the fixture's vec_id ≡ doc_id).
+      val t = Tables(s, d)
+      val docs = t.documentsSpread
+      val probes = docs.where(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(slice(split(col("text"), " "), 1, 4))).as("term"))
+      val cands = graft.operators.Retrieval.bm25TopK(docs, "doc_id", "text",
+          probes, "query_id", "term", k = 20, k1 = 1.2, b = 0.75, maxDfFrac = 0.9)
+        .select(col("query_id"), col("doc_id"),
+          col("score").as("bm25_score"), col("rank").as("bm25_rank"))
+      graft.operators.Retrieval.denseRerank(cands, "query_id", "doc_id",
+        t.embeddings, "vec_id", "embedding", k = 5)
+    },
+
+    "q129_dsir_select" -> { (s, d) =>
+      // DSIR-style importance resampling (Dsir.importanceSelect): a
+      // bigram LM trained on the en subset vs the corpus LM; every doc
+      // weighted by exp(ce_base - ce_target) — the geometric-mean
+      // per-bigram likelihood ratio — and the 150 most target-like
+      // drawn by the q108 A-ES coin. Both models derive from ONE
+      // corpus bigram pass; the oracle replays both cross-entropy
+      // folds (the q111 chain, left-join smoothed for unseen bigrams)
+      // and the pow key ranking.
+      graft.operators.Dsir.importanceSelect(Tables(s, d).documentsSpread,
+        "doc_id", "text", targetPred = col("lang") === "en",
+        k = 150, alpha = 0.5, salt = "dsir129")
     }
   )
 
@@ -187,6 +236,86 @@ object CurationQueries {
         |      list(dist2 ORDER BY sub)), (a, b) -> a + b)
         |    * 1000000.0 + 0.5) / 1000000.0 AS recon_err
         |FROM best GROUP BY 1""".stripMargin,
+
+    "q127_bpe_encode" ->
+      s"""WITH ${LLMQueries.BpeChainCte},
+        |seg AS (SELECT word, tokens,
+        |    CAST(len(string_split(tokens, ' ')) AS BIGINT) AS n_tokens FROM s5),
+        |dw AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, u['pos'] AS pos, u['word'] AS word
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+        |      i -> {'pos': i, 'word': w[i]})) AS u FROM dw))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_bpe_tokens,
+        |  string_agg(tokens, ' ' ORDER BY pos) AS tokenized
+        |FROM tok JOIN seg USING (word) GROUP BY doc_id""".stripMargin,
+
+    "q128_hybrid_retrieval" ->
+      s"""WITH ${ExtendedQueries.Bm25FoldedCte},
+        |bm AS (SELECT * FROM (
+        |    SELECT query_id, doc_id,
+        |      floor(raw * 1000000.0 + 0.5) / 1000000.0 AS bm25_score,
+        |      CAST(row_number() OVER (PARTITION BY query_id
+        |        ORDER BY floor(raw * 1000000.0 + 0.5) / 1000000.0 DESC, doc_id)
+        |        AS INT) AS bm25_rank
+        |    FROM folded) WHERE bm25_rank <= 20),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (SELECT b.query_id, b.doc_id, b.bm25_score, b.bm25_rank,
+        |    floor(list_cosine_similarity(qe.v, ce.v) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS cosine
+        |  FROM bm b
+        |  JOIN e ce ON ce.vec_id = b.doc_id
+        |  JOIN e qe ON qe.vec_id = b.query_id
+        |  WHERE b.doc_id <> b.query_id)
+        |SELECT * FROM (
+        |  SELECT query_id, doc_id, bm25_score, bm25_rank, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, doc_id) AS INT) AS rerank
+        |  FROM scored) WHERE rerank <= 5""".stripMargin,
+
+    "q129_dsir_select" -> {
+      // score `bgr` under a (c2x, c1x, vx) model: LEFT joins + exact
+      // integer zero fills for unseen bigrams/contexts, position-
+      // ordered fold, q6 mean NLL — the q111 chain, cross-domain form
+      def fold(tag: String, outCe: String) =
+        s"""s$tag AS (SELECT b.doc_id, b.pos,
+           |    ln((coalesce(c.c2, 0) + 0.5) / (coalesce(k.c1, 0) + 0.5 * v$tag.v)) AS logp
+           |  FROM bgr b LEFT JOIN c2$tag c USING (w1, w2)
+           |    LEFT JOIN c1$tag k USING (w1), v$tag),
+           |f$tag AS (SELECT doc_id,
+           |    floor((-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |        list(CAST(logp AS DOUBLE) ORDER BY pos)), (a, b) -> a + b))
+           |      / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS $outCe,
+           |    count(*) AS n_bigrams
+           |  FROM s$tag GROUP BY doc_id)""".stripMargin
+      s"""WITH base AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents),
+         |bgr AS (SELECT doc_id, lang, u['pos'] AS pos, u['w1'] AS w1, u['w2'] AS w2
+         |  FROM (SELECT doc_id, lang, unnest(list_transform(range(1, len(w)),
+         |      i -> {'pos': i, 'w1': w[i], 'w2': w[i+1]})) AS u
+         |    FROM base WHERE len(w) >= 2)),
+         |c2a AS (SELECT w1, w2, count(*) AS c2 FROM bgr GROUP BY 1, 2),
+         |c1a AS (SELECT w1, sum(c2) AS c1 FROM c2a GROUP BY 1),
+         |va AS (SELECT count(DISTINCT word) AS v
+         |  FROM (SELECT unnest(w) AS word FROM base)),
+         |c2t AS (SELECT w1, w2, count(*) AS c2 FROM bgr WHERE lang = 'en' GROUP BY 1, 2),
+         |c1t AS (SELECT w1, sum(c2) AS c1 FROM c2t GROUP BY 1),
+         |vt AS (SELECT count(DISTINCT word) AS v
+         |  FROM (SELECT unnest(w) AS word FROM base WHERE lang = 'en')),
+         |${fold("a", "ce_base")},
+         |${fold("t", "ce_target")},
+         |wts AS (SELECT fa.doc_id, fa.n_bigrams, fa.ce_base, ft.ce_target,
+         |    greatest(floor(exp(fa.ce_base - ft.ce_target) * 1000000.0 + 0.5) / 1000000.0,
+         |      CAST(0.000001 AS DOUBLE)) AS weight
+         |  FROM fa JOIN ft USING (doc_id)),
+         |keyed AS (SELECT *,
+         |    pow((('0x'||substr(md5(doc_id||'#dsir129'), 1, 8))::UBIGINT::BIGINT + 1)
+         |        / 4294967296.0, 1.0 / weight) AS key
+         |  FROM wts)
+         |SELECT doc_id, n_bigrams, ce_base, ce_target, weight, sample_rank FROM (
+         |  SELECT doc_id, n_bigrams, ce_base, ce_target, weight,
+         |    CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT) AS sample_rank
+         |  FROM keyed) WHERE sample_rank <= 150""".stripMargin
+    },
 
     "q126_corpus_drift" ->
       """WITH toks AS (SELECT source, unnest(string_split(text,' ')) AS word

@@ -366,6 +366,39 @@ object ExtendedQueries {
     }
   )
 
+  /** The BM25 scoring chain (q104's probes/postings/fold), factored so
+    * q128's hybrid-retrieval oracle replays the SAME sparse recall pass:
+    * ends at `folded(query_id, doc_id, raw, n_terms)`.
+    */
+  private[queries] val Bm25FoldedCte: String =
+    """base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |toks AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM base),
+      |postings AS (SELECT doc_id, term, dl, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+      |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
+      |           FROM (SELECT len(w) AS dl FROM base)),
+      |term_stats AS (
+      |  SELECT term, df, n_docs, avgdl
+      |  FROM (SELECT term, count(*) AS df FROM postings GROUP BY 1), corpus
+      |  WHERE df <= 0.9 * n_docs),
+      |probes AS (SELECT doc_id AS query_id,
+      |    unnest(list_distinct(list_slice(w, 1, 4))) AS term
+      |  FROM base WHERE doc_id % 25 = 0),
+      |per_term AS (
+      |  SELECT q.query_id, p.doc_id, p.term,
+      |    ln(1.0 + (t.n_docs - t.df + 0.5) / (t.df + 0.5)) *
+      |      (p.tf * 2.2) /
+      |      (p.tf + 1.2 * (0.25 + 0.75 * p.dl / t.avgdl)) AS tscore
+      |  FROM probes q JOIN term_stats t ON q.term = t.term
+      |    JOIN postings p ON t.term = p.term),
+      |folded AS (
+      |  SELECT query_id, doc_id,
+      |    CAST(list_reduce(
+      |      list_prepend(CAST(0.0 AS DOUBLE),
+      |        list(CAST(tscore AS DOUBLE) ORDER BY term)),
+      |      (a, b) -> a + b) AS DOUBLE) AS raw,
+      |    count(*) AS n_terms
+      |  FROM per_term GROUP BY 1, 2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q51_decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
@@ -569,33 +602,7 @@ object ExtendedQueries {
     // aggregate(array_sort(...), 0.0, +)), quantized to 6 decimals before
     // the per-query ranking.
     "q104_bm25_search" ->
-      """WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-        |toks AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM base),
-        |postings AS (SELECT doc_id, term, dl, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
-        |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
-        |           FROM (SELECT len(w) AS dl FROM base)),
-        |term_stats AS (
-        |  SELECT term, df, n_docs, avgdl
-        |  FROM (SELECT term, count(*) AS df FROM postings GROUP BY 1), corpus
-        |  WHERE df <= 0.9 * n_docs),
-        |probes AS (SELECT doc_id AS query_id,
-        |    unnest(list_distinct(list_slice(w, 1, 4))) AS term
-        |  FROM base WHERE doc_id % 25 = 0),
-        |per_term AS (
-        |  SELECT q.query_id, p.doc_id, p.term,
-        |    ln(1.0 + (t.n_docs - t.df + 0.5) / (t.df + 0.5)) *
-        |      (p.tf * 2.2) /
-        |      (p.tf + 1.2 * (0.25 + 0.75 * p.dl / t.avgdl)) AS tscore
-        |  FROM probes q JOIN term_stats t ON q.term = t.term
-        |    JOIN postings p ON t.term = p.term),
-        |folded AS (
-        |  SELECT query_id, doc_id,
-        |    CAST(list_reduce(
-        |      list_prepend(CAST(0.0 AS DOUBLE),
-        |        list(CAST(tscore AS DOUBLE) ORDER BY term)),
-        |      (a, b) -> a + b) AS DOUBLE) AS raw,
-        |    count(*) AS n_terms
-        |  FROM per_term GROUP BY 1, 2)
+      s"""WITH $Bm25FoldedCte
         |SELECT * FROM (
         |  SELECT query_id, doc_id,
         |    floor(raw * 1000000.0 + 0.5) / 1000000.0 AS score, n_terms,

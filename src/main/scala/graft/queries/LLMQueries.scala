@@ -399,6 +399,37 @@ object LLMQueries {
       |    count(*) AS n_bigrams
       |  FROM scored GROUP BY 1)""".stripMargin
 
+  /** The 5-merge BPE training trajectory (q116), factored so q127's
+    * corpus-encoding oracle replays the SAME trained segmentation: ends
+    * at `s5(word, freq, tokens)`.
+    */
+  private[queries] val BpeChainCte: String = {
+    def iter(prev: String, n: Int): String =
+      s"""p$n AS (SELECT pair, sum(freq) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(l)),
+         |        i -> l[i] || ' ' || l[i+1])) AS pair
+         |    FROM (SELECT freq, string_split(tokens, ' ') AS l FROM $prev))
+         |  GROUP BY 1),
+         |m$n AS (SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
+         |  FROM p$n ORDER BY cnt DESC, pair LIMIT 1),
+         |s$n AS (SELECT word, freq,
+         |    list_reduce(list_prepend('', string_split(tokens, ' ')),
+         |      (acc, x) -> CASE WHEN acc = '' THEN x
+         |        WHEN (acc = m.a OR ends_with(acc, ' ' || m.a)) AND x = m.b
+         |          THEN left(acc, len(acc) - len(m.a)) || m.a || m.b
+         |        ELSE acc || ' ' || x END) AS tokens
+         |  FROM $prev, m$n m)""".stripMargin
+    s"""v AS (SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY 1),
+       |s0 AS (SELECT word, freq,
+       |    trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>' AS tokens FROM v),
+       |${iter("s0", 1)},
+       |${iter("s1", 2)},
+       |${iter("s2", 3)},
+       |${iter("s3", 4)},
+       |${iter("s4", 5)}""".stripMargin
+  }
+
   /** DuckDB spellings of the identical computations. Shared CTE fragments
     * inline the Spark-side constants (shingle n, seeds, bands).
     */
@@ -757,35 +788,11 @@ object LLMQueries {
     // string (≡ (a,b) tuple order: symbols carry no spaces and ' '
     // sorts below every symbol byte), greedy-leftmost application via
     // the identical left fold.
-    "q116_bpe_train" -> {
-      def iter(prev: String, n: Int): String =
-        s"""p$n AS (SELECT pair, sum(freq) AS cnt FROM (
-           |    SELECT freq, unnest(list_transform(range(1, len(l)),
-           |        i -> l[i] || ' ' || l[i+1])) AS pair
-           |    FROM (SELECT freq, string_split(tokens, ' ') AS l FROM $prev))
-           |  GROUP BY 1),
-           |m$n AS (SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
-           |  FROM p$n ORDER BY cnt DESC, pair LIMIT 1),
-           |s$n AS (SELECT word, freq,
-           |    list_reduce(list_prepend('', string_split(tokens, ' ')),
-           |      (acc, x) -> CASE WHEN acc = '' THEN x
-           |        WHEN (acc = m.a OR ends_with(acc, ' ' || m.a)) AND x = m.b
-           |          THEN left(acc, len(acc) - len(m.a)) || m.a || m.b
-           |        ELSE acc || ' ' || x END) AS tokens
-           |  FROM $prev, m$n m)""".stripMargin
-      s"""WITH v AS (SELECT word, count(*) AS freq FROM (
-         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY 1),
-         |s0 AS (SELECT word, freq,
-         |    trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>' AS tokens FROM v),
-         |${iter("s0", 1)},
-         |${iter("s1", 2)},
-         |${iter("s2", 3)},
-         |${iter("s3", 4)},
-         |${iter("s4", 5)}
+    "q116_bpe_train" ->
+      s"""WITH $BpeChainCte
          |SELECT word, freq, tokens,
          |  CAST(len(string_split(tokens, ' ')) AS BIGINT) AS n_tokens
-         |FROM s5""".stripMargin
-    },
+         |FROM s5""".stripMargin,
 
     // shared LM chain + row_number over the identical unique order +
     // ntile-fill-rule terciles via exact integer arithmetic

@@ -132,6 +132,68 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  // ---- Bpe.encodeCorpus -----------------------------------------------
+
+  test("encodeCorpus reassembles per-word segmentations in document order") {
+    // one dominant pair 'ab': training 1 merge yields 'ab' as a symbol
+    val docs = Seq((1L, "ab ab cd"), (2L, "cd ab")).toDF("doc_id", "text")
+    val (rules, seg) = Bpe.train(Bpe.wordVocab(docs, "text"), nMerges = 1)
+    assert(rules.head.left == "a" && rules.head.right == "b")
+    val out = Bpe.encodeCorpus(docs, "doc_id", "text", seg)
+      .select("doc_id", "n_words", "n_bpe_tokens", "tokenized")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    // 'ab' -> "ab </w>" (2 symbols), 'cd' -> "c d </w>" (3 symbols)
+    assert(out == Seq(
+      (1L, 3L, 7L, "ab </w> ab </w> c d </w>"),
+      (2L, 2L, 5L, "c d </w> ab </w>")))
+  }
+
+  // ---- Retrieval.denseRerank ------------------------------------------
+
+  test("denseRerank reorders candidates by cosine, excludes self, cuts at k") {
+    val cands = Seq(
+      (0L, 0L, 9.0, 1), // self-hit: must be excluded
+      (0L, 1L, 8.0, 2), (0L, 2L, 7.0, 3), (0L, 3L, 6.0, 4)
+    ).toDF("query_id", "doc_id", "bm25_score", "bm25_rank")
+    // query 0 points along +x; doc 3 is closest in angle, then 1, then 2
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 1f)),
+      (2L, Array(0f, 1f)), (3L, Array(2f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val out = Retrieval.denseRerank(cands, "query_id", "doc_id",
+      emb, "vec_id", "embedding", k = 2)
+      .select("query_id", "doc_id", "rerank")
+      .as[(Long, Long, Int)].collect().sortBy(_._3).toSeq
+    assert(out == Seq((0L, 3L, 1), (0L, 1L, 2))) // bm25 order overturned
+  }
+
+  // ---- Dsir.importanceSelect ------------------------------------------
+
+  test("importanceSelect weights target-like docs above off-target, and the draw skews to them") {
+    // docs 0-19 speak language A (a 21-word sequence, so the target
+    // model's vocabulary is large and smoothing prices unseen bigrams
+    // harshly), docs 20-39 language B; the exemplar subset is only
+    // A-docs 0-9. The likelihood-ratio weight must put EVERY A-doc —
+    // including 10-19, which the exemplar set never saw — above every
+    // B-doc (the generalization DSIR buys over a membership filter),
+    // and the A-ES draw (weighted SAMPLING, not a weight threshold)
+    // must skew the selection toward A.
+    val aText = (0 until 21).map(j => s"a$j").mkString(" ")
+    val bText = (0 until 21).map(j => s"b$j").mkString(" ")
+    val docs = (0L until 40L).map { i =>
+      if (i < 20) (i, aText) else (i, bText)
+    }.toDF("doc_id", "text")
+    val all = Dsir.importanceSelect(docs, "doc_id", "text",
+      targetPred = col("doc_id") < 10, k = 40, salt = "t")
+      .select("doc_id", "weight", "sample_rank").as[(Long, Double, Int)].collect()
+    val wAmin = all.filter(_._1 < 20).map(_._2).min
+    val wBmax = all.filter(_._1 >= 20).map(_._2).max
+    assert(wAmin > 5 * wBmax, s"A-min $wAmin should dwarf B-max $wBmax")
+    val selected = all.filter(_._3 <= 20)
+    val nA = selected.count(_._1 < 20)
+    assert(nA > 20 - nA, s"selection should skew to A-docs, got $nA/20")
+  }
+
   // ---- Drift.jsDivergence ---------------------------------------------
 
   test("jsDivergence: identical groups sit near 0, disjoint groups near ln 2") {
