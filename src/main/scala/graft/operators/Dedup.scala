@@ -95,6 +95,63 @@ object Dedup {
           .otherwise(lit(0.0)))
   }
 
+  /** Span-scrub REWRITE — the removal half of exact-substring dedup
+    * (Lee et al. 2022 dedup training data; [[duplicatedSpans]] is the
+    * detection half): every `spanWords`-token window is hashed
+    * corpus-wide; for each window text that occurs more than once, the
+    * canonical FIRST occurrence (min (doc, pos)) stays and every other
+    * occurrence's tokens are scrubbed from their documents, which are
+    * rejoined in order. Single-pass semantics (the standard form): new
+    * adjacencies created by a removal are not re-scanned.
+    *
+    * A token is removed iff ANY non-canonical duplicated occurrence
+    * covers it, so overlapping duplicate spans scrub as their union.
+    *
+    * Scale: span rows are corpus-linear; the coverage explode is
+    * `spanWords`-fold on DUPLICATED occurrences only; shuffles are the
+    * span-hash count, the join-back, the per-doc coverage distinct, and
+    * the ordered rejoin — all keyed, nothing pairwise. Determinism: the
+    * md5 60-bit window hash replays in any engine; canonical choice is
+    * a min over (doc, pos); everything else is exact integers/strings.
+    *
+    * Output: (idCol, n_tokens, n_removed, clean_text).
+    */
+  def scrubDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                    spanWords: Int): DataFrame = {
+    require(spanWords >= 2, "a span of one word is just vocabulary")
+    val base = docs.select(col(idCol).as("id"),
+      graft.functions.TextFns.words(col(textCol)).as("__w"))
+    // (id, pos, h): pos is the 0-based first-token index of the window
+    val spans = base
+      .select(col("id"), posexplode(
+        graft.functions.TextFns.shinglesOfWords(col("__w"), spanWords)))
+      .select(col("id"), col("pos"),
+        graft.functions.HashFns.md5Long(col("col"), 15).as("h"))
+    val canon = spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("__n"), min(struct(col("id"), col("pos"))).as("__first"))
+      .where(col("__n") > 1)
+    // covered token positions of every NON-canonical duplicated occurrence
+    val covered = spans.join(canon, Seq("h"))
+      .where(!(col("id") === col("__first.id") && col("pos") === col("__first.pos")))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(spanWords - 1))).as("tokpos"))
+      .distinct()
+    val toks = base.select(col("id"), posexplode(col("__w")))
+      .withColumnRenamed("pos", "tokpos")
+    val kept = toks.join(covered, Seq("id", "tokpos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("__kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("tokpos"), col("col")))),
+          (x: Column) => x.getField("col")), " ").as("clean_text"))
+    // left join back so a fully-scrubbed doc still reports (0 kept, "")
+    base.select(col("id"), size(col("__w")).cast("long").as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Connected components of the undirected pair graph — the step that
     * turns near-dup PAIRS (minhash/simhash/ngram output) into dedup
     * DECISIONS: every node gets the min node id of its component, so

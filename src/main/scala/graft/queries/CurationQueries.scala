@@ -127,6 +127,42 @@ object CurationQueries {
       graft.operators.Dsir.importanceSelect(Tables(s, d).documentsSpread,
         "doc_id", "text", targetPred = col("lang") === "en",
         k = 150, alpha = 0.5, salt = "dsir129")
+    },
+
+    "q130_span_scrub" -> { (s, d) =>
+      // The removal half of exact-substring dedup (q77 detects, this
+      // REWRITES): each duplicated 10-word window keeps its canonical
+      // first occurrence (min (doc, pos)) and every other occurrence's
+      // tokens are scrubbed; docs rejoin in order. Single-pass
+      // semantics; a fully-scrubbed doc still reports (0 kept, "").
+      graft.operators.Dedup.scrubDupSpans(
+        Tables(s, d).documentsSpread, "doc_id", "text", spanWords = 10)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
+          col("clean_text"))
+    },
+
+    "q131_curriculum_order" -> { (s, d) =>
+      // Curriculum ordering: q119's perplexity terciles become training
+      // PHASES (clean head first), with a fresh deterministic shuffle
+      // inside each phase (q123's coin) — "easy-to-hard, shuffled
+      // within difficulty" as one global ordering contract. Both ranks
+      // run through Rankings.globalRank, never a single-partition
+      // window.
+      val scored = graft.operators.LanguageModel.bigramCrossEntropy(
+          Tables(s, d).documentsSpread, "doc_id", "text", alpha = 0.5, tau = 8.0)
+        .select(col("doc_id"), col("cross_entropy"))
+      val ranked = graft.operators.Rankings.globalRank(scored,
+        Seq(col("cross_entropy").asc, col("doc_id").asc), "ce_rank")
+      val phased = ranked
+        .crossJoin(broadcast(ranked.agg(count(lit(1)).as("__n"))))
+        .withColumn("phase",
+          expr("CAST(((ce_rank - 1) * 3) div __n AS INT)"))
+        .withColumn("shuffle_key", Sampling.hashLong(col("doc_id"), "cur131"))
+      graft.operators.Rankings.globalRank(phased,
+          Seq(col("phase").asc, col("shuffle_key").asc, col("doc_id").asc),
+          "curriculum_pos")
+        .select(col("doc_id"), col("phase"), col("shuffle_key"),
+          col("curriculum_pos"))
     }
   )
 
@@ -315,6 +351,53 @@ object CurationQueries {
          |  SELECT doc_id, n_bigrams, ce_base, ce_target, weight,
          |    CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT) AS sample_rank
          |  FROM keyed) WHERE sample_rank <= 150""".stripMargin
+    },
+
+    "q130_span_scrub" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sp AS (SELECT doc_id, u['pos'] AS pos,
+        |    ('0x'||substr(md5(u['sh']), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) - 8),
+        |      i -> {'pos': i, 'sh': array_to_string(w[i:i+9], ' ')})) AS u
+        |    FROM toks)),
+        |occ AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS n,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  FROM sp),
+        |cov AS (SELECT DISTINCT doc_id, tokpos FROM (
+        |    SELECT doc_id, unnest(range(pos, pos + 10)) AS tokpos
+        |    FROM occ WHERE n > 1 AND rn > 1)),
+        |tok AS (SELECT doc_id, u['p'] AS tokpos, u['t'] AS tok
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+        |      i -> {'p': i, 't': w[i]})) AS u FROM toks)),
+        |kept AS (SELECT t.doc_id, count(*) AS k,
+        |    string_agg(t.tok, ' ' ORDER BY t.tokpos) AS clean_text
+        |  FROM tok t LEFT JOIN cov c
+        |    ON t.doc_id = c.doc_id AND t.tokpos = c.tokpos
+        |  WHERE c.doc_id IS NULL GROUP BY 1)
+        |SELECT b.doc_id, b.n_tokens,
+        |  b.n_tokens - coalesce(k.k, 0) AS n_removed,
+        |  coalesce(k.clean_text, '') AS clean_text
+        |FROM (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks) b
+        |LEFT JOIN kept k USING (doc_id)""".stripMargin,
+
+    "q131_curriculum_order" -> {
+      val lm = LLMQueries.LmFoldedCte
+      s"""$lm,
+        |ce AS (SELECT doc_id,
+        |    floor((-s / n_bigrams) * 1000000.0 + 0.5) / 1000000.0 AS cross_entropy
+        |  FROM folded),
+        |r AS (SELECT doc_id, cross_entropy,
+        |    CAST(row_number() OVER (ORDER BY cross_entropy, doc_id) AS INT) AS ce_rank,
+        |    count(*) OVER () AS n
+        |  FROM ce),
+        |phased AS (SELECT doc_id, cross_entropy, ce_rank,
+        |    CAST(((ce_rank - 1) * 3) // n AS INT) AS phase,
+        |    ('0x'||substr(md5(doc_id||'#cur131'), 1, 8))::BIGINT AS shuffle_key
+        |  FROM r)
+        |SELECT doc_id, phase, shuffle_key,
+        |  CAST(row_number() OVER (ORDER BY phase, shuffle_key, doc_id) AS INT)
+        |    AS curriculum_pos
+        |FROM phased""".stripMargin
     },
 
     "q126_corpus_drift" ->

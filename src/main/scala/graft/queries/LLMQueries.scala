@@ -379,7 +379,7 @@ object LLMQueries {
     * position-ordered log-prob fold, ending at `folded(doc_id, s,
     * n_bigrams)`.
     */
-  private val LmFoldedCte: String =
+  private[queries] val LmFoldedCte: String =
     """WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
       |bgr AS (SELECT doc_id, u['pos'] AS pos, u['w1'] AS w1, u['w2'] AS w2
       |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)),

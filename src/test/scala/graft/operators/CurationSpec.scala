@@ -167,6 +167,27 @@ class CurationSpec extends SparkSpec {
     assert(out == Seq((0L, 3L, 1), (0L, 1L, 2))) // bm25 order overturned
   }
 
+  // ---- Dedup.scrubDupSpans --------------------------------------------
+
+  test("scrubDupSpans keeps canonical first occurrences, scrubs the rest as a union") {
+    val docs = Seq(
+      (1L, "x y z a b c"),          // canonical owner of "x y z" -> intact
+      (2L, "q r x y z s"),          // cross-doc dup at pos 2 -> scrubbed
+      (3L, "x y z"),                // doc IS a dup span -> fully scrubbed
+      (4L, "m n o m n o m n o"),    // self-repeat -> collapses to one copy
+      (5L, "a b")                   // shorter than the span -> untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubDupSpans(docs, "doc_id", "text", spanWords = 3)
+      .select("id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 6L, 0L, "x y z a b c"),
+      (2L, 6L, 3L, "q r s"),
+      (3L, 3L, 3L, ""),
+      (4L, 9L, 6L, "m n o"),
+      (5L, 2L, 0L, "a b")))
+  }
+
   // ---- Dsir.importanceSelect ------------------------------------------
 
   test("importanceSelect weights target-like docs above off-target, and the draw skews to them") {
