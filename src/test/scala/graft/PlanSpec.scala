@@ -131,6 +131,43 @@ class PlanSpec extends SparkSpec {
       s"data-sized single-partition window in q08:\n$plan")
   }
 
+  test("q125 PQ encoding joins the codebook by broadcast, never a shuffle of the corpus side") {
+    // the codebook is (nSub x nCodes) rows — broadcasting it is what
+    // keeps encoding a single pass over the vectors; a hash-join plan
+    // would shuffle the whole (vector, subspace) explode by `sub`
+    val plan = graft.queries.CurationQueries.queries("q125_pq_codes")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"codebook join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"PQ encoding degenerated to a pair scan:\n$plan")
+  }
+
+  test("q128 hybrid rerank broadcasts only query embeddings; candidates join by hash") {
+    // the dense stage must stay O(queries x candidates): candidate
+    // embeddings arrive via an equi-join, query embeddings semi-join
+    // down to the probes present and broadcast — and nothing plans a
+    // nested-loop pair scan
+    val plan = graft.queries.CurationQueries.queries("q128_hybrid_retrieval")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-embedding join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"pair scan in rerank:\n$plan")
+    // the only nested-loop joins allowed are bm25's 1-row corpus-stats
+    // broadcasts (the audited scalar-crossJoin pattern) — a nested loop
+    // touching the embedding side means the dense stage went pairwise
+    val nlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(nlj.forall(_.contains("n_docs")),
+      s"non-scalar nested-loop join in rerank:\n${nlj.mkString("\n")}")
+  }
+
+  test("q122 line cleaning reads only (doc_id, text) and plans no exchange") {
+    val plan = graft.queries.CurationQueries.queries("q122_line_clean")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"line cleaning gained a shuffle:\n$plan")
+    assert(!plan.contains("n_chars"), s"unused columns survived pruning:\n$plan")
+  }
+
   test("symDeleteLevenshtein candidates form by equi-join, never a pair scan") {
     // the whole point of the deletion-neighborhood path is that no plan
     // node ever enumerates a block square: candidates must come from a
