@@ -163,6 +163,25 @@ object CurationQueries {
           "curriculum_pos")
         .select(col("doc_id"), col("phase"), col("shuffle_key"),
           col("curriculum_pos"))
+    },
+
+    "q132_kanon_release" -> { (s, d) =>
+      // Disclosure-controlled dataset card (Privacy.kAnonRelease): the
+      // (lang, source) rollup published only where a cell has >= k
+      // docs; smaller cells pool into one '__suppressed' row that
+      // preserves the totals. k scales with the corpus (max(5, N/100))
+      // so BOTH branches stay live at every tested SF — the require
+      // pins that, like q121's capped/fractional pair.
+      val u = Tables(s, d).documents.select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      val n = u.count() // bounded scalar (the Incremental contract)
+      val k = math.max(5L, n / 100L)
+      val out = graft.operators.Privacy.kAnonRelease(
+        u, Seq("lang", "source"), col("n_toks"), k)
+      val langs = out.select(col("lang")).collect().map(_.getString(0))
+      require(langs.contains("__suppressed") && langs.exists(_ != "__suppressed"),
+        s"q132: fixture must exercise both branches at k=$k")
+      out
     }
   )
 
@@ -399,6 +418,20 @@ object CurationQueries {
         |    AS curriculum_pos
         |FROM phased""".stripMargin
     },
+
+    "q132_kanon_release" ->
+      """WITH u AS (SELECT lang, source,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks FROM documents),
+        |kk AS (SELECT greatest(5, count(*) // 100) AS k FROM u),
+        |cells AS (SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM u GROUP BY 1, 2)
+        |SELECT lang, source, CAST(1 AS BIGINT) AS n_groups, n_docs, n_tokens
+        |FROM cells, kk WHERE n_docs >= k
+        |UNION ALL
+        |SELECT '__suppressed', '__suppressed', count(*),
+        |  CAST(coalesce(sum(n_docs), 0) AS BIGINT),
+        |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
+        |FROM cells, kk WHERE n_docs < k HAVING count(*) > 0""".stripMargin,
 
     "q126_corpus_drift" ->
       """WITH toks AS (SELECT source, unnest(string_split(text,' ')) AS word

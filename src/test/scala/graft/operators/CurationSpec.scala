@@ -215,6 +215,29 @@ class CurationSpec extends SparkSpec {
     assert(nA > 20 - nA, s"selection should skew to A-docs, got $nA/20")
   }
 
+  // ---- Privacy.kAnonRelease -------------------------------------------
+
+  test("kAnonRelease pools small cells, preserves totals, omits the row when nothing suppressed") {
+    val units = (Seq.fill(5)(("en", "s0")) ++ Seq.fill(2)(("de", "s1")) ++
+      Seq(("fr", "s2"))).zipWithIndex
+      .map { case ((l, s), i) => (l, s, 10L + i) }
+      .toDF("lang", "source", "w")
+    val out = Privacy.kAnonRelease(units, Seq("lang", "source"), col("w"), k = 3)
+      .select("lang", "source", "n_groups", "n_docs", "n_tokens")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    val pooled = out.find(_._1 == "__suppressed").get
+    assert(pooled == ("__suppressed", "__suppressed", 2L, 3L,
+      (15L + 16L) + 17L)) // de cell (ws 15,16) + fr cell (w 17)
+    assert(out.filter(_._1 != "__suppressed") ==
+      Seq(("en", "s0", 1L, 5L, (10L to 14L).sum)))
+    // published + pooled totals == input totals
+    assert(out.map(_._4).sum == 8 && out.map(_._5).sum == (10L to 17L).sum)
+    // k=1: nothing suppressed, no pooled row
+    val none = Privacy.kAnonRelease(units, Seq("lang", "source"), col("w"), k = 1)
+      .select("lang").as[String].collect()
+    assert(!none.contains("__suppressed") && none.length == 3)
+  }
+
   // ---- Drift.jsDivergence ---------------------------------------------
 
   test("jsDivergence: identical groups sit near 0, disjoint groups near ln 2") {
