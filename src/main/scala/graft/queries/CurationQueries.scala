@@ -6,12 +6,15 @@ import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-7 curation surface (SURVEY §2 rows 122-126): the data-curation
+/** Round-7 curation surface (SURVEY §2 rows 122-132): the data-curation
   * stages between raw corpus and trainer that the earlier LLM rows
   * don't cover — structural cleaning (C4 line rules), epoch
   * shuffle/shard layout, LEARNED quality scoring (hashed-feature
   * logistic regression, the fastText/DCLM pattern), product-quantized
-  * embedding compression, and distribution-drift monitoring.
+  * embedding compression, distribution-drift monitoring, trained-BPE
+  * corpus encoding, hybrid retrieval, DSIR importance resampling,
+  * span-scrub rewriting, curriculum ordering, and disclosure-controlled
+  * stats release.
   *
   * Portability contract unchanged (SURVEY §5): md5 coins, exact
   * integer intermediate state wherever a sum crosses rows, ordered
