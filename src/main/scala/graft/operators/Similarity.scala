@@ -532,6 +532,26 @@ object Similarity {
     *
     * Output: (idCol, centroid_id, kept).
     */
+  /** Assign every vector to its nearest centroid (rounded cosine,
+    * centroid-id tiebreak) — the shared first step of [[semDedupWith]] /
+    * [[ivfTopKWith]], exposed for cluster-scoped compositions
+    * (cluster-balanced sampling, per-cluster audits). One broadcast of
+    * the k×dim table; output (idCol, centroid_id).
+    */
+  def assignToCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame): DataFrame = {
+    val c = emb.select(col(idCol), VectorFns.asDouble(col(vecCol)).as("__v"))
+      .withColumn("__vn", VectorFns.norm2(col("__v")))
+    val withN = centroids.withColumn("__cn", VectorFns.norm2(col("centv")))
+    Dedup.oneByKey(
+        c.crossJoin(broadcast(withN))
+          .withColumn("__sim",
+            Portable.q6(VectorFns.dot(col("__v"), col("centv")) /
+              (col("__vn") * col("__cn")))),
+        Seq(idCol), Seq(col("__sim").desc, col("centroid_id").asc))
+      .select(col(idCol), col("centroid_id"))
+  }
+
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                k: Int, iters: Int, minCosine: Double): DataFrame =
     semDedupWith(emb, idCol, vecCol,

@@ -185,6 +185,27 @@ object CurationQueries {
       require(langs.contains("__suppressed") && langs.exists(_ != "__suppressed"),
         s"q132: fixture must exercise both branches at k=$k")
       out
+    },
+
+    "q133_diverse_sample" -> { (s, d) =>
+      // Cluster-balanced diversity sampling: q75's TRAINED k-means
+      // (same 16 seeds, 3 rounded Lloyd iterations — the oracle's
+      // shared replay prefix covers it) partitions the embedding
+      // space, then capPerStratum keeps at most 12 vectors per learned
+      // cluster by the md5 hash order — "subsample without collapsing
+      // onto the dense modes", the coreset move a training mix uses
+      // where uniform sampling would mirror the density skew. The
+      // requires pin that at least one cluster actually hit the cap
+      // AND the sample genuinely shrank the corpus.
+      val emb = Tables(s, d).embeddings
+      import graft.operators.Similarity
+      val asgn = Similarity.assignToCentroids(emb, "vec_id", "embedding",
+        Similarity.kMeansCentroids(emb, "vec_id", "embedding", k = 16, iters = 3))
+      val out = Sampling.capPerStratum(asgn, "centroid_id", "vec_id",
+        maxN = 12, salt = "div133")
+      val kept = out.count(); val total = emb.count()
+      require(kept < total, s"q133: cap must bite ($kept of $total kept)")
+      out
     }
   )
 
@@ -435,6 +456,15 @@ object CurationQueries {
         |  CAST(coalesce(sum(n_docs), 0) AS BIGINT),
         |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
         |FROM cells, kk WHERE n_docs < k HAVING count(*) > 0""".stripMargin,
+
+    "q133_diverse_sample" ->
+      s"""${GateQueries.KMeansAsgnCte}
+        |SELECT vec_id, centroid_id FROM (
+        |  SELECT nid AS vec_id, cid AS centroid_id,
+        |    row_number() OVER (PARTITION BY cid ORDER BY
+        |      ('0x'||substr(md5(nid||'#div133'), 1, 8))::BIGINT / 4294967296.0,
+        |      nid) AS rn
+        |  FROM asgn) WHERE rn <= 12""".stripMargin,
 
     "q126_corpus_drift" ->
       """WITH toks AS (SELECT source, unnest(string_split(text,' ')) AS word

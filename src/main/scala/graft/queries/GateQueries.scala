@@ -1919,7 +1919,7 @@ object GateQueries {
     * centroids, empty clusters keeping their centroid — ending at the
     * final assignment `asgn(nid, nv, cid)`.
     */
-  private val KMeansAsgnCte: String =
+  private[queries] val KMeansAsgnCte: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |dims AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM e) + 1)) AS i),
       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),

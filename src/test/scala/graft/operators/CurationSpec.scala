@@ -215,6 +215,23 @@ class CurationSpec extends SparkSpec {
     assert(nA > 20 - nA, s"selection should skew to A-docs, got $nA/20")
   }
 
+  // ---- Similarity.assignToCentroids -----------------------------------
+
+  test("assignToCentroids snaps vectors to their nearest centroid with id tiebreaks") {
+    // centroids: +x (id 0) and +y (id 1); vectors near each axis
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(5f, 1f)), (3L, Array(0.5f, 4f)),
+      (4L, Array(1f, 1f)) // exact tie on cosine -> lower centroid id (0)
+    ).toDF("vec_id", "embedding")
+    val cents = emb.where(col("vec_id") < 2)
+      .select(col("vec_id").as("centroid_id"),
+        graft.functions.VectorFns.asDouble(col("embedding")).as("centv"))
+    val out = Similarity.assignToCentroids(emb, "vec_id", "embedding", cents)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
   // ---- Privacy.kAnonRelease -------------------------------------------
 
   test("kAnonRelease pools small cells, preserves totals, omits the row when nothing suppressed") {
