@@ -17,9 +17,11 @@ import org.apache.spark.sql.SparkSession
   * micro-batch fixtures + the daily-pipeline composition) LAST, so no
   * batch rep runs after the first streaming storm (in round 5 those
   * storms pushed loadavg to 17–27 under neighboring batch reps). Round-7
-  * refinement: each harness gate gets its own bounded settle and ONE rep
-  * — constant-size fixtures gain nothing from min-of-3, and at 22 gates
-  * the tripled storm cascaded into every later gate's timing. The JSON
+  * refinement: each harness gate gets its own bounded settle. Round-8
+  * calibration: harness gates run TWO reps (min reported) — one rep
+  * made round-over-round comparison read 1.3-1.7x high because the
+  * first rep pays checkpoint/state-store setup the warm rep doesn't,
+  * while min-of-3's third back-to-back rep only fed the storm. The JSON
   * carries batch_total / streaming_total subtotals plus settle_sec
   * (total seconds spent settling between gates).
   *
@@ -126,20 +128,22 @@ object Bench {
     val t0Wall = System.nanoTime()
     var settleSec = 0.0
     val results = names.map { name =>
-      // Harness-bound gates get a bounded settle EACH and run ONE rep:
-      // their cost is a constant-size fixture's micro-batch machinery, so
-      // min-of-3 defends against nothing (no data-sized work for a GC
-      // pause to distort) while tripling the section's storm — in the
-      // 22-gate round-7 section the back-to-back reps cascaded loadavg
-      // to ~37 and timed every later gate 1.5-1.6x high (the same
-      // machine-not-code failure the section split fixed for batch).
+      // Harness-bound gates get a bounded settle EACH and run TWO reps,
+      // min reported (round-8 calibration): the r07 single-rep numbers
+      // read 1.3-1.7x over r06's min-of-3 because a gate's FIRST rep
+      // pays checkpoint-dir/state-store/shuffle-file setup that the
+      // warm rep doesn't — methodology, not load (the r07 artifact's
+      // load fields sat at 8-16 under a 32-core budget). Two reps keep
+      // the reported number a warm-machinery time comparable across
+      // rounds, without round-7's tripled storm (whose back-to-back
+      // third reps cascaded loadavg to ~37 in round 5's 22-gate tail).
       if (harnessBound(name) && batch.nonEmpty)
         settleSec += settle(target = cpusN / 2, maxWaitSec = 60)
       // stderr marker so engine warnings in the surrounding log (GC, large
       // task binaries, skew) can be attributed to a query after the fact
       System.err.println(s"[bench] start $name")
       val load = loadAvg()
-      val nReps = if (harnessBound(name)) 1 else 3
+      val nReps = if (harnessBound(name)) 2 else 3
       val reps = (1 to nReps).map { _ =>
         val t0 = System.nanoTime()
         try { run(name, sfDir) } catch {

@@ -17,11 +17,17 @@ import org.apache.spark.sql.functions._
   * honest instead of degenerate:
   *
   *  - `documents.text`: replicas r > 0 prefix every word with `x{r}`, so
-  *    replica vocabularies are DISJOINT — near-dup structure (planted
-  *    dups, shingle collisions, band buckets) replicates per replica and
-  *    output grows linearly, instead of every doc colliding with its 9
-  *    copies (candidate blow-up that measures the fixture, not the
-  *    operator). Word/shingle COUNTS are preserved exactly.
+  *    replica vocabularies are (near-)DISJOINT — near-dup structure
+  *    (planted dups, shingle collisions, band buckets) replicates per
+  *    replica and output grows linearly, instead of every doc colliding
+  *    with its 9 copies (candidate blow-up that measures the fixture,
+  *    not the operator). Word/shingle COUNTS are preserved exactly.
+  *    EXCEPTION (r08): the q122 C4 stopwords {a, the} map to THEMSELVES
+  *    in every replica — otherwise only replica 0 carries stopwords and
+  *    the sf1 line-clean gate exercises the stopword rule degenerately
+  *    (r07 verdict item 4). Two shared monograms cannot form shared
+  *    shingles unless a whole k-gram is stopwords-only, which the
+  *    fixture text never produces — near-dup disjointness holds.
   *  - `embeddings`: labels shift by 10·r (block sizes stay ~200 — bounded
   *    blocks, the operator's documented contract) and replica vectors get
   *    a small deterministic element-wise perturbation so the corpus is
@@ -93,7 +99,22 @@ object GenData {
       .withColumn("text",
         when(col("__r") === 0, col("text")).otherwise(
           array_join(transform(split(col("text"), " "),
-            w => concat(concat(lit("x"), col("__r")), w)), " "))))
+            w => when(w.isin("a", "the"), w) // q122 stopwords survive per replica
+              .otherwise(concat(concat(lit("x"), col("__r")), w))), " "))))
+    // pin the fixture property the remap exists for: q122's ACTUAL rule
+    // chain (>= 5-word lines carrying a stopword, >= 3 kept lines per
+    // doc) must keep documents in EVERY replica, so the sf1 line-clean
+    // gate exercises both rule branches non-degenerately; and it must
+    // still CUT documents (a fixture where everything survives tests
+    // nothing either)
+    val docsOut = spark.read.parquet(s"$out/documents.parquet")
+    val survReps = graft.operators.Cleaning.c4LineClean(docsOut, "doc_id", "text",
+        lineLen = 12, minWordsPerLine = 5, stopwords = Seq("a", "the"),
+        minKeptLines = 3)
+      .select((col("doc_id") / 1000000L).cast("long").as("rep"))
+      .distinct().count()
+    require(survReps == reps,
+      s"q122-surviving replicas: $survReps of $reps — sf1 line-clean gate degenerate")
 
     write("embeddings", replicate(read("embeddings"))
       .withColumn("vec_id", col("vec_id") + off)

@@ -91,7 +91,16 @@ object Bpe {
     docs.select(id, posexplode(TextFns.words(col(textCol))))
       .select(id, col("pos"), col("col").as("word"))
       .join(broadcast(seg.select(col("word"), col("tokens"), col("n_tokens"))),
-        Seq("word"))
+        Seq("word"), "left")
+      // train-then-serve on a DIFFERENT corpus: words outside the trained
+      // vocabulary fall back to their character segmentation + the </w>
+      // end-of-word marker (the BPE base alphabet — exactly the
+      // zero-merges-applied form) instead of silently dropping from the
+      // token stream (ADVICE r07)
+      .withColumn("tokens", coalesce(col("tokens"),
+        concat(trim(regexp_replace(col("word"), "(.)", "$1 ")), lit(" </w>"))))
+      .withColumn("n_tokens", coalesce(col("n_tokens"),
+        (length(col("word")) + 1).cast("long")))
       .groupBy(id)
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_tokens")).as("n_bpe_tokens"),

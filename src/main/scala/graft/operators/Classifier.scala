@@ -95,6 +95,12 @@ object Classifier {
     val scored = margins(weights)
       .select(col("__id").as(idCol), col("__y").as("label"),
         col("__p").as("score"), (col("__p") >= 0.5).as("predicted"))
+    // the caches exist for the training loop's `iters` actions; release
+    // them before returning so callers don't accumulate cached frames
+    // across invocations (ADVICE r07). `scored` stays valid — it simply
+    // recomputes the feature build (one corpus pass) when materialized.
+    labels.unpersist()
+    feat.unpersist()
     TrainedLogistic(weights.toSeq, scored)
   }
 }

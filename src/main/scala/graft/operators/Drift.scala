@@ -18,32 +18,52 @@ import org.apache.spark.sql.functions._
   * Scale shape (100 TB): two map-side-combined token aggregations
   * (corpus counts, per-group counts) — both linear scans; the scoring
   * grid is groups × vocabulary, never corpus-sized, built from the
-  * vocabulary frame joined to group counts. At web vocabulary scale the
-  * grid is capped by scoring only the top-V corpus words (via
-  * [[Sketches.cmsTopK]] or an exact top-V) — the JS mass of the tail is
-  * negligible by construction; the fixture vocabulary is small enough
-  * to score exactly.
+  * vocabulary frame joined to group counts. At web vocabulary scale
+  * (10⁸+ distinct words) pass `topV`: the grid then scores only the
+  * top-V corpus words — a TakeOrdered over the vocabulary counts, V
+  * rows of driver state — and every row carries `v_covered_mass` (the
+  * corpus probability mass the cap retained) so a cap that discards
+  * non-negligible mass is visible in the output, not silent. The JS
+  * mass of the tail is negligible by construction when covered mass is
+  * ~1; swap the exact top-V for [[Sketches.cmsTopK]] when even the
+  * vocabulary count frame warrants a sketch.
   *
   * Determinism (SURVEY §5): counts are exact integers; probabilities
   * and the per-word terms are fixed double expressions (`ln` on
-  * identical IEEE inputs — the q111 precedent); the per-group sum folds
-  * in WORD order; the final divergence quantizes to q6.
+  * identical IEEE inputs — the q111 precedent); the per-group sum is
+  * the exact-integer-grid construction ([[Classifier.logisticTrain]]'s
+  * gradient move, adopted for q109 PageRank too): each word's term
+  * quantizes to the 1e-6 grid and scales to a long, so the sum is
+  * associative, order-free and MAP-SIDE COMBINABLE — no per-group
+  * array ever buffers the vocabulary (the pre-r08 ordered
+  * collect_list fold held one struct per corpus word per group in a
+  * single aggregation buffer: the web-vocabulary OOM). The final
+  * divergence quantizes to q6.
   */
 object Drift {
 
   /** Per-group JS divergence of the `groupCol` unigram distribution vs
     * the whole corpus. Output: (groupCol, n_tokens, n_words_absent —
-    * corpus words the group never uses, the coverage signal —
-    * js_divergence).
+    * scored words the group never uses, the coverage signal —
+    * js_divergence), plus `v_covered_mass` when `topV` caps the scored
+    * vocabulary (probabilities stay full-corpus; only the scored word
+    * set shrinks, so the capped JS is a lower bound whose slack is
+    * 1 − v_covered_mass-ish and auditable per row).
     */
-  def jsDivergence(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+  def jsDivergence(docs: DataFrame, groupCol: String, textCol: String,
+                   topV: Option[Int] = None): DataFrame = {
+    topV.foreach(v => require(v >= 1, "topV must be >= 1"))
     val toks = docs.select(col(groupCol), explode(split(col(textCol), " ")).as("__word"))
-    val corpus = toks.groupBy(col("__word")).agg(count(lit(1)).as("__c"))
+    val corpusAll = toks.groupBy(col("__word")).agg(count(lit(1)).as("__c"))
+    // exact top-V by (count desc, word): deterministic tie-break, plans
+    // as TakeOrdered (per-partition top-V, V-row merge) — never a full sort
+    val corpus = topV.fold(corpusAll)(v =>
+      corpusAll.orderBy(col("__c").desc, col("__word").asc).limit(v))
     val total = toks.agg(count(lit(1)).as("__n"))
     val gcnt = toks.groupBy(col(groupCol), col("__word")).agg(count(lit(1)).as("__s"))
     val gtot = toks.groupBy(col(groupCol)).agg(count(lit(1)).as("__m"))
 
-    // groups × vocabulary grid with explicit zeros for absent words
+    // groups × (scored) vocabulary grid with explicit zeros for absent words
     val grid = gtot.crossJoin(corpus).crossJoin(broadcast(total))
       .join(gcnt, Seq(groupCol, "__word"), "left")
       .withColumn("__s", coalesce(col("__s"), lit(0L)))
@@ -54,14 +74,21 @@ object Drift {
     val term = when(col("__s") > 0, p * log(p / m)).otherwise(lit(0.0)) +
       q * log(q / m)
 
-    grid.select(col(groupCol), col("__m"), col("__s"),
-        struct(col("__word"), term.as("t")).as("__wt"))
+    val agg = grid.select(col(groupCol), col("__m"), col("__s"), col("__c"),
+        floor(term * lit(1000000.0) + lit(0.5)).cast("long").as("__qt"))
       .groupBy(col(groupCol))
       .agg(max(col("__m")).as("n_tokens"),
         sum(when(col("__s") === 0, 1).otherwise(0)).cast("int").as("n_words_absent"),
-        // word-ordered fold: float addition associates identically
-        Portable.q6(lit(0.5) * aggregate(
-          array_sort(collect_list(col("__wt"))), lit(0.0),
-          (acc: Column, x: Column) => acc + x.getField("t"))).as("js_divergence"))
+        // exact-integer-grid sum: order-free, partial-aggregating
+        Portable.q6(lit(0.5) *
+          (sum(col("__qt")).cast("double") / lit(1000000.0))).as("js_divergence"),
+        sum(col("__c")).as("__cov"))
+    topV match {
+      case Some(_) => agg.crossJoin(broadcast(total))
+        .withColumn("v_covered_mass",
+          Portable.q6(col("__cov").cast("double") / col("__n")))
+        .drop("__cov", "__n")
+      case None => agg.drop("__cov")
+    }
   }
 }

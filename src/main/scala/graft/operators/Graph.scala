@@ -18,8 +18,18 @@ import org.apache.spark.sql.functions._
   * means: the fixpoint drift stays bounded AND the whole trajectory is
   * cross-engine replayable, so a DuckDB oracle can re-run the SAME
   * unrolled iterations bit-for-bit. Within an iteration the per-node
-  * inbound sum folds in SOURCE order (sorted collect + left fold, the
-  * q104 construction) — float addition associates identically anywhere.
+  * inbound sum is an EXACT INTEGER sum (the `Classifier.logisticTrain`
+  * gradient construction): each edge contribution rank·share quantizes
+  * to the 1e-6 grid and scales to a long, so the per-dst sum is
+  * associative, order-free, and MAP-SIDE COMBINABLE — the shuffle
+  * carries one partial long per (partition, dst), not one row per
+  * in-edge, and a power-law hub's aggregation state is a single counter
+  * rather than its whole in-neighborhood buffered as an array. (An
+  * ordered collect_list fold — the pre-r08 form — kept the same
+  * determinism but put a hub's entire inbound edge set in one task's
+  * aggregation buffer: the 100-TB skew killer.) The long bound is
+  * 1e6 · Σranks ≤ 1e6 · N·maxrank — past ~9e18 total quantized mass
+  * switch the sum to decimal(38,0), exactly the Classifier note.
   *
   * At 100 TB: the edge list is the only large table; it is scanned once
   * per iteration, pre-shuffled on src by the degree join so AQE reuses
@@ -61,12 +71,13 @@ object Graph {
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"))
     for (_ <- 1 to iters) {
       val contribs = ranks.join(shares, ranks("node") === shares("src"))
-        .select(col("dst"), col("src"), (col("rank") * col("share")).as("c"))
+        .select(col("dst"), (col("rank") * col("share")).as("c"))
+      // exact-integer-grid mergeable sum: quantize each contribution to
+      // 1e-6, sum as longs (partial aggregation — map-side combine),
+      // rescale once; identical IEEE division in any engine
       val inbound = contribs.groupBy(col("dst"))
-        .agg(aggregate(
-          array_sort(collect_list(struct(col("src"), col("c")))),
-          lit(0.0),
-          (acc: Column, x: Column) => acc + x.getField("c")).as("in_mass"))
+        .agg((sum(floor(col("c") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1000000.0)).as("in_mass"))
       ranks = nodes.join(inbound, nodes("node") === inbound("dst"), "left")
         .crossJoin(broadcast(n))
         .select(col("node"),

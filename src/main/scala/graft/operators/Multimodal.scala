@@ -14,61 +14,22 @@ import org.apache.spark.sql.functions._
   *
   * Image decode is REAL for the formats the JVM ships codecs for
   * ([[decodeImages]]: PNG/BMP/GIF/JPEG via `javax.imageio`, header-only
-  * reads, q68-gated). Audio/video codecs are not present in this
-  * environment, so [[decodeStub]] remains a clearly-marked STUB producing
-  * deterministic fake features from a content hash; everything around it —
-  * schema, encoder, partition-wise batching, the `Dataset[T]` plumbing — is
-  * real and is exactly what a JNI/FFmpeg-backed decoder would plug into.
-  * Since round 6 NO gated query runs the stub: q30 gates the all-real
-  * byte-stats/demux/window plumbing, q68/q73 gate real image decode, and
-  * the stub exists purely as the documented plug-point.
+  * reads, q68-gated, with quarantine-not-fail on corrupt payloads,
+  * q73-gated). Audio/video codecs are not present in this environment;
+  * an FFmpeg/JNI-backed decoder plugs into exactly the [[decodeImages]]
+  * shape — a typed case class + `mapPartitions` with per-partition codec
+  * init, streaming over rows, no driver collection — consuming the
+  * container-demux rows [[explodeFrames]] emits. (r08: the former
+  * hash-derived `decodeStub` plug-point is gone; every decode surface in
+  * the library is real and gated.)
   */
 object Multimodal {
-
-  /** Typed per-asset features produced by the (stubbed) decoder. */
-  final case class MediaFeatures(
-      doc_id: Long,
-      n_bytes: Long,
-      content_hash: String,
-      width: Int,
-      height: Int,
-      n_frames: Long)
 
   /** Attach the opaque binary payload column (here: utf-8 bytes of `text`;
     * in production: the raw media bytes read from the object store).
     */
   def withPayload(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"), col(textCol).cast("binary").as("payload"))
-
-  /** STUB decoder: deterministic fake "decode" deriving width/height/frames
-    * from the content hash. A real implementation replaces ONLY the body of
-    * `decodeOne` with a codec call (e.g. JNI ffmpeg frame probe); the
-    * partition-wise iterator shape — one initialization per partition,
-    * streaming over rows, no driver collection — is the production shape.
-    */
-  def decodeStub(spark: SparkSession, withBinary: DataFrame): Dataset[MediaFeatures] = {
-    import spark.implicits._
-    withBinary.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        // per-partition init happens here (codec contexts, buffers, …)
-        val md = MessageDigest.getInstance("MD5")
-        rows.map { case (id, bytes) =>
-          md.reset()
-          val hex = md.digest(bytes).map("%02x".format(_)).mkString
-          decodeOne(id, bytes, hex)
-        }
-      }
-  }
-
-  /** ??? real decode goes here — STUB: hash-derived deterministic fake. */
-  private def decodeOne(id: Long, bytes: Array[Byte], hex: String): MediaFeatures =
-    MediaFeatures(
-      doc_id = id,
-      n_bytes = bytes.length.toLong,
-      content_hash = hex,
-      width = (java.lang.Long.parseLong(hex.substring(0, 3), 16) % 1280).toInt,
-      height = (java.lang.Long.parseLong(hex.substring(3, 6), 16) % 720).toInt,
-      n_frames = bytes.length.toLong / 1024L + 1L)
 
   /** Decoded image metadata: format/dimensions read from the actual bytes
     * by a real decoder, or the hash-stub fallback for payloads no
@@ -120,16 +81,13 @@ object Multimodal {
     } finally if (in != null) in.close()
   }
 
-  /** Quarantine row for an undecodable payload: stub-derived features,
-    * `decoded = false` — downstream filters route these to review instead
-    * of a 100 TB stage dying on one corrupt blob.
+  /** Quarantine row for an undecodable payload: `decoded = false`, no
+    * dimensions (0 — consumers mask on the flag, as q73 does) —
+    * downstream filters route these to review instead of a 100 TB stage
+    * dying on one corrupt blob.
     */
-  private def quarantineRow(id: Long, bytes: Array[Byte]): ImageMeta = {
-    val md = MessageDigest.getInstance("MD5")
-    val hex = md.digest(bytes).map("%02x".format(_)).mkString
-    val f = decodeOne(id, bytes, hex)
-    ImageMeta(id, "unknown", f.width, f.height, decoded = false)
-  }
+  private def quarantineRow(id: Long, bytes: Array[Byte]): ImageMeta =
+    ImageMeta(id, "unknown", 0, 0, decoded = false)
 
   /** Deterministic image fixture: a solid-color `width`×`height` image
     * encoded with the JVM's own PNG/BMP writers. This is the TEST-DATA
@@ -243,7 +201,8 @@ object Multimodal {
     * "container demux" step of a video pipeline, expressed ENTIRELY in
     * codegen'd expressions (sequence + transform + substring on binary +
     * posexplode); no UDF, no stub. The last frame may be short. A real
-    * codec consumes these rows partition-wise exactly like [[decodeStub]].
+    * codec consumes these rows partition-wise exactly like
+    * [[decodeImages]] consumes payloads.
     */
   def explodeFrames(withBinary: DataFrame, frameBytes: Int): DataFrame = {
     require(frameBytes >= 1, "frameBytes must be positive")

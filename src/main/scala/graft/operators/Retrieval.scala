@@ -105,6 +105,15 @@ object Retrieval {
     * doc-id tiebreaks (the q24/q41 contract), so the oracle replays the
     * rerank exactly.
     *
+    * COVERAGE CONTRACT: `emb` must cover every candidate doc id and
+    * every probe id — both joins are INNER, so a candidate without an
+    * embedding silently leaves the pool (shrinking the effective k) and
+    * a probe without one vanishes from the output entirely. That is the
+    * right join shape at scale (an outer join would rank null cosines);
+    * callers whose embedding table can lag the corpus should anti-join
+    * `cands` against `emb` first and route the misses to a coverage
+    * report, exactly like the q73 quarantine pattern.
+    *
     * Output: `cands` columns + cosine + rerank (1..k per query).
     */
   def denseRerank(cands: DataFrame, queryIdCol: String, docIdCol: String,

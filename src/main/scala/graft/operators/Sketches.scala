@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * hash map, and an exact percentile ([[Rankings.percentileDisc]], q06)
   * sorts every group's rows. The sketches below replace that with
   * fixed-size per-group state (an HLL++ register array / a quantile
-  * summary), mergeable across partitions, at a documented accuracy cost —
-  * the same exact-is-the-oracle / approximate-is-the-scale-path pairing as
-  * brute-force vs IVF ANN (q24/q41).
+  * summary / a depth×width counter matrix), mergeable across partitions,
+  * at a documented accuracy cost — the same exact-is-the-oracle /
+  * approximate-is-the-scale-path pairing as brute-force vs IVF ANN
+  * (q24/q41).
   */
 object Sketches {
 
@@ -38,42 +39,55 @@ object Sketches {
     df.groupBy(keys.map(col): _*)
       .agg(percentile_approx(col(valueCol), lit(pct), lit(accuracy)).as(outCol))
 
-  /** Approximate heavy hitters via count-min sketch — the scale path for
-    * q56's exact vocabulary top-k: the exact form's aggregation state is
-    * O(vocabulary) (every distinct term in the hash map), while a CMS is
-    * a fixed depth×width counter matrix mergeable across partitions.
+  /** Approximate heavy hitters via a count-min sketch — the scale path
+    * for q56's exact vocabulary top-k: the exact form's aggregation
+    * state is O(vocabulary) (every distinct term in the hash map), while
+    * a CMS is a fixed depth×width counter matrix.
     *
-    * Two passes: (1) build ONE sketch per partition and merge (state is
-    * the matrix, not the terms); (2) re-scan only the `candidates` frame
-    * (typically: terms seen in a small uniform sample, or yesterday's
-    * top-k) and read their estimated counts from the broadcast sketch.
-    * Estimates overcount with probability <= `confidence` by at most
-    * `eps × total`, never undercount — so the true top-k is a subset of
-    * the returned top-(k + slack) for modest slack.
+    * Expressed ENTIRELY as DataFrame aggregations — no UDF, no
+    * driver-built sketch object (r08: the previous form broadcast a
+    * serialized `spark.stat.countMinSketch` and read it back through a
+    * Scala udf, the one non-codegen hole in the library):
+    *
+    *  1. the counter matrix is `df` exploded to its `depth` hash rows
+    *     and counted by (row, bucket) — a map-side-combined groupBy over
+    *     a key space capped at depth×width cells, each partial a long;
+    *  2. `candidates` (vocabulary-sized, NEVER the corpus: terms from a
+    *     small uniform sample, or yesterday's top-k) recompute their
+    *     cells and read estimates back through a broadcast equi-join on
+    *     the matrix, taking the min over the `depth` rows.
+    *
+    * Hash family: Kirsch–Mitzenmacher double hashing (the
+    * [[Similarity]] minhash construction) off two xxhash64 seeds —
+    * bucketᵢ = (h1 + i·h2) mod width, pmod'd non-negative. Estimates
+    * never undercount and overcount by at most `eps`·total with
+    * probability ≥ `confidence` (width = ⌈e/eps⌉, depth =
+    * ⌈ln(1/(1−confidence))⌉ — the standard CMS sizing), so the true
+    * top-k is a subset of the returned top-(k + slack) for modest slack.
+    * Fully deterministic: exact long counts, min, fixed seeds.
     */
   def cmsTopK(df: DataFrame, termCol: String, candidates: DataFrame,
               k: Int, eps: Double = 0.0001, confidence: Double = 0.99,
               seed: Int = 42): DataFrame = {
-    val sketch = df.stat.countMinSketch(col(termCol), eps, confidence, seed)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      sketch.writeTo(bos)
-      bos.toByteArray
-    }
-    val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(bytes)
-    // @transient lazy: the sketch deserializes ONCE per executor (on first
-    // use after the closure ships), not once per row
-    val estimateFn = new (String => Long) with Serializable {
-      @transient private lazy val cms =
-        org.apache.spark.util.sketch.CountMinSketch
-          .readFrom(new java.io.ByteArrayInputStream(bc.value))
-      def apply(term: String): Long = cms.estimateCount(term)
-    }
-    val estimate = udf(estimateFn)
-    candidates.select(col(termCol))
-      .distinct()
-      .withColumn("est_count", estimate(col(termCol)))
+    require(k >= 1 && eps > 0 && eps < 1 && confidence > 0 && confidence < 1,
+      "need k>=1, 0<eps<1, 0<confidence<1")
+    val width = math.ceil(math.E / eps).toLong
+    val depth = math.max(1, math.ceil(math.log(1.0 / (1.0 - confidence))).toInt)
+    // (h1 + i·h2) mod w computed as (h1 mod w + i·(h2 mod w)) mod w —
+    // identical residue, but every intermediate stays < (depth+1)·width,
+    // so ANSI mode never sees a long overflow
+    def cells(frame: DataFrame) = frame
+      .select(col(termCol), explode(sequence(lit(0), lit(depth - 1))).as("__i"))
+      .withColumn("__b", pmod(pmod(xxhash64(col(termCol), lit(seed)), lit(width)) +
+        col("__i") * pmod(xxhash64(col(termCol), lit(seed + 1)), lit(width)),
+        lit(width)))
+    val matrix = cells(df.select(col(termCol)))
+      .groupBy(col("__i"), col("__b")).agg(count(lit(1)).as("__cnt"))
+    cells(candidates.select(col(termCol)).distinct())
+      .join(broadcast(matrix), Seq("__i", "__b"), "left")
+      // a candidate absent from df hits empty cells: estimate 0, not null
+      .groupBy(col(termCol))
+      .agg(min(coalesce(col("__cnt"), lit(0L))).as("est_count"))
       .orderBy(col("est_count").desc, col(termCol).asc)
       .limit(k)
   }

@@ -79,8 +79,22 @@ object CurationQueries {
     "q126_corpus_drift" -> { (s, d) =>
       // Distribution-drift report: per-source unigram JS divergence vs
       // the whole corpus (+ token volume and absent-word coverage) —
-      // the dataset-card rollup's health-monitoring complement.
+      // the dataset-card rollup's health-monitoring complement. Exact
+      // path (full fixture vocabulary); q134 gates the capped form.
       Drift.jsDivergence(Tables(s, d).documents, "source", "text")
+    },
+
+    "q134_drift_capped" -> { (s, d) =>
+      // The 100-TB form of q126: score only the top-V corpus words
+      // (V = 12 < the 31-word fixture vocabulary, so the cap BITES on
+      // the gated fixture — pinned below) and audit the retained
+      // corpus mass per row. Same determinism contract; the grid is
+      // groups × V instead of groups × vocabulary.
+      val docs = Tables(s, d).documents
+      val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+        .agg(countDistinct(col("w"))).head().getLong(0)
+      require(vocab > 12, s"q134 fixture must exceed the V=12 cap, vocab=$vocab")
+      Drift.jsDivergence(docs, "source", "text", topV = Some(12))
     },
 
     "q127_bpe_encode" -> { (s, d) =>
@@ -158,8 +172,10 @@ object CurationQueries {
         Seq(col("cross_entropy").asc, col("doc_id").asc), "ce_rank")
       val phased = ranked
         .crossJoin(broadcast(ranked.agg(count(lit(1)).as("__n"))))
+        // BIGINT intermediate (the epochShards move): INT (rank-1)*3
+        // overflows past ~715M docs, far below globalRank's 2^31 cap
         .withColumn("phase",
-          expr("CAST(((ce_rank - 1) * 3) div __n AS INT)"))
+          expr("CAST(((CAST(ce_rank AS BIGINT) - 1) * 3) div __n AS INT)"))
         .withColumn("shuffle_key", Sampling.hashLong(col("doc_id"), "cur131"))
       graft.operators.Rankings.globalRank(phased,
           Seq(col("phase").asc, col("shuffle_key").asc, col("doc_id").asc),
@@ -467,29 +483,56 @@ object CurationQueries {
         |  FROM asgn) WHERE rn <= 12""".stripMargin,
 
     "q126_corpus_drift" ->
-      """WITH toks AS (SELECT source, unnest(string_split(text,' ')) AS word
-        |  FROM documents),
-        |c AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
-        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
-        |s AS (SELECT source, word, CAST(count(*) AS BIGINT) AS s FROM toks GROUP BY 1, 2),
-        |m AS (SELECT source, CAST(count(*) AS BIGINT) AS m FROM toks GROUP BY 1),
-        |grid AS (SELECT m.source, m.m, c.word, c.c, nn.n, coalesce(s.s, 0) AS s
-        |  FROM m CROSS JOIN c CROSS JOIN nn
-        |  LEFT JOIN s ON s.source = m.source AND s.word = c.word),
-        |terms AS (SELECT source, m, word, s,
-        |    CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) / m)
-        |        * ln((CAST(s AS DOUBLE) / m)
-        |            / ((CAST(s AS DOUBLE) / m + CAST(c AS DOUBLE) / n) / 2.0))
-        |      ELSE 0.0 END
-        |    + (CAST(c AS DOUBLE) / n)
-        |        * ln((CAST(c AS DOUBLE) / n)
-        |            / ((CAST(s AS DOUBLE) / m + CAST(c AS DOUBLE) / n) / 2.0)) AS t
-        |  FROM grid)
+      s"""WITH ${DriftCtes("SELECT word, c FROM cALL")}
         |SELECT source, max(m) AS n_tokens,
         |  CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS INT) AS n_words_absent,
-        |  floor(0.5 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |      list(CAST(t AS DOUBLE) ORDER BY word)), (a, b) -> a + b)
-        |    * 1000000.0 + 0.5) / 1000000.0 AS js_divergence
+        |  $DriftJsSum AS js_divergence
+        |FROM terms GROUP BY source""".stripMargin,
+
+    // capped replay: identical CTEs with the vocabulary narrowed to the
+    // top-12 by (count DESC, word) — the same deterministic TakeOrdered
+    // — plus the retained-corpus-mass audit (exact BIGINT sum of the
+    // scored words' counts over the corpus total, then q6)
+    "q134_drift_capped" ->
+      s"""WITH ${DriftCtes("SELECT word, c FROM cALL ORDER BY c DESC, word LIMIT 12")}
+        |SELECT source, max(m) AS n_tokens,
+        |  CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS INT) AS n_words_absent,
+        |  $DriftJsSum AS js_divergence,
+        |  floor((CAST(sum(c) AS DOUBLE) / max(n)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS v_covered_mass
         |FROM terms GROUP BY source""".stripMargin
   )
+
+  /** Shared q126/q134 oracle scaffolding: token/count CTEs and the
+    * per-word JS term grid. `vocabSel` is the SELECT defining the SCORED
+    * vocabulary `c0` from the full counts `cALL` (identity for q126, a
+    * deterministic top-V LIMIT for q134). */
+  private def DriftCtes(vocabSel: String): String =
+    s"""toks AS (SELECT source, unnest(string_split(text,' ')) AS word
+      |  FROM documents),
+      |cALL AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+      |c0 AS ($vocabSel),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+      |s AS (SELECT source, word, CAST(count(*) AS BIGINT) AS s FROM toks GROUP BY 1, 2),
+      |m AS (SELECT source, CAST(count(*) AS BIGINT) AS m FROM toks GROUP BY 1),
+      |grid AS (SELECT m.source, m.m, c0.word, c0.c, nn.n, coalesce(s.s, 0) AS s
+      |  FROM m CROSS JOIN c0 CROSS JOIN nn
+      |  LEFT JOIN s ON s.source = m.source AND s.word = c0.word),
+      |terms AS (SELECT source, m, word, s, c, n,
+      |    CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) / m)
+      |        * ln((CAST(s AS DOUBLE) / m)
+      |            / ((CAST(s AS DOUBLE) / m + CAST(c AS DOUBLE) / n) / 2.0))
+      |      ELSE 0.0 END
+      |    + (CAST(c AS DOUBLE) / n)
+      |        * ln((CAST(c AS DOUBLE) / n)
+      |            / ((CAST(s AS DOUBLE) / m + CAST(c AS DOUBLE) / n) / 2.0)) AS t
+      |  FROM grid)""".stripMargin
+
+  /** The exact-integer-grid JS sum (mirrors Drift's Spark expression
+    * bit for bit: per-word 1e-6 quantize → BIGINT sum → ×0.5 → q6).
+    * A `def`: the `oracles` val interpolates this during its own
+    * initialization, before a sibling `val` would be assigned. */
+  private def DriftJsSum: String =
+    """floor((0.5 * (CAST(sum(CAST(floor(t * 1000000.0 + 0.5) AS BIGINT))
+      |      AS DOUBLE) / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0""".stripMargin
 }

@@ -330,9 +330,10 @@ object ExtendedQueries {
       // structural complement of the reference's volume-ordered insider
       // cohorts (circle_insider, update_etl.py:838). Each iteration is
       // one rank⋈edges join + one node aggregation; per-iteration q6
-      // quantization and a source-ordered inbound fold make the whole
-      // trajectory DuckDB-replayable — the oracle runs the SAME three
-      // unrolled iterations (the q75 k-means construction, for graphs).
+      // quantization and an exact-integer-grid inbound sum (mergeable,
+      // skew-safe) make the whole trajectory DuckDB-replayable — the
+      // oracle runs the SAME three unrolled iterations (the q75 k-means
+      // construction, for graphs).
       val t = Tables(s, d)
       val edges = t.lineitem
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
@@ -631,8 +632,11 @@ object ExtendedQueries {
     // PageRank replay, the q75 construction for graphs: identical edge
     // weights (exact counts), identical share doubles (int/int
     // division), the SAME three unrolled iterations with per-iteration
-    // q6 quantization and a source-ordered left fold of the inbound
-    // mass. (1-d) is computed as 1.0 - 0.85 IN DOUBLES on both sides so
+    // q6 quantization and the inbound mass as an EXACT INTEGER sum —
+    // each contribution rank·share quantized to the 1e-6 grid and
+    // summed as BIGINT (order-free, so Spark's map-side-combined
+    // partial aggregation and DuckDB's serial sum agree bit-for-bit).
+    // (1-d) is computed as 1.0 - 0.85 IN DOUBLES on both sides so
     // even its last-ulp value agrees.
     "q109_pagerank" -> {
       def iter(prev: String, out: String) =
@@ -641,9 +645,9 @@ object ExtendedQueries {
            |        + CAST(0.85 AS DOUBLE) * coalesce(m.mass, CAST(0.0 AS DOUBLE)))
            |      * 1000000.0 + 0.5) / 1000000.0 AS rank
            |  FROM nodes nd LEFT JOIN (
-           |    SELECT s.dst, CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |        list(CAST(r.rank * s.share AS DOUBLE) ORDER BY s.src)),
-           |      (a, b) -> a + b) AS DOUBLE) AS mass
+           |    SELECT s.dst, CAST(sum(CAST(floor(
+           |        CAST(r.rank * s.share AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+           |      AS DOUBLE) / 1000000.0 AS mass
            |    FROM $prev r JOIN sh s ON r.node = s.src GROUP BY s.dst) m
            |    ON nd.node = m.dst, nn)""".stripMargin
       s"""WITH e AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,

@@ -70,8 +70,11 @@ object GateQueries {
 
     val ev = t.events.where(col("user_id") < 150)
     val mm = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).collect()(0)
-    val split = new java.sql.Timestamp(mm.getTimestamp(0).getTime +
-      (mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime) / 2)
+    // µs midpoint via the us()/microTs pair — the day-1/day-2 split must
+    // not depend on ms-grid alignment of the fixture timestamps (the
+    // same truncation class the streaming fixtures fixed in r07)
+    val (mnUs, mxUs) = (us(mm.getTimestamp(0)), us(mm.getTimestamp(1)))
+    val split = microTs(mnUs + (mxUs - mnUs) / 2)
     ev.where(col("ts") <= lit(split)).write.parquet(s"$day1/events.parquet")
     ev.write.parquet(s"$day2/events.parquet")
 

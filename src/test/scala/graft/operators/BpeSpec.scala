@@ -37,4 +37,17 @@ class BpeSpec extends graft.SparkSpec {
       .map(r => r.getAs[String]("word") -> r.getAs[Long]("freq")).toMap
     assert(v == Map("a" -> 3L, "b" -> 2L))
   }
+
+  test("bpe: encodeCorpus falls back to char segmentation for out-of-vocabulary words") {
+    // trained on {low}; served a corpus containing the unseen 'newest'
+    val (_, seg) = Bpe.train(Seq(("low", 5L)).toDF("word", "freq"), nMerges = 1)
+    val served = Seq((1L, "low newest low")).toDF("doc_id", "text")
+    val out = Bpe.encodeCorpus(served, "doc_id", "text", seg).collect().head
+    assert(out.getAs[Long]("n_words") == 3L) // nothing silently dropped
+    val toks = out.getAs[String]("tokenized")
+    assert(toks.contains("n e w e s t </w>"), s"char fallback missing in: $toks")
+    // 6 chars + </w> for the unknown word, trained form for the known ones
+    assert(out.getAs[Long]("n_bpe_tokens") ==
+      seg.where($"word" === "low").select($"n_tokens").as[Long].head() * 2 + 7)
+  }
 }

@@ -276,4 +276,43 @@ class CurationSpec extends SparkSpec {
       "source", "text").select("js_divergence").as[Double].head()
     assert(solo == 0.0)
   }
+
+  test("jsDivergence topV: caps the scored vocabulary and audits covered mass") {
+    // vocabulary {a:6, b:4, c:2, z:2} — top-2 keeps {a, b} = 10/14 mass
+    val docs = Seq(("g1", "a a a b b c"), ("g2", "a a a b b z c z")).toDF("source", "text")
+    val full = Drift.jsDivergence(docs, "source", "text")
+    assert(!full.columns.contains("v_covered_mass"))
+    val capped = Drift.jsDivergence(docs, "source", "text", topV = Some(2))
+      .as[(String, Long, Int, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // n_tokens stays the FULL group token count; only scoring is capped
+    assert(capped("g1")._2 == 6 && capped("g2")._2 == 8)
+    // both groups use both scored words -> nothing absent under the cap
+    assert(capped("g1")._3 == 0 && capped("g2")._3 == 0)
+    assert(capped("g1")._5 == math.floor(10.0 / 14 * 1e6 + 0.5) / 1e6)
+    // capped JS scores a subset of non-negative word terms: lower bound
+    val fullMap = full.select("source", "js_divergence").as[(String, Double)]
+      .collect().toMap
+    assert(capped("g1")._4 <= fullMap("g1") + 1e-9)
+  }
+
+  test("jsDivergence sums through a mergeable integer-grid partial aggregate") {
+    val docs = Seq(("g", "a b c"), ("h", "a c d")).toDF("source", "text")
+    val plan = Drift.jsDivergence(docs, "source", "text")
+      .queryExecution.executedPlan.toString
+    // the web-vocabulary contract: no per-group array of the vocabulary
+    assert(plan.contains("partial_sum"), s"no map-side partial sum in:\n$plan")
+    assert(!plan.contains("collect_list"), s"collect_list buffer survived:\n$plan")
+  }
+
+  test("jsDivergence is bit-deterministic under re-partitioning") {
+    val docs = (0 until 120).map(i => (s"s${i % 4}",
+      s"w${i % 11} w${(i * 3) % 7} w${(i * 5) % 13}")).toDF("source", "text")
+    val a = Drift.jsDivergence(docs, "source", "text")
+      .as[(String, Long, Int, Double)].collect().toSet
+    for (parts <- Seq(1, 5, 9)) {
+      val b = Drift.jsDivergence(docs.repartition(parts), "source", "text")
+        .as[(String, Long, Int, Double)].collect().toSet
+      assert(a == b, s"drift drifted under repartition($parts)")
+    }
+  }
 }

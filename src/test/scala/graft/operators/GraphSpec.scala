@@ -24,13 +24,27 @@ class GraphSpec extends graft.SparkSpec {
     assert(math.abs(r("heavy") - expectedHeavy) < 1e-6)
   }
 
-  test("pageRank is deterministic under re-partitioning (ordered fold)") {
+  test("pageRank is bit-deterministic under re-partitioning (integer-grid sum)") {
     val edges = (0L until 200L).map(i => (s"n${i % 20}", s"n${(i * 7) % 20}", 1L + i % 3))
       .toDF("src", "dst", "w")
     val a = Graph.pageRank(edges, "src", "dst", $"w", iters = 3)
       .collect().map(x => (x.getString(0), x.getDouble(1))).toSet
-    val b = Graph.pageRank(edges.repartition(7), "src", "dst", $"w", iters = 3)
-      .collect().map(x => (x.getString(0), x.getDouble(1))).toSet
-    assert(a == b)
+    for (parts <- Seq(1, 7, 13)) {
+      val b = Graph.pageRank(edges.repartition(parts), "src", "dst", $"w", iters = 3)
+        .collect().map(x => (x.getString(0), x.getDouble(1))).toSet
+      assert(a == b, s"ranks drifted under repartition($parts)")
+    }
+  }
+
+  test("pageRank's inbound aggregate is partial (map-side combine), never a collected array") {
+    // the 100-TB skew contract: a hub node's in-neighborhood must arrive
+    // as merged long partials, not be buffered whole in one task. A
+    // partial_sum in the plan proves the mergeable form; any collect_list
+    // (the pre-r08 ordered fold) would buffer per-group arrays.
+    val edges = Seq(("a", "hub", 1L), ("b", "hub", 2L)).toDF("src", "dst", "w")
+    val plan = Graph.pageRank(edges, "src", "dst", $"w", iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"), s"no map-side partial sum in:\n$plan")
+    assert(!plan.contains("collect_list"), s"collect_list buffer survived:\n$plan")
   }
 }

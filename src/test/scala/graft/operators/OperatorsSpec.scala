@@ -96,6 +96,22 @@ class SketchesSpec extends SparkSpec {
     // estimates are exact and the ranking matches the true top-5
     assert(cms == exactTop)
   }
+
+  test("cmsTopK is pure DataFrame aggregation: no UDF, mergeable matrix build") {
+    val rows = (0 until 40).map(i => s"w${i % 8}").toDF("term")
+    val frame = Sketches.cmsTopK(rows, "term", candidates = rows, k = 3)
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"udf survived in:\n$plan")
+    assert(plan.contains("partial_count"), s"matrix build not map-side combined:\n$plan")
+    // estimates never undercount, and a never-seen candidate reads 0
+    val est = frame.as[(String, Long)].collect().toMap
+    val exact = rows.groupBy("term").count().as[(String, Long)].collect().toMap
+    est.foreach { case (t, e) => assert(e >= exact(t)) }
+    val ghost = Sketches.cmsTopK(rows, "term",
+      candidates = Seq("never-seen").toDF("term"), k = 1)
+      .as[(String, Long)].collect().toSeq
+    assert(ghost == Seq(("never-seen", 0L)))
+  }
 }
 
 class IncrementalNearDupSpec extends SparkSpec {
@@ -454,17 +470,13 @@ class SimilaritySpec extends SparkSpec {
 
 class MultimodalSpec extends SparkSpec {
 
-  test("decodeStub yields deterministic typed features partition-wise") {
+  test("withPayload carries text bytes as the opaque binary column") {
     import spark.implicits._
     val docs = Seq((1L, "hello world"), (2L, "x")).toDF("doc_id", "text").repartition(2)
-    val out = Multimodal.decodeStub(spark, Multimodal.withPayload(docs, "doc_id", "text"))
-      .collect().sortBy(_.doc_id)
-    assert(out.map(_.n_bytes).toSeq == Seq(11L, 1L))
-    assert(out.forall(f => f.width >= 0 && f.width < 1280 && f.height >= 0 && f.height < 720))
-    // deterministic: same content → same hash-derived features
-    val again = Multimodal.decodeStub(spark, Multimodal.withPayload(docs, "doc_id", "text"))
-      .collect().sortBy(_.doc_id)
-    assert(out.toSeq == again.toSeq)
+    val out = Multimodal.withPayload(docs, "doc_id", "text")
+      .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    assert(out.map(_._2.length).toSeq == Seq(11, 1))
+    assert(new String(out.head._2, "UTF-8") == "hello world")
   }
 
   test("frameSamplePlan emits every stride-th frame") {
