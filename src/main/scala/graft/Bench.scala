@@ -51,7 +51,7 @@ object Bench {
     * queries' reps, polluting exactly the numbers the bench exists to
     * defend (r05 verdict item #4).
     */
-  private val harnessBound: Set[String] = Set(
+  private[graft] val harnessBound: Set[String] = Set(
     "q74_stream_neardup", "q78_stream_upsert", "q79_stream_funnel",
     "q80_stream_sessionize", "q81_stream_rollup", "q82_stream_dedup",
     "q83_stream_enrich", "q84_stream_interval_join", "q86_daily_update",
