@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// JSON; sbt's "[success] Total time ..." epilogue trailed it and broke the
+// parse two rounds running (BENCH_r07/r08 "parsed": null). Suppress the
+// epilogue (exit codes still carry success/failure) and pass the forked
+// JVM's streams straight through — sbt's logger would otherwise prefix
+// every stdout line with "[info] " in batch/non-tty invocations.
+Global / showSuccess := false
+// (showSuccess is consumed by sbt's command layer, which the unused-key
+// lint cannot see — exclude it rather than warn every invocation)
+Global / excludeLintKeys += showSuccess
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

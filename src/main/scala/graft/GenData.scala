@@ -108,13 +108,27 @@ object GenData {
     // still CUT documents (a fixture where everything survives tests
     // nothing either)
     val docsOut = spark.read.parquet(s"$out/documents.parquet")
-    val survReps = graft.operators.Cleaning.c4LineClean(docsOut, "doc_id", "text",
+    val repOf = (col("doc_id") / 1000000L).cast("long").as("rep")
+    val surv = graft.operators.Cleaning.c4LineClean(docsOut, "doc_id", "text",
         lineLen = 12, minWordsPerLine = 5, stopwords = Seq("a", "the"),
         minKeptLines = 3)
-      .select((col("doc_id") / 1000000L).cast("long").as("rep"))
-      .distinct().count()
-    require(survReps == reps,
+      .select(repOf).groupBy(col("rep")).agg(count(lit(1)).as("surv"))
+    // bounded collect: `reps` rows (10), the per-replica audit grid
+    val audit = docsOut.select(repOf).groupBy(col("rep"))
+      .agg(count(lit(1)).as("total"))
+      .join(surv, Seq("rep"), "left")
+      .select(col("rep"), coalesce(col("surv"), lit(0L)).as("surv"), col("total"))
+      .collect()
+    val survReps = audit.count(_.getAs[Long]("surv") >= 1L)
+    require(audit.length == reps && survReps == reps,
       s"q122-surviving replicas: $survReps of $reps — sf1 line-clean gate degenerate")
+    // ...and the rule must still CUT documents in every replica: a remap
+    // drift that makes c4LineClean a no-op tests nothing either (both
+    // fixture properties the stopword self-map exists for, now both pinned)
+    val uncut = audit.filter(r => r.getAs[Long]("surv") >= r.getAs[Long]("total"))
+    require(uncut.isEmpty,
+      s"c4LineClean cuts nothing in replicas ${uncut.map(_.getAs[Long]("rep")).mkString(",")} " +
+        "— sf1 line-clean gate degenerate (rule no longer bites)")
 
     write("embeddings", replicate(read("embeddings"))
       .withColumn("vec_id", col("vec_id") + off)

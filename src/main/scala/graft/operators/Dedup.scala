@@ -232,9 +232,22 @@ object Dedup {
     sym.unpersist(); p.unpersist()
     // a silent non-fixpoint would emit multiple keep-survivors inside one
     // duplicate cluster downstream — refuse rather than return wrong labels
-    if (!done) throw new IllegalStateException(
-      s"connectedComponents did not converge within maxIters=$maxIters rounds; " +
-        "pointer jumping needs ~log2(longest chain) — raise maxIters")
+    // (releasing the last round's blocks first: nothing is returned, so
+    // nothing may stay materialized)
+    if (!done) {
+      release(labels)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIters=$maxIters rounds; " +
+          "pointer jumping needs ~log2(longest chain) — raise maxIters")
+    }
+    // CALLER CONTRACT: the returned frame is backed by the final round's
+    // `persist` materialization (localCheckpoint RDD blocks by default) —
+    // that is the point (O(nodes) result, lineage truncated after O(log n)
+    // self-referential rounds). Note `clearCache()` does NOT free these
+    // blocks (see `release` above — the cache manager never sees them);
+    // they are reclaimed by the ContextCleaner once the returned frame
+    // becomes unreachable, so long-lived sessions should write the result
+    // out and drop the reference when done with it.
     labels.select(col("node"), col("lbl").as("component"))
   }
 }

@@ -39,6 +39,21 @@ import org.apache.spark.sql.functions._
   * collect_list fold held one struct per corpus word per group in a
   * single aggregation buffer: the web-vocabulary OOM). The final
   * divergence quantizes to q6.
+  *
+  * ACCURACY TRADE of the grid sum: each scored word's term rounds to
+  * the 1e-6 grid before summing, so js_divergence carries up to
+  * 5e-7 · V accumulated rounding (V = scored vocabulary) on top of the
+  * signal — at a 10⁸-word uncapped vocabulary the rounding term (~50)
+  * would dominate a divergence bounded by ln 2. That is one more
+  * reason `topV` is the 100-TB default (V caps the error at 5e-7 · V ≪
+  * ln 2 for any practical V, e.g. ~5e-3 at V = 10⁴), not just the grid
+  * size: callers who must score an astronomically wide vocabulary
+  * uncapped should shrink the per-term grid instead (1e-12 stays
+  * long-summable: |term| ≤ ln 2 per word bounds the quantized sum by
+  * 1e12 · 0.7 · V ≪ 9.2e18 up to V ≈ 10⁷, and decimal(38,0) past
+  * that; the oracle must mirror the same constant). Determinism is
+  * unaffected either way — this is purely a rounding-accumulation
+  * bound.
   */
 object Drift {
 

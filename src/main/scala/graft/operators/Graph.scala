@@ -31,6 +31,18 @@ import org.apache.spark.sql.functions._
   * 1e6 · Σranks ≤ 1e6 · N·maxrank — past ~9e18 total quantized mass
   * switch the sum to decimal(38,0), exactly the Classifier note.
   *
+  * ACCURACY TRADE of the grid sum: quantizing each edge contribution
+  * BEFORE summing rounds d times per node instead of once, so a node's
+  * in-mass can drift up to 5e-7 · in-degree off the sum-doubles-then-
+  * quantize value (the pre-r08 fold's error). For a power-law hub with
+  * in-degree ≳ a few million the slack exceeds the 1e-6 output grid —
+  * acceptable for influence RANKING (relative order of ranks spanning
+  * orders of magnitude), but callers needing grid-accurate mass on
+  * hub-scale in-degrees should shrink the grid (1e-12 stays
+  * long-summable while Σranks ≤ 1 as here: 1e12 · 1 ≪ 9.2e18; the
+  * oracle must mirror the same constant) — determinism is unaffected
+  * either way, this is purely a rounding-accumulation bound.
+  *
   * At 100 TB: the edge list is the only large table; it is scanned once
   * per iteration, pre-shuffled on src by the degree join so AQE reuses
   * the exchange, and iterations are a fixed small count (influence
@@ -46,26 +58,37 @@ object Graph {
     * Dangling mass (nodes with no out-edges) is dropped, not
     * redistributed — the conventional "leaky" formulation; the oracle
     * replays the identical rule. Returns (node, rank, n_iters).
+    *
+    * Cache lifetime (the [[Similarity]] / [[Fuzzy]] convention): the
+    * default `persist` caches `nodes` and `shares` — both read once per
+    * unrolled iteration by the RETURNED lazy plan, so they must outlive
+    * this call — and the handles live until the session drops them. A
+    * caller running many queries in one session (Verify, Bench) should
+    * `spark.catalog.clearCache()` between queries (both do), or pass
+    * `persist = identity` to trade the cross-iteration reuse for zero
+    * cache residency; at production scale pass `_.checkpoint()` for
+    * executor-loss resilience (same trade as
+    * [[Dedup.connectedComponents]]).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               weight: Column, iters: Int, damping: Double = 0.85): DataFrame = {
+               weight: Column, iters: Int, damping: Double = 0.85,
+               persist: DataFrame => DataFrame = _.cache()): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     // weight stays untouched: with integer weights the per-source sum is
     // exact, so share = w/outw is a bit-deterministic double in any
     // engine (a double weight would make `outw` depend on addition order)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       weight.as("w"))
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct().cache()
+    val nodes = persist(e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct())
     // out-weight per source, folded onto the edges once: each edge
     // carries its share of the source's outbound mass
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     // nodes and shares feed every iteration: materialize once instead of
     // re-deriving the edge scan per hop (callers at production scale
     // should checkpoint instead — same trade as connectedComponents)
-    val shares = e.join(outW, "src")
-      .select(col("src"), col("dst"), (col("w") / col("outw")).as("share"))
-      .cache()
+    val shares = persist(e.join(outW, "src")
+      .select(col("src"), col("dst"), (col("w") / col("outw")).as("share")))
     val n = nodes.agg(count(lit(1)).as("n_nodes"))
     var ranks = nodes.crossJoin(broadcast(n))
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"))

@@ -342,16 +342,19 @@ object Similarity {
     * (16-bit chunks, 65 536 values/chunk): use [[simHashNearDups64]].
     */
   def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      nBits: Int, maxHamming: Int): DataFrame = {
+                      nBits: Int, maxHamming: Int,
+                      persist: DataFrame => DataFrame = _.cache()): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole blocking is exact only for maxHamming <= 3")
     require(nBits % 4 == 0, "nBits must be divisible into 4 chunks")
     val chunkBits = nBits / 4
     val mask = (1 << chunkBits) - 1
-    // cached: both sides of the bucket self-join read the signatures
-    val chunked = simHash(docs, idCol, textCol, nBits)
+    // persisted: both sides of the bucket self-join read the signatures —
+    // the handle outlives this call because the RETURNED lazy plan reads
+    // it; same caller contract as `nearDupPairs` (clearCache between
+    // queries, or pass identity to recompute the signature scan per side)
+    val chunked = persist(simHash(docs, idCol, textCol, nBits)
       .select(col("id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("c"))
-      .withColumn("cv", expr(s"shiftright(simhash, c * $chunkBits) & $mask"))
-      .cache()
+      .withColumn("cv", expr(s"shiftright(simhash, c * $chunkBits) & $mask")))
     chunked.as("a").join(chunked.as("b"),
         col("a.c") === col("b.c") && col("a.cv") === col("b.cv") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

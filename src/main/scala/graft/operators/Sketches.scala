@@ -59,7 +59,12 @@ object Sketches {
     *
     * Hash family: Kirsch–Mitzenmacher double hashing (the
     * [[Similarity]] minhash construction) off two xxhash64 seeds —
-    * bucketᵢ = (h1 + i·h2) mod width, pmod'd non-negative. Estimates
+    * bucketᵢ = (h1 + i·h2) mod width, pmod'd non-negative, with the
+    * stride forced NONZERO (h2 = 1 + pmod(·, width−1) ∈ [1, width−1]):
+    * a zero stride would collapse a term's `depth` rows onto one bucket
+    * and void the depth-independence behind the eps/confidence bound —
+    * standard KM implementations force a nonzero (often odd) stride for
+    * exactly this reason. Estimates
     * never undercount and overcount by at most `eps`·total with
     * probability ≥ `confidence` (width = ⌈e/eps⌉, depth =
     * ⌈ln(1/(1−confidence))⌉ — the standard CMS sizing), so the true
@@ -73,13 +78,15 @@ object Sketches {
       "need k>=1, 0<eps<1, 0<confidence<1")
     val width = math.ceil(math.E / eps).toLong
     val depth = math.max(1, math.ceil(math.log(1.0 / (1.0 - confidence))).toInt)
-    // (h1 + i·h2) mod w computed as (h1 mod w + i·(h2 mod w)) mod w —
-    // identical residue, but every intermediate stays < (depth+1)·width,
-    // so ANSI mode never sees a long overflow
+    // (h1 + i·h2) mod w computed as (h1 mod w + i·h2') mod w with
+    // h2' = 1 + (h2 mod (w−1)) ∈ [1, w−1] — the stride can never be 0,
+    // so a term's depth rows land on depth DISTINCT hash functions; and
+    // every intermediate stays < (depth+2)·width, so ANSI mode never
+    // sees a long overflow (width ≥ 3 whenever eps < 1)
     def cells(frame: DataFrame) = frame
       .select(col(termCol), explode(sequence(lit(0), lit(depth - 1))).as("__i"))
       .withColumn("__b", pmod(pmod(xxhash64(col(termCol), lit(seed)), lit(width)) +
-        col("__i") * pmod(xxhash64(col(termCol), lit(seed + 1)), lit(width)),
+        col("__i") * (lit(1L) + pmod(xxhash64(col(termCol), lit(seed + 1)), lit(width - 1))),
         lit(width)))
     val matrix = cells(df.select(col(termCol)))
       .groupBy(col("__i"), col("__b")).agg(count(lit(1)).as("__cnt"))
