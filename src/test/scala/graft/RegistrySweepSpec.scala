@@ -1,9 +1,10 @@
 package graft
 
+import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet}
 import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
-import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, LocalTableScanExec, SparkPlan, TakeOrderedAndProjectExec}
-import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
-import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.{CollectLimitExec, FilterExec, GlobalLimitExec, InputAdapter, LocalTableScanExec, ProjectExec, SortExec, SparkPlan, TakeOrderedAndProjectExec, UnionExec, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec, HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
@@ -40,23 +41,45 @@ class RegistrySweepSpec extends SparkSpec {
     * driver-materialized LocalTableScan (the k-centroid / codebook
     * frames Lloyd training collects — their size is bounded by the
     * collect that built them, which the no-data-sized-collect audit
-    * owns, not this sweep). ReusedExchange is a LEAF that aliases
-    * another exchange's subtree, so the scan must follow its child or a
-    * reused scalar broadcast reads as unbounded.
+    * owns, not this sweep).
+    *
+    * The certificate is ROOT-ANCHORED (r08 ADVICE): the bounding node
+    * must sit at the top of the build subtree, reached only through
+    * wrappers that cannot GROW a row count — exchanges, codegen shells,
+    * projections, filters, sorts, aggregates, unions-of-bounded. The
+    * previous form certified the build if a bounding node appeared
+    * ANYWHERE in the subtree (`p.collect`), so a corpus-sized build
+    * like `bigTable.join(small.limit(5))` — or any folded
+    * LocalTableScan deep in the tree — passed as "provably bounded":
+    * exactly the unbounded-broadcast shape the screen exists to catch.
+    * Joins, generates, and scans are NOT pass-through (their output can
+    * exceed any child's row count), so a build containing them
+    * certifies only via a bounding node ABOVE them.
     */
-  private def boundedBuild(p: SparkPlan): Boolean = {
-    val bounded = p.collect {
-      case a: HashAggregateExec if a.groupingExpressions.isEmpty => a: SparkPlan
-      case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => a: SparkPlan
-      case a: SortAggregateExec if a.groupingExpressions.isEmpty => a: SparkPlan
-      case t: TakeOrderedAndProjectExec => t: SparkPlan
-      case l: GlobalLimitExec => l: SparkPlan
-      case l: CollectLimitExec => l: SparkPlan
-      case s: LocalTableScanExec => s: SparkPlan
-      case r: ReusedExchangeExec if boundedBuild(r.child) => r: SparkPlan
-    }
-    bounded.nonEmpty
+  private def boundedRoot(p: SparkPlan, extraHead: SparkPlan => Boolean): Boolean = p match {
+    case q if extraHead(q) => true
+    case a: HashAggregateExec if a.groupingExpressions.isEmpty => true
+    case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => true
+    case a: SortAggregateExec if a.groupingExpressions.isEmpty => true
+    case _: TakeOrderedAndProjectExec => true
+    case _: GlobalLimitExec => true
+    case _: CollectLimitExec => true
+    case _: LocalTableScanExec => true
+    // row-count-preserving (or shrinking) wrappers: bounded iff the input is
+    case e: Exchange => boundedRoot(e.child, extraHead)
+    case r: ReusedExchangeExec => boundedRoot(r.child, extraHead)
+    case w: WholeStageCodegenExec => boundedRoot(w.child, extraHead)
+    case i: InputAdapter => boundedRoot(i.child, extraHead)
+    case pr: ProjectExec => boundedRoot(pr.child, extraHead)
+    case f: FilterExec => boundedRoot(f.child, extraHead)
+    case s: SortExec => boundedRoot(s.child, extraHead)
+    // a GROUPED aggregate emits at most one row per input row
+    case a: BaseAggregateExec => boundedRoot(a.child, extraHead)
+    case u: UnionExec => u.children.forall(boundedRoot(_, extraHead))
+    case _ => false
   }
+
+  private def boundedBuild(p: SparkPlan): Boolean = boundedRoot(p, _ => false)
 
   /** Queries whose nested-loop build side is a GROUPED aggregate the
     * bounded-build scan above cannot prove tiny, but whose cardinality
@@ -90,13 +113,16 @@ class RegistrySweepSpec extends SparkSpec {
     * aggregate grouped exactly on the `__pid` spark_partition_id
     * column, whose cardinality is the shuffle partition count, never
     * the data (SURVEY §4's "the only place a single-partition window
-    * runs").
+    * runs"). Root-anchored like `boundedBuild` (r08 ADVICE): the
+    * `__pid` aggregate must head the window's input, not merely appear
+    * somewhere beneath a row-growing node.
     */
   private def boundedWindowInput(p: SparkPlan): Boolean =
-    boundedBuild(p) || p.collect {
+    boundedRoot(p, {
       case a: HashAggregateExec
-        if a.groupingExpressions.map(_.name) == Seq("__pid") => a
-    }.nonEmpty
+        if a.groupingExpressions.map(_.name) == Seq("__pid") => true
+      case _ => false
+    })
 
   /** Empty-partition windows over inputs `boundedWindowInput` cannot
     * prove bounded, each with a reason. Same rule: new entries need one.
@@ -107,14 +133,85 @@ class RegistrySweepSpec extends SparkSpec {
     // or windows after an explicit limit)
   )
 
-  private lazy val plans: Map[String, SparkPlan] = {
-    val names = SparkEntry.queries.keys.toSeq.filterNot(Bench.harnessBound).sorted
+  /** Aggregates whose per-group STATE is an array buffer (collect_list /
+    * collect_set): the q109/q126 pre-r08 pattern this sweep was born
+    * from — correct at any fixture scale, an OOM at 100 TB the moment
+    * the group's cardinality is data-sized (a power-law hub's
+    * in-neighborhood, a corpus vocabulary) rather than a model constant
+    * (a document's tokens, a query's terms, nBuckets). Boundedness is a
+    * DATA-MODEL property the plan cannot prove, so the screen flags
+    * every such aggregate and each registry query carrying one must
+    * justify, in writing, what bounds its group size.
+    */
+  private def arrayBufferAggs(p: SparkPlan): Seq[String] = p.collect {
+    case a: BaseAggregateExec if a.aggregateExpressions.exists(ae =>
+      ae.aggregateFunction.isInstanceOf[CollectList] ||
+        ae.aggregateFunction.isInstanceOf[CollectSet]) =>
+      a.aggregateExpressions.map(_.aggregateFunction)
+        .collect { case c: CollectList => c.prettyName
+                   case c: CollectSet => c.prettyName }.distinct.mkString("+")
+  }
+
+  /** Queries whose collect_list/collect_set buffers are bounded by a
+    * data-model constant, each with the bound written out. Name-exact:
+    * a NEW query landing an array-buffer aggregate fails the sweep
+    * until its bound is justified here (or the fold is re-expressed as
+    * a mergeable grid sum, the q109/q126/q134 fix).
+    */
+  private val arrayBufferJustified: Map[String, String] = Map(
+    "q104_bm25_search" ->
+      ("Retrieval.bm25TopK's ordered score fold groups by (query, doc) " +
+        "and collects the MATCHED query terms — bounded by the probe " +
+        "query's term count (a handful), never the corpus; the postings " +
+        "side never buffers"),
+    "q128_hybrid_retrieval" ->
+      "same bound as q104 — its recall stage IS Retrieval.bm25TopK",
+    "q111_lm_perplexity" ->
+      ("LanguageModel.bigramCrossEntropy's ordered logp fold groups by " +
+        "doc and collects ONE document's bigram terms — bounded by a " +
+        "single document's token count, the per-row unit the whole " +
+        "pipeline already holds in memory as `text`"),
+    "q119_perplexity_buckets" ->
+      "same bound as q111 — scores via LanguageModel.bigramCrossEntropy",
+    "q129_dsir_select" ->
+      ("both cross-entropy folds are LanguageModel.bigramCrossEntropy " +
+        "(the q111 bound: one document's tokens per buffer)"),
+    "q131_curriculum_order" ->
+      ("difficulty scoring is LanguageModel.bigramCrossEntropy (q111 " +
+        "bound); both orderings go through Rankings.globalRank, no " +
+        "data-sized buffer"),
+    "q124_quality_classifier" ->
+      ("Classifier.logisticTrain's margin fold groups by doc and " +
+        "collects per-BUCKET contributions — at most nBuckets+1 (33) " +
+        "structs per doc, a model constant; the gradient itself is the " +
+        "mergeable integer-grid sum"),
+    "q125_pq_codes" ->
+      ("Quantize.pqEncode collects one struct per SUBSPACE per vector — " +
+        "nSub (a model constant, 4) entries per buffer"),
+    "q127_bpe_encode" ->
+      ("Bpe.encodeCorpus's segmentation folds collect one document's / " +
+        "one word's tokens in position order — bounded by doc/word " +
+        "length (the q111 per-row unit), never the vocabulary"),
+    "q130_span_scrub" ->
+      ("Dedup.scrubDupSpans reassembles ONE document's kept tokens in " +
+        "position order — bounded by a single document's token count")
+  )
+
+  /** Plan with AQE off (see class doc: the static plan is what the
+    * sweep screens; under AQE the executed plan hides inside
+    * AdaptiveSparkPlanExec stages that `SparkPlan.collect`/pattern
+    * matches cannot traverse).
+    */
+  private def staticPlan(df: => org.apache.spark.sql.DataFrame): SparkPlan = {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try names.map { n =>
-      n -> SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan
-    }.toMap
+    try df.queryExecution.executedPlan
     finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  private lazy val plans: Map[String, SparkPlan] = {
+    val names = SparkEntry.queries.keys.toSeq.filterNot(Bench.harnessBound).sorted
+    names.map { n => n -> staticPlan(SparkEntry.queries(n)(spark, sf)) }.toMap
   }
 
   test("every batch query plans (registry surface is sweepable)") {
@@ -160,5 +257,44 @@ class RegistrySweepSpec extends SparkSpec {
       s"unpartitioned window in: ${offenders.mkString(", ")} — " +
         "use Rankings.globalRank (range exchange) or TakeOrderedAndProject " +
         "(or add a justified entry to globalWindowJustified)")
+  }
+
+  test("every array-buffer aggregate (collect_list/set) has a written group-size bound") {
+    val offenders = plans.toSeq.sortBy(_._1).collect {
+      case (n, p) if arrayBufferAggs(p).nonEmpty && !arrayBufferJustified.contains(n) => n
+    }
+    assert(offenders.isEmpty,
+      s"unjustified collect_list/collect_set buffer in: ${offenders.mkString(", ")} — " +
+        "either re-express the fold as a mergeable exact-integer-grid sum " +
+        "(operators/Classifier.scala's gradient, adopted by q109/q126) or add " +
+        "a justified entry to arrayBufferJustified stating what bounds the group")
+  }
+
+  test("the array-buffer screen flags a synthetic data-sized collect_list (screen is live)") {
+    // the exact shape the screen exists for: one list per key, group
+    // cardinality = data size / #keys — grows without bound with the data
+    import org.apache.spark.sql.functions.{col, collect_list, collect_set, pmod}
+    val df = spark.range(100)
+      .groupBy(pmod(col("id"), org.apache.spark.sql.functions.lit(3)).as("k"))
+      .agg(collect_list(col("id")).as("ids"))
+    assert(arrayBufferAggs(staticPlan(df)).nonEmpty,
+      "screen failed to flag a grouped collect_list")
+    val df2 = spark.range(100).agg(collect_set(col("id")).as("ids"))
+    assert(arrayBufferAggs(staticPlan(df2)).nonEmpty,
+      "screen failed to flag a zero-key collect_set")
+  }
+
+  test("the root-anchored bounded-build certificate rejects a deep-bounded big build (screen is live)") {
+    // r08 ADVICE shape: a corpus-sized probe joined with a LIMIT 5 frame —
+    // the old anywhere-in-subtree scan certified this via the folded
+    // limit; the root-anchored form must NOT (the join can grow past it)
+    import org.apache.spark.sql.functions.col
+    val big = spark.range(1000).select(col("id"))
+    val deep = big.join(spark.range(50).select(col("id")).limit(5), Seq("id"))
+    assert(!boundedBuild(staticPlan(deep)),
+      "join above a limit certified as bounded — root anchoring regressed")
+    val scalar = spark.range(1000).agg(org.apache.spark.sql.functions.count(col("id")).as("n"))
+    assert(boundedBuild(staticPlan(scalar)),
+      "zero-key aggregate no longer certifies — root anchoring over-tightened")
   }
 }
