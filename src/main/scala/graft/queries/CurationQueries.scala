@@ -346,7 +346,7 @@ object CurationQueries {
         |FROM tok JOIN seg USING (word) GROUP BY doc_id""".stripMargin,
 
     "q128_hybrid_retrieval" ->
-      s"""WITH ${ExtendedQueries.Bm25FoldedCte},
+      s"""WITH ${ExtendedQueries.bm25FoldedCte(0.9)},
         |bm AS (SELECT * FROM (
         |    SELECT query_id, doc_id,
         |      floor(raw * 1000000.0 + 0.5) / 1000000.0 AS bm25_score,

@@ -307,6 +307,29 @@ object ExtendedQueries {
         k = 10, k1 = 1.2, b = 0.75, maxDfFrac = 0.9)
     },
 
+    "q135_bm25_capped" -> { (s, d) =>
+      // The DROP branch of the maxDfFrac stopword guard, gated at scale
+      // (r08 verdict item 1): identical pipeline and probes to q104, with
+      // the cap at 0.78 — the fixture vocabulary is 31 words whose df
+      // fractions cluster at 0.75–0.80 (plus one rare term), so 0.78
+      // CUTS ~15 stopword-grade postings lists before the join while the
+      // kept side still carries ~16 terms and every probe scores real
+      // results (170+ gated rows; 0.5 would drop 30 of 31 terms here and
+      // gate an empty frame). The DuckDB oracle replays the same cut, so
+      // the guard's effect on df/idf/ranking is hash-matched cross-engine
+      // — the production claim "a 0.3–0.5 cap drops corpus-wide words"
+      // is timed separately on the stopword-dense sf1 fixture, where
+      // "a"/"the" sit at df frac ~0.77 and a 0.5 cap removes exactly
+      // them (evidence/SCALEPROBE_maxdf, r09).
+      val docs = Tables(s, d).documentsSpread
+      val probes = docs.where(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(slice(TextFns.words(col("text")), 1, 4)))
+            .as("term"))
+      Retrieval.bm25TopK(docs, "doc_id", "text", probes, "query_id", "term",
+        k = 10, k1 = 1.2, b = 0.75, maxDfFrac = 0.78)
+    },
+
     "q108_weighted_sample" -> { (s, d) =>
       // Deterministic weighted sampling without replacement
       // (Sampling.weightedTopK, Efraimidis–Spirakis): the 100 documents
@@ -371,8 +394,13 @@ object ExtendedQueries {
     * q128's hybrid-retrieval oracle replays the SAME sparse recall pass:
     * ends at `folded(query_id, doc_id, raw, n_terms)`.
     */
-  private[queries] val Bm25FoldedCte: String =
-    """base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+  /** The BM25 replay scaffold, parameterized on the stopword cap so the
+    * capped row (q135) replays the identical pipeline with only the df
+    * cut changed. A `def` (not interpolating sibling `val`s at object
+    * init) returning the CTE chain through `folded`.
+    */
+  private[queries] def bm25FoldedCte(maxDfFrac: Double): String =
+    s"""base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
       |toks AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM base),
       |postings AS (SELECT doc_id, term, dl, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
       |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
@@ -380,7 +408,7 @@ object ExtendedQueries {
       |term_stats AS (
       |  SELECT term, df, n_docs, avgdl
       |  FROM (SELECT term, count(*) AS df FROM postings GROUP BY 1), corpus
-      |  WHERE df <= 0.9 * n_docs),
+      |  WHERE df <= $maxDfFrac * n_docs),
       |probes AS (SELECT doc_id AS query_id,
       |    unnest(list_distinct(list_slice(w, 1, 4))) AS term
       |  FROM base WHERE doc_id % 25 = 0),
@@ -603,7 +631,19 @@ object ExtendedQueries {
     // aggregate(array_sort(...), 0.0, +)), quantized to 6 decimals before
     // the per-query ranking.
     "q104_bm25_search" ->
-      s"""WITH $Bm25FoldedCte
+      s"""WITH ${bm25FoldedCte(0.9)}
+        |SELECT * FROM (
+        |  SELECT query_id, doc_id,
+        |    floor(raw * 1000000.0 + 0.5) / 1000000.0 AS score, n_terms,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY floor(raw * 1000000.0 + 0.5) / 1000000.0 DESC, doc_id)
+        |      AS INT) AS rank
+        |  FROM folded) WHERE rank <= 10""".stripMargin,
+
+    // identical replay with only the df cut changed — the DROP branch
+    // of the stopword guard, gated cross-engine (r08 verdict item 1)
+    "q135_bm25_capped" ->
+      s"""WITH ${bm25FoldedCte(0.78)}
         |SELECT * FROM (
         |  SELECT query_id, doc_id,
         |    floor(raw * 1000000.0 + 0.5) / 1000000.0 AS score, n_terms,

@@ -166,6 +166,8 @@ class RegistrySweepSpec extends SparkSpec {
         "side never buffers"),
     "q128_hybrid_retrieval" ->
       "same bound as q104 — its recall stage IS Retrieval.bm25TopK",
+    "q135_bm25_capped" ->
+      "same bound as q104 — identical pipeline, tighter maxDfFrac",
     "q111_lm_perplexity" ->
       ("LanguageModel.bigramCrossEntropy's ordered logp fold groups by " +
         "doc and collects ONE document's bigram terms — bounded by a " +
