@@ -25,8 +25,10 @@ import org.apache.spark.sql.functions._
   * corpus probability mass the cap retained) so a cap that discards
   * non-negligible mass is visible in the output, not silent. The JS
   * mass of the tail is negligible by construction when covered mass is
-  * ~1; swap the exact top-V for [[Sketches.cmsTopK]] when even the
-  * vocabulary count frame warrants a sketch.
+  * ~1; pass `candidateWords = Sketches.cmsTopK(..., k = V + slack)`
+  * (wired, spec-gated) when even the vocabulary count frame warrants a
+  * sketch — the sketch then SELECTS the scored words while the grid
+  * keeps exact counts.
   *
   * Determinism (SURVEY §5): counts are exact integers; probabilities
   * and the per-word terms are fixed double expressions (`ln` on
@@ -60,20 +62,43 @@ object Drift {
   /** Per-group JS divergence of the `groupCol` unigram distribution vs
     * the whole corpus. Output: (groupCol, n_tokens, n_words_absent —
     * scored words the group never uses, the coverage signal —
-    * js_divergence), plus `v_covered_mass` when `topV` caps the scored
-    * vocabulary (probabilities stay full-corpus; only the scored word
+    * js_divergence), plus `v_covered_mass` when the scored vocabulary
+    * is capped (probabilities stay full-corpus; only the scored word
     * set shrinks, so the capped JS is a lower bound whose slack is
     * 1 − v_covered_mass-ish and auditable per row).
+    *
+    * Two cap forms, composable:
+    *  - `topV`: EXACT top-V by (corpus count desc, word) — a
+    *    TakeOrdered over the vocabulary counts, V rows of driver state.
+    *  - `candidateWords`: a caller-supplied CANDIDATE frame (first
+    *    column = word) restricting which words are even counted into
+    *    the top-V — the [[Sketches.cmsTopK]] path for vocabularies so
+    *    wide that even the exact count frame warrants a sketch. Because
+    *    a CMS never undercounts, its top-(V + slack) estimate set
+    *    contains the exact top-V words for modest slack (the q67 bound:
+    *    overcount ≤ eps·total), so composing `candidateWords =
+    *    cmsTopK(..., k = V + slack)` with `topV = Some(V)` reproduces
+    *    the exact top-V grid — spec-gated in CurationSpec. Scored words
+    *    keep their EXACT corpus counts either way (the sketch selects,
+    *    never estimates, what enters the grid), so `v_covered_mass`
+    *    stays an exact audit.
     */
   def jsDivergence(docs: DataFrame, groupCol: String, textCol: String,
-                   topV: Option[Int] = None): DataFrame = {
+                   topV: Option[Int] = None,
+                   candidateWords: Option[DataFrame] = None): DataFrame = {
     topV.foreach(v => require(v >= 1, "topV must be >= 1"))
     val toks = docs.select(col(groupCol), explode(split(col(textCol), " ")).as("__word"))
     val corpusAll = toks.groupBy(col("__word")).agg(count(lit(1)).as("__c"))
+    // candidate restriction first: a left-semi against the (V+slack)-row
+    // candidate frame — broadcast-sized by construction
+    val selected = candidateWords.fold(corpusAll) { cand =>
+      val w = cand.select(col(cand.columns.head).as("__word")).distinct()
+      corpusAll.join(broadcast(w), Seq("__word"), "left_semi")
+    }
     // exact top-V by (count desc, word): deterministic tie-break, plans
     // as TakeOrdered (per-partition top-V, V-row merge) — never a full sort
-    val corpus = topV.fold(corpusAll)(v =>
-      corpusAll.orderBy(col("__c").desc, col("__word").asc).limit(v))
+    val corpus = topV.fold(selected)(v =>
+      selected.orderBy(col("__c").desc, col("__word").asc).limit(v))
     val total = toks.agg(count(lit(1)).as("__n"))
     val gcnt = toks.groupBy(col(groupCol), col("__word")).agg(count(lit(1)).as("__s"))
     val gtot = toks.groupBy(col(groupCol)).agg(count(lit(1)).as("__m"))
@@ -98,12 +123,11 @@ object Drift {
         Portable.q6(lit(0.5) *
           (sum(col("__qt")).cast("double") / lit(1000000.0))).as("js_divergence"),
         sum(col("__c")).as("__cov"))
-    topV match {
-      case Some(_) => agg.crossJoin(broadcast(total))
+    if (topV.isDefined || candidateWords.isDefined)
+      agg.crossJoin(broadcast(total))
         .withColumn("v_covered_mass",
           Portable.q6(col("__cov").cast("double") / col("__n")))
         .drop("__cov", "__n")
-      case None => agg.drop("__cov")
-    }
+    else agg.drop("__cov")
   }
 }

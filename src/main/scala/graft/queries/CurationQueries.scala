@@ -89,7 +89,11 @@ object CurationQueries {
       // (V = 12 < the 31-word fixture vocabulary, so the cap BITES on
       // the gated fixture — pinned below) and audit the retained
       // corpus mass per row. Same determinism contract; the grid is
-      // groups × V instead of groups × vocabulary.
+      // groups × V instead of groups × vocabulary. When even the
+      // vocabulary COUNT frame warrants a sketch, pass candidateWords =
+      // Sketches.cmsTopK(..., k = V + slack) — wired in r09 and
+      // spec-gated (CurationSpec): the sketch selects the scored words,
+      // the grid keeps exact counts, the result matches this exact path.
       val docs = Tables(s, d).documents
       val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
         .agg(countDistinct(col("w"))).head().getLong(0)

@@ -295,6 +295,41 @@ class CurationSpec extends SparkSpec {
     assert(capped("g1")._4 <= fullMap("g1") + 1e-9)
   }
 
+  test("jsDivergence composes with cmsTopK candidates: sketch selects, grid stays exact") {
+    // The q134 doc's "swap in cmsTopK when even the count frame warrants
+    // a sketch", now wired and gated: candidates = CMS top-(V + slack).
+    // Never-undercount (q67 bound) makes the estimate set a superset of
+    // the exact top-V for modest slack, so the composed drift grid must
+    // reproduce the exact top-V path row-for-row — including the exact
+    // (not estimated) covered-mass audit.
+    val docs = (0 until 60).map { i =>
+      val words = (0 to i % 9).map(j => s"w${(i + j) % 13}").mkString(" ")
+      (s"s${i % 3}", words)
+    }.toDF("source", "text")
+    val v = 5
+    val toks = docs.select(explode(split(col("text"), " ")).as("__word"))
+    val exactTop = toks.groupBy(col("__word")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__word").asc).limit(v)
+      .select("__word").as[String].collect().toSet
+    val cms = graft.operators.Sketches.cmsTopK(
+      toks, "__word", toks.select("__word").distinct(), k = v + 3)
+    val cmsWords = cms.select(col("__word")).as[String].collect().toSet
+    // never-undercount through the selection: CMS top-(V+slack) ⊇ exact top-V
+    assert(exactTop.subsetOf(cmsWords),
+      s"CMS candidates $cmsWords miss exact top-$v words ${exactTop -- cmsWords}")
+    val exactPath = Drift.jsDivergence(docs, "source", "text", topV = Some(v))
+      .as[(String, Long, Int, Double, Double)].collect().toSet
+    val composed = Drift.jsDivergence(docs, "source", "text", topV = Some(v),
+        candidateWords = Some(cms.select(col("__word"))))
+      .as[(String, Long, Int, Double, Double)].collect().toSet
+    assert(composed == exactPath,
+      "CMS-candidate drift grid diverged from the exact top-V path")
+    // candidate-only form (no topV) still emits the covered-mass audit
+    val candOnly = Drift.jsDivergence(docs, "source", "text",
+      candidateWords = Some(cms.select(col("__word"))))
+    assert(candOnly.columns.contains("v_covered_mass"))
+  }
+
   test("jsDivergence sums through a mergeable integer-grid partial aggregate") {
     val docs = Seq(("g", "a b c"), ("h", "a c d")).toDF("source", "text")
     val plan = Drift.jsDivergence(docs, "source", "text")
