@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.{Classifier, Sampling}
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage attribution for q124's sf1 repricing (r08 verdict item 3): the
+  * 5.8 → 13.2 s doubling after the stopword-preserving fixture remap
+  * was ATTRIBUTED to "two corpus-wide hot words skew the feature
+  * buckets" without a measurement. This probe times the classifier's
+  * stages separately at a given SF dir so the doubling lands on a
+  * measured stage:
+  *
+  *  - feature-build: explode to tokens, hash to buckets, groupBy
+  *    (doc, bucket) — one corpus pass, the only token-volume stage;
+  *  - margin-pass: one per-doc ordered margin fold (the per-iteration
+  *    scoring cost, run with zero weights);
+  *  - gradient-pass: one feature⋈residual join + per-bucket integer
+  *    sum + 33-row collect (the other per-iteration cost);
+  *  - full-train: logisticTrain end to end (3 iterations + final
+  *    scoring), the gated q124 body.
+  *
+  * It also prints the bucket census (rows and token mass per feature
+  * bucket, max/mean ratio): if the hot-word attribution were right,
+  * the skew would show here AND the gradient/margin stages would carry
+  * the growth; if the stages instead scale with token volume, the
+  * repricing is explode cost, not skew.
+  */
+object Q124Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("q124probe")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/repo/tmp/sf1")
+    val nBuckets = 32; val salt = "clf124"
+
+    def f(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); System.gc(); dt
+    }
+
+    val docs = Tables(spark, dir).documents
+    val label = array_contains(split(col("text"), " "), "vector")
+    def base = docs.select(col("doc_id").as("__id"), label.cast("int").as("__y"),
+      split(col("text"), " ").as("__w"))
+    def feat = base.select(col("__id"), explode(col("__w")).as("__tok"))
+      .select(col("__id"), Classifier.bucketOf(col("__tok"), nBuckets, salt).as("__b"))
+      .groupBy(col("__id"), col("__b")).agg(count(lit(1)).as("__cnt"))
+
+    // warm-up: full pipeline once (JIT + page cache)
+    Classifier.logisticTrain(docs, "doc_id", "text", label,
+      nBuckets, iters = 1, lr = 0.5, salt = salt)
+      .scored.write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+
+    val tFeat = timed { feat.write.format("noop").mode("overwrite").save() }
+
+    // one margin pass at zero weights: the per-iteration scoring fold
+    def margin = feat
+      .select(col("__id"), struct(col("__b").as("b"),
+        (lit(0.0) * col("__cnt")).as("c")).as("__bc"))
+      .groupBy(col("__id"))
+      .agg(aggregate(array_sort(collect_list(col("__bc"))), lit(0.0),
+        (acc, x) => acc + x.getField("c")).as("__z"))
+    val tMargin = timed { margin.write.format("noop").mode("overwrite").save() }
+
+    // one gradient pass: join + per-bucket integer sum + bounded collect
+    val tGrad = timed {
+      val resid = margin.select(col("__id"),
+        floor(lit(0.5) * lit(1000000.0) + lit(0.5)).cast("long").as("__e"))
+      feat.join(resid, Seq("__id"))
+        .groupBy(col("__b")).agg(sum(col("__e") * col("__cnt")).as("__g"))
+        .collect()
+    }
+
+    val tFull = timed {
+      Classifier.logisticTrain(docs, "doc_id", "text", label,
+        nBuckets, iters = 3, lr = 0.5, salt = salt)
+        .scored.write.format("noop").mode("overwrite").save()
+    }
+
+    // bucket census: is the hot-word mass actually skewing buckets?
+    val census = feat.groupBy(col("__b"))
+      .agg(count(lit(1)).as("rows"), sum(col("__cnt")).as("tokens"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val tokens = census.map(_._3)
+    val maxMean = tokens.max.toDouble / (tokens.sum.toDouble / tokens.length)
+    val nTokens = tokens.sum
+
+    println(s"""{"probe":"q124","sf_dir":"$dir","feature_build_sec":${f(tFeat)},""" +
+      s""""margin_pass_sec":${f(tMargin)},"gradient_pass_sec":${f(tGrad)},""" +
+      s""""full_train_sec":${f(tFull)},"n_tokens":$nTokens,""" +
+      s""""bucket_token_max_over_mean":${f(maxMean)},""" +
+      s""""bucket_tokens":[${tokens.sorted.reverse.take(5).mkString(",")}]}""")
+    spark.stop()
+  }
+}
