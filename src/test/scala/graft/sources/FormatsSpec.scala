@@ -134,8 +134,23 @@ class FormatsSpec extends SparkSpec {
     // 4000 rows stream through its scan; the clustered layout's disjoint
     // footer stats let the reader skip every non-overlapping row group
     assert(scattered == 4000L, s"scattered twin must scan everything, got $scattered")
-    assert(clustered <= 1500L,
-      s"clustered scan must skip non-overlapping row groups, scanned $clustered")
+    // The exact skip bound is the row count of the FILES whose [min,max]
+    // overlaps the predicate — computed from the written layout, not a
+    // constant: repartitionByRange samples its boundaries with a seed
+    // derived from rdd.id, so file split points wobble by a few rows
+    // with suite execution order (a fixed 1500 bound flaked at 1506 in
+    // the full run while passing in isolation).
+    val overlapRows = spark.read.parquet(s"$root/clustered")
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"k").as("lo"), max($"k").as("hi"), count($"k").as("n"))
+      .where($"hi" >= 1000 && $"lo" <= 1499)
+      .agg(sum($"n")).as[Long].head()
+    assert(clustered <= overlapRows,
+      s"clustered scan read past the overlapping files: $clustered > $overlapRows")
+    // and the layout itself must keep that overlap small — ~3 of 8 files
+    // (500-key predicate over ~500-row files, ± boundary wobble)
+    assert(overlapRows <= 2000L,
+      s"clustered layout's overlapping files cover too much: $overlapRows rows")
   }
 
   test("z-order lets range predicates on BOTH columns skip at read time") {
