@@ -54,6 +54,35 @@ object Sampling {
     df.where(hashUnit(col(idCol), salt) < rate)
   }
 
+  /** Leakage-safe train/valid/test assignment: the split coin is thrown
+    * on the GROUP id (a near-dup cluster from
+    * [[Dedup.connectedComponents]], a URL domain, an author), so every
+    * member of a group lands in the SAME split — near-duplicates of a
+    * benchmark-adjacent document can never straddle train and eval, the
+    * contamination mode a per-document coin cannot prevent (Lee et al.
+    * 2022 §6 measure exactly this leak on C4/RealNews). Fractions are
+    * over GROUPS, not rows: a heavy duplicate cluster moves whole, so
+    * row shares drift with the cluster-size distribution — that is the
+    * semantics (the alternative, rebalancing rows, would split clusters).
+    *
+    * Scale: a codegen'd projection over the already-assigned group
+    * column — no shuffle of its own; the cost lives in producing the
+    * grouping upstream. Deterministic: membership is a pure function of
+    * (group id, salt), so re-runs, engines, SFs, and partitionings agree
+    * row-for-row, and the same group id draws the same split in every
+    * table that carries it (independently split shards still align).
+    */
+  def groupSplit(df: DataFrame, groupCol: String, salt: String,
+                 trainFrac: Double, validFrac: Double): DataFrame = {
+    require(trainFrac > 0 && validFrac > 0 && trainFrac + validFrac < 1,
+      s"fractions must leave all three splits reachable: train=$trainFrac valid=$validFrac")
+    val coin = hashUnit(col(groupCol), salt)
+    df.withColumn("split",
+      when(coin < trainFrac, lit("train"))
+        .when(coin < trainFrac + validFrac, lit("valid"))
+        .otherwise(lit("test")))
+  }
+
   /** Per-domain cap: keep at most `maxN` rows per stratum, chosen by hash
     * order (not input order) so the kept set is a deterministic pure
     * function of the data — re-runs, engines and partitionings agree, and

@@ -162,6 +162,33 @@ object LLMQueries {
         .withColumn("keep", col("doc_id") === col("cluster_id"))
     },
 
+    "q136_leakage_safe_split" -> { (s, d) =>
+      // q42's cluster assignment becomes the SPLIT unit: the 80/10/10
+      // train/valid/test coin is thrown per CLUSTER (md5 on the cluster
+      // id — Sampling.groupSplit), so near-duplicates can never straddle
+      // train and eval, the contamination a per-doc coin cannot prevent
+      // (q51 DETECTS the leak post-hoc; this prevents it at split time).
+      // Requires pin the safety branch live on the gated fixture: a
+      // multi-doc cluster exists (comp is CC-materialized, so the probe
+      // reads its checkpoint blocks, not a second minhash pass) and all
+      // three splits are non-empty.
+      val docs = Tables(s, d).documentsSpread
+      val edges = Similarity.minHashNearDups(docs, "doc_id", "text",
+        ShingleN, NumSeeds, RowsPerBand).where(col("jaccard") >= 0.5)
+      val comp = Dedup.connectedComponents(edges, "id_a", "id_b")
+        .withColumnRenamed("node", "doc_id")
+      require(comp.limit(1).count() == 1,
+        "q136 fixture must contain a multi-doc near-dup cluster")
+      val assigned = docs.select(col("doc_id")).join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      val out = Sampling.groupSplit(assigned, "cluster_id", "q136",
+        trainFrac = 0.8, validFrac = 0.1)
+      val splits = out.select(col("split")).distinct().count()
+      require(splits == 3, s"q136 fixture must reach all three splits, got $splits")
+      out
+    },
+
     "q43_stratified_sample" -> { (s, d) =>
       // deterministic md5-coin sampling: up-weight three sources, keep all
       // of src5, 20% of the rest — membership is a pure function of
@@ -399,6 +426,44 @@ object LLMQueries {
       |    count(*) AS n_bigrams
       |  FROM scored GROUP BY 1)""".stripMargin
 
+  /** The minhash→LSH→verified-jaccard→connected-components replay shared
+    * by q42 (dedup decisions) and q136 (leakage-safe split): recursive
+    * min-label reachability over the near-dup pair graph, ending at
+    * `reach(node, lbl)` — fold with `min(lbl)` per node to get each
+    * doc's cluster. Token-for-token shared so the two gates cannot
+    * drift apart on the pipeline they both replay.
+    */
+  private[queries] val MinhashCompCte: String =
+    """toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3
+      |        THEN list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])
+      |        ELSE [] END) AS shingle FROM toks),
+      |ab AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,8))::BIGINT AS a,
+      |        ('0x'||substr(md5(shingle),9,8))::BIGINT AS b FROM sh),
+      |mh AS (SELECT doc_id, CAST(s AS INT) AS seed,
+      |        min((a + s*(2*b+1)) % 4294967296) AS minh
+      |       FROM ab, (SELECT unnest(range(0,12)) AS s) GROUP BY 1,2),
+      |banded AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+      |        string_agg(CAST(minh AS VARCHAR), '_' ORDER BY seed) AS band_key
+      |       FROM mh GROUP BY 1,2),
+      |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |       FROM banded a JOIN banded b
+      |         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |inter AS (SELECT c.id_a, c.id_b, count(sb.shingle) AS intersection
+      |       FROM cands c
+      |       JOIN sh sa ON c.id_a = sa.doc_id
+      |       LEFT JOIN sh sb ON c.id_b = sb.doc_id AND sa.shingle = sb.shingle
+      |       GROUP BY 1,2),
+      |prs AS (SELECT i.id_a, i.id_b
+      |       FROM inter i JOIN sizes za ON i.id_a = za.doc_id JOIN sizes zb ON i.id_b = zb.doc_id
+      |       WHERE floor((i.intersection * 1.0 / (za.sz + zb.sz - i.intersection)) * 1000000.0 + 0.5) / 1000000.0 >= 0.5),
+      |edges AS (SELECT id_a AS ea, id_b AS eb FROM prs UNION SELECT id_b, id_a FROM prs),
+      |reach(node, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.eb, r.lbl FROM reach r JOIN edges e ON e.ea = r.node)""".stripMargin
+
   /** The 5-merge BPE training trajectory (q116), factored so q127's
     * corpus-encoding oracle replays the SAME trained segmentation: ends
     * at `s5(word, freq, tokens)`.
@@ -593,37 +658,18 @@ object LLMQueries {
         |  FROM scored) WHERE rank <= 5""".stripMargin,
 
     "q42_dedup_clusters" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3
-        |        THEN list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])
-        |        ELSE [] END) AS shingle FROM toks),
-        |ab AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,8))::BIGINT AS a,
-        |        ('0x'||substr(md5(shingle),9,8))::BIGINT AS b FROM sh),
-        |mh AS (SELECT doc_id, CAST(s AS INT) AS seed,
-        |        min((a + s*(2*b+1)) % 4294967296) AS minh
-        |       FROM ab, (SELECT unnest(range(0,12)) AS s) GROUP BY 1,2),
-        |banded AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
-        |        string_agg(CAST(minh AS VARCHAR), '_' ORDER BY seed) AS band_key
-        |       FROM mh GROUP BY 1,2),
-        |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |       FROM banded a JOIN banded b
-        |         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        |inter AS (SELECT c.id_a, c.id_b, count(sb.shingle) AS intersection
-        |       FROM cands c
-        |       JOIN sh sa ON c.id_a = sa.doc_id
-        |       LEFT JOIN sh sb ON c.id_b = sb.doc_id AND sa.shingle = sb.shingle
-        |       GROUP BY 1,2),
-        |prs AS (SELECT i.id_a, i.id_b
-        |       FROM inter i JOIN sizes za ON i.id_a = za.doc_id JOIN sizes zb ON i.id_b = zb.doc_id
-        |       WHERE floor((i.intersection * 1.0 / (za.sz + zb.sz - i.intersection)) * 1000000.0 + 0.5) / 1000000.0 >= 0.5),
-        |edges AS (SELECT id_a AS ea, id_b AS eb FROM prs UNION SELECT id_b, id_a FROM prs),
-        |reach(node, lbl) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.eb, r.lbl FROM reach r JOIN edges e ON e.ea = r.node)
+      s"""WITH RECURSIVE $MinhashCompCte
         |SELECT node AS doc_id, min(lbl) AS cluster_id, (node = min(lbl)) AS keep
         |FROM reach GROUP BY node""".stripMargin,
+
+    "q136_leakage_safe_split" ->
+      s"""WITH RECURSIVE $MinhashCompCte,
+        |clus AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN coin < 0.8 THEN 'train' WHEN coin < 0.9 THEN 'valid' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, cluster_id,
+        |    ('0x'||substr(md5(CAST(cluster_id AS VARCHAR)||'#q136'),1,8))::BIGINT / 4294967296.0 AS coin
+        |  FROM clus)""".stripMargin,
 
     "q50_distinct_users" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users,

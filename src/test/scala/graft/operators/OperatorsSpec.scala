@@ -204,6 +204,33 @@ class SamplingSpec extends SparkSpec {
     assert(got.length == 1000 && got.forall(_ == "a"))
   }
 
+  test("groupSplit keeps every group member in one split, covers all splits, and is repartition-invariant") {
+    // 400 rows in 100 groups of 4: the coin must be thrown per GROUP
+    val rows = (0L until 400L).map(i => (i, i / 4)).toDF("id", "grp")
+    val out = Sampling.groupSplit(rows, "grp", "t", 0.6, 0.2)
+    // no group straddles splits — the leakage-safety contract
+    val perGroup = out.groupBy("grp")
+      .agg(countDistinct($"split").as("n")).select("n").as[Long].collect()
+    assert(perGroup.forall(_ == 1L))
+    // all three labels reachable and roughly proportioned over groups
+    val byLabel = out.select("grp", "split").distinct()
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byLabel.keySet == Set("train", "valid", "test"))
+    assert(math.abs(byLabel("train") / 100.0 - 0.6) < 0.15)
+    // pure function of (group, salt): bit-equal under repartition
+    val again = Sampling.groupSplit(rows.repartition(7, $"id"), "grp", "t", 0.6, 0.2)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val first = out.select("id", "split").as[(Long, String)].collect().toMap
+    assert(again == first)
+  }
+
+  test("groupSplit refuses fractions that make a split unreachable") {
+    val rows = Seq((1L, 1L)).toDF("id", "grp")
+    intercept[IllegalArgumentException] {
+      Sampling.groupSplit(rows, "grp", "t", 0.9, 0.1)
+    }
+  }
+
   test("capPerStratum keeps exactly maxN per stratum and a raised cap only adds") {
     val c10 = Sampling.capPerStratum(ids, "stratum", "id", 10, "cap")
       .select("id").as[Long].collect().toSet
