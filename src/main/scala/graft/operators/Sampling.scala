@@ -121,6 +121,47 @@ object Sampling {
       .drop("__n", "__rate")
   }
 
+  /** Temperature-scaled mixing (α = 0.5): rebalance a skewed stratum
+    * distribution toward OUTPUT shares ∝ √p_stratum — the multilingual
+    * α-smoothing step (Conneau et al. 2020 §3.1 sample languages with
+    * α = 0.3–0.7; Raffel et al. 2020 §3.4.1 temperature-scale mixing
+    * rates), which flattens a head-heavy corpus without the caller
+    * enumerating per-stratum targets the way [[mixtureSample]] requires:
+    * the rates come from the data's own counts. Each stratum keeps
+    * rate = min(1, scale · √(N / n_stratum)), so an uncapped stratum's
+    * expected output is scale · √(N · n_stratum) ∝ √n_stratum — the
+    * α = 0.5 allocation — while strata rarer than scale² · N cap at 1
+    * (kept whole: this is the without-replacement form; upsampling past
+    * 1 is the trainer's repeat-epochs knob, not a filter's).
+    *
+    * α is FIXED at 0.5 by design, not a parameter: the rate then needs
+    * only √, ×, ÷ and min — all IEEE-754 correctly-rounded, so with the
+    * expression written in the same shape every engine computes the
+    * bit-identical double and the md5-coin membership is exactly
+    * replayable (a general p^α needs `pow`, whose last-ulp behavior is
+    * library-specific — the one transcendental this operator refuses on
+    * determinism grounds). Output: input columns + `mix_rate` (q6, the
+    * audit of what rate each row's stratum drew).
+    *
+    * Scale shape: one stratum-count aggregate (broadcast back: one row
+    * per stratum) + a 1-row total broadcast; the filter itself is a
+    * codegen'd projection — no extra shuffle of the data.
+    */
+  def temperatureMix(df: DataFrame, strataCol: String, idCol: String,
+                     scale: Double, salt: String): DataFrame = {
+    require(scale > 0, s"scale must be > 0, got $scale")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val total = df.agg(count(lit(1)).as("__t"))
+    val rate = least(lit(1.0),
+      lit(scale) * sqrt(col("__t").cast("double")) / sqrt(col("__n").cast("double")))
+    df.join(broadcast(counts), Seq(strataCol))
+      .crossJoin(broadcast(total))
+      .withColumn("__rate", rate)
+      .where(hashUnit(col(idCol), salt) < col("__rate"))
+      .withColumn("mix_rate", Portable.q6(col("__rate")))
+      .drop("__n", "__t", "__rate")
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES),
     * deterministic: each row draws u = (hash+1)/2^32 ∈ (0, 1] from the
     * shared md5 coin and scores key = u^(1/weight); the k largest keys

@@ -330,6 +330,29 @@ object ExtendedQueries {
         k = 10, k1 = 1.2, b = 0.75, maxDfFrac = 0.78)
     },
 
+    "q137_temperature_mix" -> { (s, d) =>
+      // Multilingual α-smoothing (α = 0.5) over the SKEWED lang column
+      // (en carries ~40% of documents, the four tail languages ~15%
+      // each): rates derive from the data's own counts —
+      // min(1, 0.45·√(N/n_lang)) — so en downsamples to ~0.7 while the
+      // tail languages cap at 1 and are kept whole. Distinct from q65,
+      // whose mix is the CALLER's enumerated target shares; here the
+      // flattening is the operator's, the caller picks only the
+      // temperature budget. The scale 0.45 puts both rate branches on
+      // the gated fixture at every SF (pinned below: the capped branch
+      // and the fractional branch must BOTH appear, or the fixture
+      // tests nothing).
+      val out = Sampling.temperatureMix(Tables(s, d).documents, "lang",
+          "doc_id", scale = 0.45, salt = "tmix")
+        .select(col("doc_id"), col("lang"), col("mix_rate"))
+      // bounded collect: one rate per language (5)
+      val rates = out.select(col("mix_rate")).distinct().collect()
+        .map(_.getDouble(0))
+      require(rates.exists(_ == 1.0) && rates.exists(_ < 1.0),
+        s"q137 fixture must exercise both rate branches, got rates ${rates.sorted.mkString(",")}")
+      out
+    },
+
     "q108_weighted_sample" -> { (s, d) =>
       // Deterministic weighted sampling without replacement
       // (Sampling.weightedTopK, Efraimidis–Spirakis): the 100 documents
@@ -651,6 +674,22 @@ object ExtendedQueries {
         |      ORDER BY floor(raw * 1000000.0 + 0.5) / 1000000.0 DESC, doc_id)
         |      AS INT) AS rank
         |  FROM folded) WHERE rank <= 10""".stripMargin,
+
+    // temperature-mix replay: the rate needs only sqrt/×/÷/least — all
+    // IEEE-754 correctly-rounded, so with the same expression shape both
+    // engines draw the bit-identical double and the md5-coin membership
+    // replays exactly (the reason the operator fixes α at 0.5 and
+    // refuses pow)
+    "q137_temperature_mix" ->
+      """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |tot AS (SELECT count(*) AS t FROM documents),
+        |rated AS (SELECT d.doc_id, d.lang,
+        |    least(1.0, 0.45 * sqrt(CAST(t.t AS DOUBLE)) / sqrt(CAST(c.n AS DOUBLE))) AS rate
+        |  FROM documents d JOIN counts c USING (lang), tot t)
+        |SELECT doc_id, lang,
+        |  floor(rate * 1000000.0 + 0.5) / 1000000.0 AS mix_rate
+        |FROM rated
+        |WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#tmix'),1,8))::BIGINT / 4294967296.0 < rate""".stripMargin,
 
     // A-ES replay: identical md5 coin (hex slice -> uint32, +1, /2^32),
     // identical pow key, identical (key DESC, doc_id) ranking. The raw

@@ -240,6 +240,36 @@ class SamplingSpec extends SparkSpec {
     assert(c10.subsetOf(c25) && c25.size == 50) // hash order is stable
   }
 
+  test("temperatureMix flattens a 9:1 skew toward the sqrt (3:1) allocation") {
+    // 1800 "big" vs 200 "small" rows; scale 0.25 keeps both strata
+    // fractional (no cap), so output shares must track sqrt(n): 3:1
+    val skewed = (0L until 2000L).map(i => (i, if (i < 1800) "big" else "small"))
+      .toDF("id", "stratum")
+    val out = Sampling.temperatureMix(skewed, "stratum", "id", 0.25, "tm")
+    val kept = out.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    val ratio = kept("big").toDouble / kept("small")
+    assert(ratio > 2.2 && ratio < 3.8,
+      s"expected ~3:1 sqrt allocation from a 9:1 input, got $ratio ($kept)")
+    // pure function of (id, salt): bit-equal membership under repartition
+    val again = Sampling.temperatureMix(skewed.repartition(7, $"id"),
+      "stratum", "id", 0.25, "tm").select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+  }
+
+  test("temperatureMix caps rare strata at rate 1 (kept whole) and audits the rate") {
+    val skewed = (0L until 2000L).map(i => (i, if (i < 1800) "big" else "small"))
+      .toDF("id", "stratum")
+    // scale 0.5: small's raw rate 0.5*sqrt(10) > 1 caps; big stays fractional
+    val out = Sampling.temperatureMix(skewed, "stratum", "id", 0.5, "tm")
+    val rates = out.select("stratum", "mix_rate").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(rates("small") == 1.0 && rates("big") < 1.0, s"rates: $rates")
+    assert(out.where($"stratum" === "small").count() == 200) // capped = all kept
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(skewed, "stratum", "id", 0.0, "tm")
+    }
+  }
+
   test("mixtureSample hits target shares and drops unlisted strata") {
     val out = Sampling.mixtureSample(ids, "stratum", "id",
         targetShare = Map("a" -> 1.0), targetTotal = 200L, salt = "mix")
