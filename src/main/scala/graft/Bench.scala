@@ -174,11 +174,17 @@ object Bench {
     val batchTotal = batch.map(byName).sum
     val harnessTotal = harness.map(byName).sum
     val wall = (System.nanoTime() - t0Wall) / 1e9
+    // sample end-of-run load BEFORE stop: the field means "load as the
+    // last query finished", not "load after executor teardown"
+    val loadEnd = loadAvg()
     // stop BEFORE printing: the JSON must be the process's (and with
     // `showSuccess := false`, sbt's) FINAL stdout line — the driver
     // parses the tail, and r07/r08's artifacts degraded to raw text
-    // because trailing output followed the JSON
-    spark.stop()
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","batch_total":${f(batchTotal)},"streaming_total":${f(harnessTotal)},"settle_sec":${f(settleSec)},"queries":$qs,"errors":$errs,"sf":"$sfDir","load_start":${f(loadStart)},"load_end":${f(loadAvg())},"wall_sec":${f(wall)},"detail":$repsJson}""")
+    // because trailing output followed the JSON. But a stop() failure
+    // must not lose the whole run's measurements — swallow it to stderr
+    try spark.stop()
+    catch { case t: Throwable =>
+      System.err.println(s"[bench] spark.stop failed: ${t.getMessage}") }
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","batch_total":${f(batchTotal)},"streaming_total":${f(harnessTotal)},"settle_sec":${f(settleSec)},"queries":$qs,"errors":$errs,"sf":"$sfDir","load_start":${f(loadStart)},"load_end":${f(loadEnd)},"wall_sec":${f(wall)},"detail":$repsJson}""")
   }
 }

@@ -61,12 +61,19 @@ object MaxDfProbe {
       val nDocs = docs.count()
       val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val kept = df.where(col("df") <= lit(cap) * lit(nDocs))
-      val probeTerms = docs.where(col("doc_id") % 25 === 0)
-        .select(explode(array_distinct(slice(TextFns.words(col("text")), 1, 4)))
-          .as("term")).distinct()
+      // the REAL probe⋈postings volume, with per-term probe multiplicity:
+      // a corpus-wide term probed by k queries contributes k × postings
+      // rows to the scoring join, so the census must count (query,
+      // posting) PAIRS — a distinct-terms semi-join would understate the
+      // kept-stopwords config by roughly the probe count, which is
+      // precisely the cost the cap claim is judged on
+      val probes = docs.where(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(slice(TextFns.words(col("text")), 1, 4)))
+            .as("term"))
       val matched = postings
         .join(kept.select("term"), Seq("term"), "left_semi")
-        .join(probeTerms, Seq("term"), "left_semi")
+        .join(probes, Seq("term"))
         .count()
       (kept.count(), df.count() - kept.count(), matched)
     }

@@ -77,8 +77,13 @@ object Sampling {
     require(trainFrac > 0 && validFrac > 0 && trainFrac + validFrac < 1,
       s"fractions must leave all three splits reachable: train=$trainFrac valid=$validFrac")
     val coin = hashUnit(col(groupCol), salt)
+    // a NULL group id has no identity to throw the coin on: surface it
+    // as a null split for the caller to assign or clean, rather than
+    // letting the null coin fall through otherwise() and deterministically
+    // dump every unparseable (mutually unrelated) row into 'test'
     df.withColumn("split",
-      when(coin < trainFrac, lit("train"))
+      when(col(groupCol).isNull, lit(null).cast("string"))
+        .when(coin < trainFrac, lit("train"))
         .when(coin < trainFrac + validFrac, lit("valid"))
         .otherwise(lit("test")))
   }
@@ -150,16 +155,21 @@ object Sampling {
   def temperatureMix(df: DataFrame, strataCol: String, idCol: String,
                      scale: Double, salt: String): DataFrame = {
     require(scale > 0, s"scale must be > 0, got $scale")
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    // null-SAFE stratum key: a null stratum (unidentified language,
+    // unparsed domain) is a real stratum — the count groupBy emits its
+    // null group and <=> keys rows to it, so null-stratum rows draw
+    // that stratum's own rate; a plain equi-join would silently drop
+    // every one of them before the coin is even thrown
+    val counts = df.groupBy(col(strataCol).as("__k")).agg(count(lit(1)).as("__n"))
     val total = df.agg(count(lit(1)).as("__t"))
     val rate = least(lit(1.0),
       lit(scale) * sqrt(col("__t").cast("double")) / sqrt(col("__n").cast("double")))
-    df.join(broadcast(counts), Seq(strataCol))
+    df.join(broadcast(counts), col(strataCol) <=> col("__k"))
       .crossJoin(broadcast(total))
       .withColumn("__rate", rate)
       .where(hashUnit(col(idCol), salt) < col("__rate"))
       .withColumn("mix_rate", Portable.q6(col("__rate")))
-      .drop("__n", "__t", "__rate")
+      .drop("__k", "__n", "__t", "__rate")
   }
 
   /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES),

@@ -270,6 +270,26 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("temperatureMix rates null strata as their own stratum; groupSplit surfaces null groups") {
+    // a null stratum (unidentified language) must be counted, rated and
+    // kept at its own rate — an inner equi-join would silently drop it
+    val withNull = (0L until 300L)
+      .map(i => (i, if (i < 200) "known" else null)).toDF("id", "stratum")
+    val kept = Sampling.temperatureMix(withNull, "stratum", "id", 0.3, "tm")
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    // null rate = 0.3*sqrt(300/100) ≈ 0.52 → ~52 of 100
+    assert(kept.getOrElse(null, 0L) > 25 && kept(null) < 80,
+      s"null stratum not rated as its own stratum: $kept")
+    assert(kept.getOrElse("known", 0L) > 0)
+    // a null GROUP id has no identity to split on: null split, never a
+    // deterministic dump of all unparseable rows into 'test'
+    val rows = Seq((1L, Option(5L)), (2L, Option.empty[Long]), (3L, Option.empty[Long]))
+      .toDF("id", "grp")
+    val split = Sampling.groupSplit(rows, "grp", "t", 0.6, 0.2)
+    assert(split.where($"grp".isNull && $"split".isNotNull).count() == 0)
+    assert(split.where($"grp".isNotNull && $"split".isNull).count() == 0)
+  }
+
   test("mixtureSample hits target shares and drops unlisted strata") {
     val out = Sampling.mixtureSample(ids, "stratum", "id",
         targetShare = Map("a" -> 1.0), targetTotal = 200L, salt = "mix")

@@ -144,7 +144,10 @@ class FormatsSpec extends SparkSpec {
       .groupBy(input_file_name().as("f"))
       .agg(min($"k").as("lo"), max($"k").as("hi"), count($"k").as("n"))
       .where($"hi" >= 1000 && $"lo" <= 1499)
-      .agg(sum($"n")).as[Long].head()
+      // coalesce: sum over ZERO overlapping files is null, and a null
+      // Long decode would NPE here instead of failing the assert below
+      // with its diagnostic
+      .agg(coalesce(sum($"n"), lit(0L))).as[Long].head()
     assert(clustered <= overlapRows,
       s"clustered scan read past the overlapping files: $clustered > $overlapRows")
     // and the layout itself must keep that overlap small — ~3 of 8 files
