@@ -39,14 +39,20 @@ object MaxDfProbe {
         .split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
 
-    def pipeline(cap: Double) = {
-      val docs = Tables(spark, dir).documentsSpread
-      val probes = docs.where(col("doc_id") % 25 === 0)
+    // ONE probe-frame definition shared by the timed pipeline and the
+    // volume census below: if the q104/q135 probe shape ever changes,
+    // both must move together or the census measures a different query
+    // set than the wall time it is printed next to
+    def probesOf(docs: org.apache.spark.sql.DataFrame) =
+      docs.where(col("doc_id") % 25 === 0)
         .select(col("doc_id").as("query_id"),
           explode(array_distinct(slice(TextFns.words(col("text")), 1, 4)))
             .as("term"))
-      Retrieval.bm25TopK(docs, "doc_id", "text", probes, "query_id", "term",
-        k = 10, k1 = 1.2, b = 0.75, maxDfFrac = cap)
+
+    def pipeline(cap: Double) = {
+      val docs = Tables(spark, dir).documentsSpread
+      Retrieval.bm25TopK(docs, "doc_id", "text", probesOf(docs), "query_id",
+        "term", k = 10, k1 = 1.2, b = 0.75, maxDfFrac = cap)
     }
 
     // df census once: how many terms each cap keeps/drops, and the
@@ -54,6 +60,9 @@ object MaxDfProbe {
     // postings restricted to kept terms)
     def census(cap: Double): (Long, Long, Long) = {
       val docs = Tables(spark, dir).documentsSpread
+      // postings + df mirror Retrieval.bm25TopK's internals
+      // (Retrieval.scala: tokenize → per-(doc, term) tf → per-term df →
+      // df cap BEFORE the probe join) — keep in lockstep with that file
       val toks = docs.select(col("doc_id"),
         explode(TextFns.words(col("text"))).as("term"))
       val postings = toks.groupBy(col("doc_id"), col("term"))
@@ -67,13 +76,9 @@ object MaxDfProbe {
       // posting) PAIRS — a distinct-terms semi-join would understate the
       // kept-stopwords config by roughly the probe count, which is
       // precisely the cost the cap claim is judged on
-      val probes = docs.where(col("doc_id") % 25 === 0)
-        .select(col("doc_id").as("query_id"),
-          explode(array_distinct(slice(TextFns.words(col("text")), 1, 4)))
-            .as("term"))
       val matched = postings
         .join(kept.select("term"), Seq("term"), "left_semi")
-        .join(probes, Seq("term"))
+        .join(probesOf(docs), Seq("term"))
         .count()
       (kept.count(), df.count() - kept.count(), matched)
     }

@@ -148,9 +148,12 @@ object Sampling {
     * determinism grounds). Output: input columns + `mix_rate` (q6, the
     * audit of what rate each row's stratum drew).
     *
-    * Scale shape: one stratum-count aggregate (broadcast back: one row
-    * per stratum) + a 1-row total broadcast; the filter itself is a
-    * codegen'd projection — no extra shuffle of the data.
+    * Scale shape: ONE stratum-count aggregate over the corpus (broadcast
+    * back: one row per stratum); the 1-row total is derived from that
+    * counts frame, not a second corpus scan, and the filter itself is a
+    * codegen'd projection — no extra shuffle of the data. Null strata
+    * are rated as their own stratum (null-safe join; the oracle replays
+    * with IS NOT DISTINCT FROM).
     */
   def temperatureMix(df: DataFrame, strataCol: String, idCol: String,
                      scale: Double, salt: String): DataFrame = {
@@ -161,7 +164,10 @@ object Sampling {
     // that stratum's own rate; a plain equi-join would silently drop
     // every one of them before the coin is even thrown
     val counts = df.groupBy(col(strataCol).as("__k")).agg(count(lit(1)).as("__n"))
-    val total = df.agg(count(lit(1)).as("__t"))
+    // the total is the SUM of the stratum counts — derive it from the
+    // strata-cardinality-sized frame instead of paying a second full
+    // corpus scan for the same exact long (bit-identical rate)
+    val total = counts.agg(sum(col("__n")).as("__t"))
     val rate = least(lit(1.0),
       lit(scale) * sqrt(col("__t").cast("double")) / sqrt(col("__n").cast("double")))
     df.join(broadcast(counts), col(strataCol) <=> col("__k"))

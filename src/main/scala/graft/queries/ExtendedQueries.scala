@@ -685,7 +685,8 @@ object ExtendedQueries {
         |tot AS (SELECT count(*) AS t FROM documents),
         |rated AS (SELECT d.doc_id, d.lang,
         |    least(1.0, 0.45 * sqrt(CAST(t.t AS DOUBLE)) / sqrt(CAST(c.n AS DOUBLE))) AS rate
-        |  FROM documents d JOIN counts c USING (lang), tot t)
+        |  FROM documents d
+        |  JOIN counts c ON d.lang IS NOT DISTINCT FROM c.lang, tot t)
         |SELECT doc_id, lang,
         |  floor(rate * 1000000.0 + 0.5) / 1000000.0 AS mix_rate
         |FROM rated
