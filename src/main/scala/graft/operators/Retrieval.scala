@@ -30,10 +30,12 @@ object Retrieval {
   /** BM25 top-k: for each query (rows of (queryIdCol, termCol)), the k
     * highest-scoring documents with deterministic doc-id tiebreaks.
     *
-    * Determinism contract (SURVEY §5): tf/df/dl are exact integers; the
-    * per-(query, doc) score folds its per-term contributions in TERM ORDER
-    * (sorted collect + left fold) so float addition associates identically
-    * in any engine, then quantizes to 6 decimals before ranking.
+    * Determinism contract (SURVEY §5): tf/df/dl are exact integers; each
+    * per-term contribution quantizes to the 1e-6 grid as a long and the
+    * per-(query, doc) score is the order-free integer sum of those grid
+    * terms (the q109/q126 mergeable construction — replaced the r08
+    * ordered collect_list fold in r09), quantized to 6 decimals before
+    * ranking. The oracle replays the identical per-term grid expression.
     *
     * Output: (queryIdCol, docIdCol, score, n_terms, rank), rank 1..k.
     */
@@ -72,17 +74,25 @@ object Retrieval {
       .join(postings, "term")
       .withColumn("tscore", idf * (col("tf") * lit(k1 + 1.0)) / lengthNorm)
 
-    // Ordered fold: sort matched terms, then left-fold the additions so
-    // the double sum is bit-identical across engines (SURVEY §5).
-    val folded = perTerm.groupBy(col(queryIdCol), id)
-      .agg(
-        aggregate(
-          array_sort(collect_list(struct(col("term"), col("tscore")))),
-          lit(0.0),
-          (acc: Column, x: Column) => acc + x.getField("tscore")).as("__raw"),
-        count(lit(1)).as("n_terms"))
-      .withColumn("score", Portable.q6(col("__raw")))
-      .drop("__raw")
+    // Exact-integer-grid sum (the q109/q126 construction): each term's
+    // contribution quantizes to the 1e-6 grid as a LONG, and longs sum
+    // order-free — bit-identical across engines, partitionings and
+    // engine versions with NO ordered fold, so the aggregate map-side
+    // combines as a plain `partial_sum` (one long per (partition, query,
+    // doc)) instead of buffering matched-term structs in an
+    // ObjectHashAggregate array. Accuracy: ≤ 5e-7 · n_terms rounding,
+    // and n_terms is bounded by the QUERY's term count (a probe-shape
+    // constant), never the corpus. Overflow headroom: tscore ≤
+    // idf_max · (k1+1) ≲ 60 even at N = 10¹⁰ docs, so each grid term is
+    // < 6e7 and a query needs ~10¹¹ matched terms to approach 2⁶³.
+    val folded = perTerm
+      .withColumn("__qt",
+        floor(col("tscore") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(col(queryIdCol), id)
+      .agg(sum(col("__qt")).as("__qsum"), count(lit(1)).as("n_terms"))
+      .withColumn("score",
+        Portable.q6(col("__qsum").cast("double") / lit(1000000.0)))
+      .drop("__qsum")
 
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("score").desc, id.asc)

@@ -444,10 +444,8 @@ object ExtendedQueries {
       |    JOIN postings p ON t.term = p.term),
       |folded AS (
       |  SELECT query_id, doc_id,
-      |    CAST(list_reduce(
-      |      list_prepend(CAST(0.0 AS DOUBLE),
-      |        list(CAST(tscore AS DOUBLE) ORDER BY term)),
-      |      (a, b) -> a + b) AS DOUBLE) AS raw,
+      |    CAST(sum(CAST(floor(tscore * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      |      / 1000000.0 AS raw,
       |    count(*) AS n_terms
       |  FROM per_term GROUP BY 1, 2)""".stripMargin
 

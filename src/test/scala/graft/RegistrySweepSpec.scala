@@ -159,15 +159,9 @@ class RegistrySweepSpec extends SparkSpec {
     * a mergeable grid sum, the q109/q126/q134 fix).
     */
   private val arrayBufferJustified: Map[String, String] = Map(
-    "q104_bm25_search" ->
-      ("Retrieval.bm25TopK's ordered score fold groups by (query, doc) " +
-        "and collects the MATCHED query terms — bounded by the probe " +
-        "query's term count (a handful), never the corpus; the postings " +
-        "side never buffers"),
-    "q128_hybrid_retrieval" ->
-      "same bound as q104 — its recall stage IS Retrieval.bm25TopK",
-    "q135_bm25_capped" ->
-      "same bound as q104 — identical pipeline, tighter maxDfFrac",
+    // (q104/q128/q135 no longer appear here: Retrieval.bm25TopK's score
+    // fold became the exact-integer-grid sum in r09, so the BM25 family
+    // carries no array buffer at all — the map shrank, not grew)
     "q111_lm_perplexity" ->
       ("LanguageModel.bigramCrossEntropy's ordered logp fold groups by " +
         "doc and collects ONE document's bigram terms — bounded by a " +

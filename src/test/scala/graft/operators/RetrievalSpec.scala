@@ -57,7 +57,7 @@ class RetrievalSpec extends graft.SparkSpec {
     assert(out.head.getAs[Long]("doc_id") == 4L) // "skew" holder wins
   }
 
-  test("bm25: deterministic under re-partitioning (ordered score fold)") {
+  test("bm25: deterministic under re-partitioning (exact-integer-grid score sum)") {
     val q = Seq((1L, "spark"), (1L, "cluster"), (1L, "data"))
       .toDF("query_id", "term")
     val a = Retrieval.bm25TopK(docs, "doc_id", "text", q, "query_id", "term",
@@ -66,5 +66,16 @@ class RetrievalSpec extends graft.SparkSpec {
       q.repartition(3), "query_id", "term", k = 5, maxDfFrac = 1.0)
       .collect().toSet
     assert(a == b)
+  }
+
+  test("bm25: the score aggregate map-side combines (partial_sum, no collect_list buffer)") {
+    // the r09 grid-sum rewrite's plan contract (the q109/q126 pin): the
+    // shuffle carries one long partial per (partition, query, doc), not
+    // one matched-term struct per posting
+    val q = Seq((1L, "spark")).toDF("query_id", "term")
+    val plan = Retrieval.bm25TopK(docs, "doc_id", "text", q, "query_id",
+      "term", k = 5, maxDfFrac = 1.0).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"), s"no map-side partial sum in:\n$plan")
+    assert(!plan.contains("collect_list"), s"collect_list buffer survived:\n$plan")
   }
 }
