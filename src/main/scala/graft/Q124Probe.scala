@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   * measured stage:
   *
   *  - feature-build: explode to tokens, hash to buckets, groupBy
-  *    (doc, bucket) — one corpus pass, the only token-volume stage;
-  *  - margin-pass: one per-doc ordered margin fold over the PERSISTED
-  *    features (the scoring sub-stage, run with zero weights);
+  *    (doc, bucket), plus the bias-row union logisticTrain folds into
+  *    its persisted feature frame — one corpus pass, the only
+  *    token-volume stage;
+  *  - margin-pass: one per-doc grid-sum margin (the r10 form) over the
+  *    PERSISTED features, including the labels join logisticTrain's
+  *    margins() pays (the scoring sub-stage, run with zero weights);
   *  - iteration: logisticTrain's actual per-iteration unit — ONE action
   *    whose plan is the margin fold FEEDING the feature⋈residual join +
   *    per-bucket integer sum + 33-row collect (the loop never
@@ -63,9 +66,14 @@ object Q124Probe {
     val label = array_contains(split(col("text"), " "), "vector")
     def base = docs.select(col("doc_id").as("__id"), label.cast("int").as("__y"),
       split(col("text"), " ").as("__w"))
+    def labels = base.select(col("__id"), col("__y"))
+    // replica of logisticTrain's persisted feature frame INCLUDING the
+    // bias-row union (ADVICE r09: the probe's earlier defs omitted it,
+    // so the stage timings slightly understated the loop's real plan)
     def feat = base.select(col("__id"), explode(col("__w")).as("__tok"))
       .select(col("__id"), Classifier.bucketOf(col("__tok"), nBuckets, salt).as("__b"))
       .groupBy(col("__id"), col("__b")).agg(count(lit(1)).as("__cnt"))
+      .unionByName(labels.select(col("__id"), lit(-1).as("__b"), lit(1L).as("__cnt")))
 
     // warm-up: full pipeline once (JIT + page cache)
     Classifier.logisticTrain(docs, "doc_id", "text", label,
@@ -75,42 +83,55 @@ object Q124Probe {
 
     val tFeat = timed() { feat.write.format("noop").mode("overwrite").save() }
 
-    // the per-iteration stages read the persisted features, exactly as
-    // logisticTrain's loop does — materialize the cache OUTSIDE the
-    // timed blocks so tMargin/tGrad measure per-iteration cost alone
+    // the per-iteration stages read the persisted features and labels,
+    // exactly as logisticTrain's loop does — materialize the caches
+    // OUTSIDE the timed blocks so tMargin/tIter measure per-iteration
+    // cost alone
     val featC = feat.cache()
     featC.write.format("noop").mode("overwrite").save()
+    val labelsC = labels.cache()
+    labelsC.write.format("noop").mode("overwrite").save()
 
-    // one margin pass at zero weights: the per-iteration scoring fold
+    // one margin pass at zero weights: the per-iteration scoring stage,
+    // grid-sum form + labels join, mirroring Classifier.margins (r10)
     def margin = featC
-      .select(col("__id"), struct(col("__b").as("b"),
-        (lit(0.0) * col("__cnt")).as("c")).as("__bc"))
+      .select(col("__id"),
+        floor((lit(0.0) * col("__cnt")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("__qt"))
       .groupBy(col("__id"))
-      .agg(aggregate(array_sort(collect_list(col("__bc"))), lit(0.0),
-        (acc, x) => acc + x.getField("c")).as("__z"))
+      .agg(sum(col("__qt")).as("__qz"))
+      .join(labelsC, Seq("__id"))
+      .withColumn("__p", graft.functions.Portable.q6(
+        lit(1.0) / (lit(1.0) +
+          exp(-(col("__qz").cast("double") / lit(1000000.0))))))
     val tMargin = timed(keepCache = true) {
       margin.write.format("noop").mode("overwrite").save()
     }
 
     // one full training iteration, exactly as logisticTrain's loop pays
-    // it: a single action = margin fold → residual → feature⋈residual
+    // it: a single action = margin sum → residual → feature⋈residual
     // join → per-bucket integer sum → bounded collect (the loop derives
     // the residual from an unmaterialized margins() def over the
-    // persisted features, so the fold is part of the iteration's plan)
+    // persisted features, so the margin stage is part of the iteration's
+    // plan)
     val tIter = timed(keepCache = true) {
       val resid = margin.select(col("__id"),
-        floor(lit(0.5) * lit(1000000.0) + lit(0.5)).cast("long").as("__e"))
+        floor((col("__p") - col("__y")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("__e"))
       featC.join(resid, Seq("__id"))
         .groupBy(col("__b")).agg(sum(col("__e") * col("__cnt")).as("__g"))
         .collect()
     }
 
     // bucket census: is the hot-word mass actually skewing buckets?
-    // (still on the cached frame, then release it before full-train)
-    val census = featC.groupBy(col("__b"))
+    // (still on the cached frame, then release it before full-train;
+    // the synthetic bias bucket −1 is excluded — the census is about
+    // FEATURE skew, and bias rows are one constant row per doc)
+    val census = featC.where(col("__b") =!= -1).groupBy(col("__b"))
       .agg(count(lit(1)).as("rows"), sum(col("__cnt")).as("tokens"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     featC.unpersist()
+    labelsC.unpersist()
     spark.catalog.clearCache()
 
     val tFull = timed() {

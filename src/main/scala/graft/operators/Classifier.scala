@@ -26,11 +26,18 @@ import org.apache.spark.sql.functions._
   * so the per-bucket sum is associative and map-side combinable with no
   * float-order dependence; weight updates are then a fixed double
   * expression over those integers that any engine replays bit-for-bit.
-  * The per-doc margin folds over its (bounded, ≤ dim) features in
-  * bucket order. `exp` runs on identical IEEE inputs in either engine
-  * (the q111 `ln` precedent). The DuckDB oracle replays every unrolled
-  * iteration. At extreme corpus sizes the long gradient bound is
-  * 1e6 × corpus tokens — past ~9e18 switch the sum to decimal(38,0).
+  * The per-doc margin is ALSO an exact-integer-grid sum (r10, the q104
+  * BM25 construction): each feature's contribution w·cnt quantizes to
+  * the 1e-6 grid as a long and the per-doc sum is order-free — the
+  * aggregate map-side combines as a `partial_sum` instead of buffering
+  * per-bucket structs in an array (the pre-r10 ordered fold). Margin
+  * rounding is ≤ 5e-7 per feature, ≤ 5e-7 · (distinct buckets + 1) ≤
+  * 5e-7 · (nBuckets + 1) per margin — a model constant, far inside the
+  * sigmoid's q6 output grid for any sane nBuckets. `exp` runs on
+  * identical IEEE inputs in either engine (the q111 `ln` precedent).
+  * The DuckDB oracle replays every unrolled iteration. At extreme
+  * corpus sizes the long gradient bound is 1e6 × corpus tokens — past
+  * ~9e18 switch the sum to decimal(38,0).
   */
 object Classifier {
 
@@ -63,18 +70,20 @@ object Classifier {
       .persist()
     val n = labels.count() // bounded scalar; also materializes the caches
 
-    // margin fold: contributions in bucket order (bias first), so float
-    // addition associates identically in any engine (q111 construction)
+    // margin: exact-integer-grid sum (each w·cnt contribution quantized
+    // to the 1e-6 grid as a long, summed order-free — map-side
+    // combinable, no per-doc array buffer; see the class doc's bound)
     def margins(wts: Array[Double]): DataFrame = {
       val wcol = element_at(typedLit(wts.toSeq), col("__b") + 2)
       feat.select(col("__id"),
-          struct(col("__b").as("b"), (wcol * col("__cnt")).as("c")).as("__bc"))
+          floor((wcol * col("__cnt")) * lit(1000000.0) + lit(0.5))
+            .cast("long").as("__qt"))
         .groupBy(col("__id"))
-        .agg(aggregate(array_sort(collect_list(col("__bc"))), lit(0.0),
-          (acc: Column, x: Column) => acc + x.getField("c")).as("__z"))
+        .agg(sum(col("__qt")).as("__qz"))
         .join(labels, Seq("__id"))
         .withColumn("__p", Portable.q6(
-          lit(1.0) / (lit(1.0) + exp(-Portable.q6(col("__z"))))))
+          lit(1.0) / (lit(1.0) +
+            exp(-(col("__qz").cast("double") / lit(1000000.0))))))
     }
 
     val weights = Array.fill(nBuckets + 1)(0.0)

@@ -33,15 +33,22 @@ import org.apache.spark.sql.functions._
   *
   * ACCURACY TRADE of the grid sum: quantizing each edge contribution
   * BEFORE summing rounds d times per node instead of once, so a node's
-  * in-mass can drift up to 5e-7 · in-degree off the sum-doubles-then-
-  * quantize value (the pre-r08 fold's error). For a power-law hub with
-  * in-degree ≳ a few million the slack exceeds the 1e-6 output grid —
-  * acceptable for influence RANKING (relative order of ranks spanning
-  * orders of magnitude), but callers needing grid-accurate mass on
-  * hub-scale in-degrees should shrink the grid (1e-12 stays
-  * long-summable while Σranks ≤ 1 as here: 1e12 · 1 ≪ 9.2e18; the
-  * oracle must mirror the same constant) — determinism is unaffected
-  * either way, this is purely a rounding-accumulation bound.
+  * in-mass can drift up to (0.5/gridScale) · in-degree off the
+  * sum-doubles-then-quantize value (the pre-r08 fold's error). For a
+  * power-law hub with in-degree ≳ a few million the default 1e6 grid's
+  * slack exceeds the 1e-6 output grid — acceptable for influence
+  * RANKING (relative order of ranks spanning orders of magnitude);
+  * callers needing grid-accurate mass on hub-scale in-degrees pass
+  * `gridScale = 1e12`, which stays long-summable while Σranks ≤ 1 as
+  * here (1e12 · 1 ≪ 9.2e18; the oracle must mirror the same constant).
+  * Determinism is unaffected at EITHER grid — this is purely a
+  * rounding-accumulation bound. NOTE the grids are not interchangeable
+  * bit-for-bit: the coarser grid rounds in_mass BEFORE the damping
+  * multiply, and that ≤ 5e-7 perturbation can cross a q6 OUTPUT cell at
+  * any in-degree (measured in GraphSpec: a 20-node fixture lands 1-2
+  * output cells apart). What is structural is the bound — per iteration
+  * the grids diverge by at most one q6 cell plus the carried-in rank
+  * difference, so k iterations sit within k·1e-6 (spec-pinned).
   *
   * At 100 TB: the edge list is the only large table; it is scanned once
   * per iteration, pre-shuffled on src by the degree join so AQE reuses
@@ -57,7 +64,10 @@ object Graph {
     *
     * Dangling mass (nodes with no out-edges) is dropped, not
     * redistributed — the conventional "leaky" formulation; the oracle
-    * replays the identical rule. Returns (node, rank, n_iters).
+    * replays the identical rule. `gridScale` picks the in-mass
+    * accumulation grid (1e6 default; 1e12 for grid-accurate hub mass —
+    * class doc's ACCURACY TRADE; the oracle mirrors the constant).
+    * Returns (node, rank, n_iters).
     *
     * Cache lifetime (the [[Similarity]] / [[Fuzzy]] convention): the
     * default `persist` caches `nodes` and `shares` — both read once per
@@ -72,8 +82,14 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                weight: Column, iters: Int, damping: Double = 0.85,
-               persist: DataFrame => DataFrame = _.cache()): DataFrame = {
+               persist: DataFrame => DataFrame = _.cache(),
+               gridScale: Double = 1e6): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    // the in-mass accumulation grid (class doc's ACCURACY TRADE): 1e6
+    // matches the q6 output grid; 1e12 for grid-accurate hub mass. The
+    // oracle must unroll with the identical constant.
+    require(gridScale == 1e6 || gridScale == 1e12,
+      s"gridScale must be 1e6 or 1e12 (oracle-mirrored constants), got $gridScale")
     // weight stays untouched: with integer weights the per-source sum is
     // exact, so share = w/outw is a bit-deterministic double in any
     // engine (a double weight would make `outw` depend on addition order)
@@ -96,11 +112,11 @@ object Graph {
       val contribs = ranks.join(shares, ranks("node") === shares("src"))
         .select(col("dst"), (col("rank") * col("share")).as("c"))
       // exact-integer-grid mergeable sum: quantize each contribution to
-      // 1e-6, sum as longs (partial aggregation — map-side combine),
-      // rescale once; identical IEEE division in any engine
+      // 1/gridScale, sum as longs (partial aggregation — map-side
+      // combine), rescale once; identical IEEE division in any engine
       val inbound = contribs.groupBy(col("dst"))
-        .agg((sum(floor(col("c") * lit(1000000.0) + lit(0.5)).cast("long"))
-          .cast("double") / lit(1000000.0)).as("in_mass"))
+        .agg((sum(floor(col("c") * lit(gridScale) + lit(0.5)).cast("long"))
+          .cast("double") / lit(gridScale)).as("in_mass"))
       ranks = nodes.join(inbound, nodes("node") === inbound("dst"), "left")
         .crossJoin(broadcast(n))
         .select(col("node"),

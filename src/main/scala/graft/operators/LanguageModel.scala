@@ -26,10 +26,21 @@ import org.apache.spark.sql.functions._
   *
   * Determinism contract (SURVEY §5): counts and V are exact integers;
   * each bigram's log-probability is computed independently (libm `ln` on
-  * identical IEEE inputs — the q104 BM25 idf precedent); the per-document
-  * sum folds in POSITION order (sorted collect + left fold) so float
-  * addition associates identically in any engine; the final score is
-  * quantized to 6 decimals.
+  * identical IEEE inputs — the q104 BM25 idf precedent); each logp then
+  * quantizes to the 1e-6 grid as a LONG and the per-document sum is the
+  * order-free integer sum of those grid terms (the q104/q109/q126
+  * mergeable construction — replaced the r09 position-ordered
+  * collect_list fold in r10), so the aggregate map-side combines as a
+  * plain `partial_sum` (one long per (partition, doc)) instead of
+  * buffering a document's bigram structs in an ObjectHashAggregate
+  * array; the final score is quantized to 6 decimals.
+  *
+  * Grid accuracy/overflow: per-bigram rounding is ≤ 5e-7, so the SUM
+  * drifts ≤ 5e-7 · n_bigrams — and cross_entropy divides by n_bigrams,
+  * so the score error stays ≤ 5e-7 regardless of document length.
+  * |logp| ≤ ln((C(w1·) + αV)/α) ≲ 50 even at 10¹⁰-token corpora, so
+  * each grid term is < 5e7 and a document needs ~2e11 bigrams to
+  * approach 2⁶³.
   */
 object LanguageModel {
 
@@ -53,13 +64,13 @@ object LanguageModel {
     val id = col(idCol)
     val base = docs.select(id, TextFns.words(col(textCol)).as("__w"))
 
-    // (id, pos, w1, w2) bigram rows: one zip_with + posexplode, no join.
+    // (id, w1, w2) bigram rows: one zip_with + explode, no join.
     val bigrams = base.where(size(col("__w")) >= 2)
-      .select(id, posexplode(zip_with(
+      .select(id, explode(zip_with(
         slice(col("__w"), lit(1), size(col("__w")) - 1),
         slice(col("__w"), lit(2), size(col("__w")) - 1),
         (a: Column, b: Column) => struct(a.as("w1"), b.as("w2")))))
-      .select(id, col("pos"), col("col.w1").as("w1"), col("col.w2").as("w2"))
+      .select(id, col("col.w1").as("w1"), col("col.w2").as("w2"))
 
     // Model: bigram counts (one corpus shuffle, map-side combined);
     // context counts derive from them (vocabulary-sized input).
@@ -75,16 +86,16 @@ object LanguageModel {
       .withColumn("logp",
         log((col("c2") + lit(alpha)) / (col("c1") + lit(alpha) * col("v"))))
 
-    // Position-ordered fold: float addition associates identically in
-    // any engine (the q104 construction).
-    val folded = scored.groupBy(id)
-      .agg(
-        aggregate(
-          array_sort(collect_list(struct(col("pos"), col("logp")))),
-          lit(0.0),
-          (acc: Column, x: Column) => acc + x.getField("logp")).as("__sum"),
-        count(lit(1)).as("n_bigrams"))
-      .withColumn("cross_entropy", Portable.q6(-col("__sum") / col("n_bigrams")))
+    // Exact-integer-grid sum (the q104 BM25 construction): longs sum
+    // order-free, so the per-doc aggregate map-side combines with no
+    // array buffer (see the class doc for the accuracy/overflow bound).
+    val folded = scored
+      .withColumn("__qt",
+        floor(col("logp") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(id)
+      .agg(sum(col("__qt")).as("__qsum"), count(lit(1)).as("n_bigrams"))
+      .withColumn("cross_entropy", Portable.q6(
+        -(col("__qsum").cast("double") / lit(1000000.0)) / col("n_bigrams")))
 
     folded.select(id, col("n_bigrams"), col("cross_entropy"),
       (col("cross_entropy") > lit(tau)).as("flagged"))
@@ -119,7 +130,7 @@ object LanguageModel {
     * form behind DSIR-style importance weighting: bigrams the model
     * never saw take C(w1 w2) = 0 (and unseen contexts C(w1 ·) = 0), so
     * add-alpha smoothing alone carries them — LEFT joins with exact
-    * integer zero fills, the same fold and q6 contract as
+    * integer zero fills, the same grid-sum and q6 contract as
     * [[bigramCrossEntropy]] (which is this function over a same-corpus
     * model, where every join matches).
     *
@@ -131,11 +142,11 @@ object LanguageModel {
     val id = col(idCol)
     val base = docs.select(id, TextFns.words(col(textCol)).as("__w"))
     val bigrams = base.where(size(col("__w")) >= 2)
-      .select(id, posexplode(zip_with(
+      .select(id, explode(zip_with(
         slice(col("__w"), lit(1), size(col("__w")) - 1),
         slice(col("__w"), lit(2), size(col("__w")) - 1),
         (a: Column, b: Column) => struct(a.as("w1"), b.as("w2")))))
-      .select(id, col("pos"), col("col.w1").as("w1"), col("col.w2").as("w2"))
+      .select(id, col("col.w1").as("w1"), col("col.w2").as("w2"))
     val scored = bigrams
       .join(model.c2, Seq("w1", "w2"), "left")
       .join(model.c1, Seq("w1"), "left")
@@ -143,14 +154,13 @@ object LanguageModel {
       .withColumn("logp",
         log((coalesce(col("c2"), lit(0L)) + lit(alpha)) /
           (coalesce(col("c1"), lit(0L)) + lit(alpha) * col("v"))))
-    scored.groupBy(id)
-      .agg(
-        aggregate(
-          array_sort(collect_list(struct(col("pos"), col("logp")))),
-          lit(0.0),
-          (acc: Column, x: Column) => acc + x.getField("logp")).as("__sum"),
-        count(lit(1)).as("n_bigrams"))
-      .withColumn("cross_entropy", Portable.q6(-col("__sum") / col("n_bigrams")))
+    scored
+      .withColumn("__qt",
+        floor(col("logp") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(id)
+      .agg(sum(col("__qt")).as("__qsum"), count(lit(1)).as("n_bigrams"))
+      .withColumn("cross_entropy", Portable.q6(
+        -(col("__qsum").cast("double") / lit(1000000.0)) / col("n_bigrams")))
       .select(id, col("n_bigrams"), col("cross_entropy"))
   }
 }

@@ -24,8 +24,12 @@ import org.apache.spark.sql.functions._
   *
   * Determinism (SURVEY §5): subvector distances quantize to q6 before
   * the argmin; ties break on the lower code id; the reconstruction
-  * error folds in subspace order. The DuckDB oracle replays every
-  * distance and pick. Codebooks here are SEEDED (the q41 convention —
+  * error is the exact-integer-grid sum of the chosen (already
+  * q6-quantized, hence exactly grid-valued) distances — order-free
+  * longs, map-side combinable (r10; the only remaining per-vector
+  * buffer is the nSub-bounded code-string gather, which is a SEQUENCE
+  * and cannot be a sum). The DuckDB oracle replays every distance and
+  * pick. Codebooks here are SEEDED (the q41 convention —
   * lowest-id vectors are the prototypes) so the oracle can replay
   * codebook construction too; a trained codebook drops in through the
   * same frame shape via [[Similarity.kMeansCentroids]] per subspace.
@@ -62,8 +66,9 @@ object Quantize {
 
   /** Encode every vector against `codebook` (sub, code, cent): output
     * (idCol, codes — "_"-joined code string in subspace order,
-    * recon_err — q6 sum of the chosen subspace distances in subspace
-    * order).
+    * recon_err — q6 exact-integer-grid sum of the chosen subspace
+    * distances; each dist2 is already q6-grid-valued, so the long sum
+    * is EXACT, not merely deterministic).
     */
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String, nSub: Int,
                codebook: DataFrame): DataFrame = {
@@ -77,12 +82,16 @@ object Quantize {
       .withColumn("dist2", dist2)
       .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
     best.groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("sub"), col("code"), col("dist2"))))
-        .as("__picks"))
+      .agg(
+        // the code STRING is a sequence — subspace order is its
+        // semantics, so this (nSub-bounded) gather cannot be a sum
+        array_sort(collect_list(struct(col("sub"), col("code")))).as("__picks"),
+        // dist2 is q6-grid-valued, so the long sum is exact (class doc)
+        sum(floor(col("dist2") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .as("__qerr"))
       .select(col(idCol),
         array_join(transform(col("__picks"),
           (x: Column) => x.getField("code").cast("string")), "_").as("codes"),
-        Portable.q6(aggregate(col("__picks"), lit(0.0),
-          (acc: Column, x: Column) => acc + x.getField("dist2"))).as("recon_err"))
+        Portable.q6(col("__qerr").cast("double") / lit(1000000.0)).as("recon_err"))
   }
 }

@@ -143,8 +143,8 @@ object CurationQueries {
       // per-bigram likelihood ratio — and the 150 most target-like
       // drawn by the q108 A-ES coin. Both models derive from ONE
       // corpus bigram pass; the oracle replays both cross-entropy
-      // folds (the q111 chain, left-join smoothed for unseen bigrams)
-      // and the pow key ranking.
+      // grid sums (the q111 chain, left-join smoothed for unseen
+      // bigrams) and the pow key ranking.
       graft.operators.Dsir.importanceSelect(Tables(s, d).documentsSpread,
         "doc_id", "text", targetPred = col("lang") === "en",
         k = 150, alpha = 0.5, salt = "dsir129")
@@ -276,12 +276,14 @@ object CurationQueries {
       def nextW(wCte: String, gCte: String) =
         s"""SELECT bucket, $wCte.wt - 0.5 * (CAST(g AS DOUBLE) / 1000000.0 / n.n) AS wt
            |  FROM $wCte JOIN $gCte USING (bucket), n""".stripMargin
+      // margin replay: per-feature w·cnt quantized to the 1e-6 grid as
+      // BIGINT, summed order-free (the q104 construction, r10)
       def margin(wCte: String, pCte: String) =
         s"""$pCte AS (SELECT id, y,
-           |    floor(1.0 / (1.0 + exp(-(floor(z * 1000000.0 + 0.5) / 1000000.0)))
+           |    floor(1.0 / (1.0 + exp(-(CAST(qz AS DOUBLE) / 1000000.0)))
            |      * 1000000.0 + 0.5) / 1000000.0 AS p
-           |  FROM (SELECT id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |        list(CAST(wt * cnt AS DOUBLE) ORDER BY bucket)), (a,b) -> a + b) AS z
+           |  FROM (SELECT id, sum(CAST(floor((wt * cnt) * 1000000.0 + 0.5)
+           |        AS BIGINT)) AS qz
            |      FROM feat JOIN $wCte USING (bucket) GROUP BY id) z
            |  JOIN base USING (id))""".stripMargin
       s"""WITH raw AS (SELECT doc_id AS id, string_split(text,' ') AS w FROM documents),
@@ -331,8 +333,8 @@ object CurationQueries {
         |  WHERE rn = 1)
         |SELECT vec_id,
         |  string_agg(code::VARCHAR, '_' ORDER BY sub) AS codes,
-        |  floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |      list(dist2 ORDER BY sub)), (a, b) -> a + b)
+        |  floor((CAST(sum(CAST(floor(dist2 * 1000000.0 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / 1000000.0)
         |    * 1000000.0 + 0.5) / 1000000.0 AS recon_err
         |FROM best GROUP BY 1""".stripMargin,
 
@@ -374,23 +376,24 @@ object CurationQueries {
 
     "q129_dsir_select" -> {
       // score `bgr` under a (c2x, c1x, vx) model: LEFT joins + exact
-      // integer zero fills for unseen bigrams/contexts, position-
-      // ordered fold, q6 mean NLL — the q111 chain, cross-domain form
+      // integer zero fills for unseen bigrams/contexts, per-bigram 1e-6
+      // grid quantize → order-free BIGINT sum (the q104 construction,
+      // r10), q6 mean NLL — the q111 chain, cross-domain form
       def fold(tag: String, outCe: String) =
-        s"""s$tag AS (SELECT b.doc_id, b.pos,
+        s"""s$tag AS (SELECT b.doc_id,
            |    ln((coalesce(c.c2, 0) + 0.5) / (coalesce(k.c1, 0) + 0.5 * v$tag.v)) AS logp
            |  FROM bgr b LEFT JOIN c2$tag c USING (w1, w2)
            |    LEFT JOIN c1$tag k USING (w1), v$tag),
            |f$tag AS (SELECT doc_id,
-           |    floor((-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |        list(CAST(logp AS DOUBLE) ORDER BY pos)), (a, b) -> a + b))
+           |    floor((-(CAST(sum(CAST(floor(logp * 1000000.0 + 0.5) AS BIGINT))
+           |          AS DOUBLE) / 1000000.0)
            |      / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS $outCe,
            |    count(*) AS n_bigrams
            |  FROM s$tag GROUP BY doc_id)""".stripMargin
       s"""WITH base AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents),
-         |bgr AS (SELECT doc_id, lang, u['pos'] AS pos, u['w1'] AS w1, u['w2'] AS w2
+         |bgr AS (SELECT doc_id, lang, u['w1'] AS w1, u['w2'] AS w2
          |  FROM (SELECT doc_id, lang, unnest(list_transform(range(1, len(w)),
-         |      i -> {'pos': i, 'w1': w[i], 'w2': w[i+1]})) AS u
+         |      i -> {'w1': w[i], 'w2': w[i+1]})) AS u
          |    FROM base WHERE len(w) >= 2)),
          |c2a AS (SELECT w1, w2, count(*) AS c2 FROM bgr GROUP BY 1, 2),
          |c1a AS (SELECT w1, sum(c2) AS c1 FROM c2a GROUP BY 1),
@@ -447,7 +450,8 @@ object CurationQueries {
       val lm = LLMQueries.LmFoldedCte
       s"""$lm,
         |ce AS (SELECT doc_id,
-        |    floor((-s / n_bigrams) * 1000000.0 + 0.5) / 1000000.0 AS cross_entropy
+        |    floor((-(CAST(qs AS DOUBLE) / 1000000.0) / n_bigrams)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS cross_entropy
         |  FROM folded),
         |r AS (SELECT doc_id, cross_entropy,
         |    CAST(row_number() OVER (ORDER BY cross_entropy, doc_id) AS INT) AS ce_rank,

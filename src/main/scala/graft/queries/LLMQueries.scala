@@ -322,8 +322,9 @@ object LLMQueries {
       // CCNet-style distributional complement of q26's heuristic quality
       // ratios (wrong-language / template-spam / shuffled-token docs sit
       // in the high-entropy tail). Every intermediate is linear in
-      // corpus tokens or vocabulary-sized; the per-doc float sum folds
-      // in position order so the DuckDB oracle replays it bit-for-bit.
+      // corpus tokens or vocabulary-sized; the per-doc sum is the
+      // order-free 1e-6 integer-grid sum (map-side combinable, no array
+      // buffer) and the DuckDB oracle replays it bit-for-bit.
       graft.operators.LanguageModel.bigramCrossEntropy(
         Tables(s, d).documentsSpread, "doc_id", "text",
         alpha = 0.5, tau = 8.0)
@@ -403,26 +404,26 @@ object LLMQueries {
 
   /** The bigram-LM scoring chain shared by q111 (perplexity filter) and
     * q119 (corpus buckets): corpus-trained add-0.5 model, per-doc
-    * position-ordered log-prob fold, ending at `folded(doc_id, s,
+    * exact-integer-grid log-prob sum (each bigram's logp quantized to
+    * the 1e-6 grid as a BIGINT, summed order-free — the q104 BM25
+    * construction, adopted in r10), ending at `folded(doc_id, qs,
     * n_bigrams)`.
     */
   private[queries] val LmFoldedCte: String =
     """WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-      |bgr AS (SELECT doc_id, u['pos'] AS pos, u['w1'] AS w1, u['w2'] AS w2
+      |bgr AS (SELECT doc_id, u['w1'] AS w1, u['w2'] AS w2
       |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)),
-      |      i -> {'pos': i, 'w1': w[i], 'w2': w[i+1]})) AS u
+      |      i -> {'w1': w[i], 'w2': w[i+1]})) AS u
       |    FROM base WHERE len(w) >= 2)),
       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bgr GROUP BY 1, 2),
       |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
       |v AS (SELECT count(DISTINCT word) AS v
       |  FROM (SELECT unnest(w) AS word FROM base)),
-      |scored AS (SELECT b.doc_id, b.pos,
+      |scored AS (SELECT b.doc_id,
       |    ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)) AS logp
       |  FROM bgr b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v),
       |folded AS (SELECT doc_id,
-      |    CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      |        list(CAST(logp AS DOUBLE) ORDER BY pos)),
-      |      (a, b) -> a + b) AS DOUBLE) AS s,
+      |    CAST(sum(CAST(floor(logp * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qs,
       |    count(*) AS n_bigrams
       |  FROM scored GROUP BY 1)""".stripMargin
 
@@ -797,13 +798,16 @@ object LLMQueries {
 
     // Bigram-LM replay: identical integer counts and vocabulary size,
     // per-bigram ln() on identical IEEE inputs (the q104 idf precedent),
-    // position-ordered left fold of the per-doc sum, q6 quantization.
-    // The CTE chain is shared with q119's bucket composition.
+    // per-bigram 1e-6 grid quantize → order-free BIGINT sum (the q104
+    // construction), q6 quantization. The CTE chain is shared with
+    // q119's bucket composition.
     "q111_lm_perplexity" ->
       s"""$LmFoldedCte
         |SELECT doc_id, n_bigrams,
-        |  floor((-s / n_bigrams) * 1000000.0 + 0.5) / 1000000.0 AS cross_entropy,
-        |  (floor((-s / n_bigrams) * 1000000.0 + 0.5) / 1000000.0 > 8.0) AS flagged
+        |  floor((-(CAST(qs AS DOUBLE) / 1000000.0) / n_bigrams)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS cross_entropy,
+        |  (floor((-(CAST(qs AS DOUBLE) / 1000000.0) / n_bigrams)
+        |    * 1000000.0 + 0.5) / 1000000.0 > 8.0) AS flagged
         |FROM folded""".stripMargin,
 
     // Sign-matrix replay: sign(j,i) = parity of the first md5 hex char of
@@ -845,7 +849,8 @@ object LLMQueries {
     "q119_perplexity_buckets" ->
       s"""$LmFoldedCte,
         |ce AS (SELECT doc_id,
-        |    floor((-s / n_bigrams) * 1000000.0 + 0.5) / 1000000.0 AS cross_entropy
+        |    floor((-(CAST(qs AS DOUBLE) / 1000000.0) / n_bigrams)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS cross_entropy
         |  FROM folded),
         |r AS (SELECT doc_id, cross_entropy,
         |    CAST(row_number() OVER (ORDER BY cross_entropy, doc_id) AS INT) AS ce_rank,

@@ -159,38 +159,31 @@ class RegistrySweepSpec extends SparkSpec {
     * a mergeable grid sum, the q109/q126/q134 fix).
     */
   private val arrayBufferJustified: Map[String, String] = Map(
-    // (q104/q128/q135 no longer appear here: Retrieval.bm25TopK's score
-    // fold became the exact-integer-grid sum in r09, so the BM25 family
-    // carries no array buffer at all — the map shrank, not grew)
-    "q111_lm_perplexity" ->
-      ("LanguageModel.bigramCrossEntropy's ordered logp fold groups by " +
-        "doc and collects ONE document's bigram terms — bounded by a " +
-        "single document's token count, the per-row unit the whole " +
-        "pipeline already holds in memory as `text`"),
-    "q119_perplexity_buckets" ->
-      "same bound as q111 — scores via LanguageModel.bigramCrossEntropy",
-    "q129_dsir_select" ->
-      ("both cross-entropy folds are LanguageModel.bigramCrossEntropy " +
-        "(the q111 bound: one document's tokens per buffer)"),
-    "q131_curriculum_order" ->
-      ("difficulty scoring is LanguageModel.bigramCrossEntropy (q111 " +
-        "bound); both orderings go through Rankings.globalRank, no " +
-        "data-sized buffer"),
-    "q124_quality_classifier" ->
-      ("Classifier.logisticTrain's margin fold groups by doc and " +
-        "collects per-BUCKET contributions — at most nBuckets+1 (33) " +
-        "structs per doc, a model constant; the gradient itself is the " +
-        "mergeable integer-grid sum"),
+    // (q104/q128/q135 left in r09 — Retrieval.bm25TopK's score fold
+    // became the exact-integer-grid sum; q111/q119/q129/q131 and q124
+    // left in r10 the same way — LanguageModel's logp fold and
+    // Classifier's margin fold converted to grid sums, and q125's
+    // recon_err half did too. Every SURVIVING entry must say why a grid
+    // sum CANNOT replace it, not just what bounds it: the remaining
+    // buffers all reassemble SEQUENCES, where order IS the semantics
+    // and no commutative reduction exists.)
     "q125_pq_codes" ->
-      ("Quantize.pqEncode collects one struct per SUBSPACE per vector — " +
-        "nSub (a model constant, 4) entries per buffer"),
+      ("Quantize.pqEncode's surviving buffer is the '_'-joined CODE " +
+        "STRING — one (sub, code) struct per subspace gathered in " +
+        "subspace order (nSub = 8, a model constant). A grid sum cannot " +
+        "replace it because the output is a sequence, not a sum; the " +
+        "numeric recon_err half of the old fold DID convert (r10)"),
     "q127_bpe_encode" ->
-      ("Bpe.encodeCorpus's segmentation folds collect one document's / " +
-        "one word's tokens in position order — bounded by doc/word " +
-        "length (the q111 per-row unit), never the vocabulary"),
+      ("Bpe.encodeCorpus reassembles each document's token stream (and " +
+        "each word's BPE symbols) in POSITION order — the tokenized " +
+        "string is the output; a sum has no notion of position, so no " +
+        "grid rewrite exists. Bounded by doc/word length (the per-row " +
+        "unit the pipeline already holds as `text`), never the vocabulary"),
     "q130_span_scrub" ->
       ("Dedup.scrubDupSpans reassembles ONE document's kept tokens in " +
-        "position order — bounded by a single document's token count")
+        "position order into clean_text — rewritten TEXT, not a " +
+        "statistic, so order is the semantics and a commutative grid " +
+        "sum cannot express it. Bounded by a single document's tokens")
   )
 
   /** Plan with AQE off (see class doc: the static plan is what the

@@ -103,6 +103,19 @@ class CurationSpec extends SparkSpec {
     assert(t.weights.head == 0.0)
   }
 
+  test("logisticTrain's margin aggregate map-side combines (partial_sum, no collect_list)") {
+    // the r10 grid-sum rewrite's plan contract (the q104 BM25 pin): the
+    // per-doc margin shuffle carries one long partial per (partition,
+    // doc), not one per-bucket struct per feature row
+    val docs = Seq((1L, "w v"), (2L, "v")).toDF("doc_id", "text")
+    val plan = Classifier.logisticTrain(docs, "doc_id", "text",
+        label = col("doc_id") === 1L, nBuckets = 4, iters = 1, lr = 0.5,
+        salt = "s3")
+      .scored.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"), s"no map-side partial sum in:\n$plan")
+    assert(!plan.contains("collect_list"), s"collect_list buffer survived:\n$plan")
+  }
+
   // ---- Quantize -------------------------------------------------------
 
   test("pqEncode: seed vectors reconstruct exactly; codes stay in range") {

@@ -36,6 +36,47 @@ class GraphSpec extends graft.SparkSpec {
     }
   }
 
+  test("pageRank: the 1e12 grid tracks the 1e6 grid within the documented bound") {
+    // the documented ACCURACY TRADE made real (r09 verdict item 7).
+    // Bit-equality across grids is NOT structural — the 1e6 path rounds
+    // in_mass to its grid BEFORE the damping multiply, and that ≤ 5e-7
+    // perturbation can cross a q6 OUTPUT cell at any in-degree
+    // (measured: this 20-node/200-edge fixture lands exactly one-to-two
+    // output cells apart on most nodes). What IS structural is the
+    // bound: each iteration's divergence is at most one q6 output cell
+    // plus the carried-in rank difference, so after k iterations the
+    // grids sit within k · 1e-6 — pinned here. Determinism at either
+    // grid is the repartitioning test above.
+    val edges = (0L until 200L).map(i => (s"n${i % 20}", s"n${(i * 7) % 20}", 1L + i % 3))
+      .toDF("src", "dst", "w")
+    val a = Graph.pageRank(edges, "src", "dst", $"w", iters = 3)
+      .collect().map(x => (x.getString(0), x.getDouble(1))).toMap
+    val b = Graph.pageRank(edges, "src", "dst", $"w", iters = 3,
+        gridScale = 1e12)
+      .collect().map(x => (x.getString(0), x.getDouble(1))).toMap
+    assert(a.keySet == b.keySet)
+    val maxDiff = a.keys.map(k => math.abs(a(k) - b(k))).max
+    assert(maxDiff <= 3 * 1e-6 + 1e-12,
+      s"grids diverged past the per-iteration cell bound: $maxDiff")
+    // and on a low-mass fixture where no rounding crosses a cell, the
+    // grids agree exactly (the common case the 1e12 option exists for)
+    val hub = Seq(("a", "hub", 1L), ("b", "hub", 1L), ("c", "hub", 1L),
+      ("hub", "a", 1L)).toDF("src", "dst", "w")
+    val ha = Graph.pageRank(hub, "src", "dst", $"w", iters = 5)
+      .collect().map(x => (x.getString(0), x.getDouble(1))).toSet
+    val hb = Graph.pageRank(hub, "src", "dst", $"w", iters = 5,
+        gridScale = 1e12)
+      .collect().map(x => (x.getString(0), x.getDouble(1))).toSet
+    assert(ha == hb, "hub fixture: grids should agree bit-exactly here")
+  }
+
+  test("pageRank rejects an un-oracle-mirrored grid constant") {
+    val edges = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(edges, "src", "dst", $"w", iters = 1, gridScale = 1e9)
+    }
+  }
+
   test("pageRank's inbound aggregate is partial (map-side combine), never a collected array") {
     // the 100-TB skew contract: a hub node's in-neighborhood must arrive
     // as merged long partials, not be buffered whole in one task. A

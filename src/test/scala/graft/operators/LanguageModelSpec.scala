@@ -37,11 +37,36 @@ class LanguageModelSpec extends graft.SparkSpec {
         r.getAs[Long]("n_bigrams"), r.getAs[Double]("cross_entropy"))).toList
     val lnPba = math.log(3.5 / 4.0)
     val lnPab = math.log(1.5 / 2.0)
+    // the r10 grid path: each logp quantizes to the 1e-6 grid as a long,
+    // the per-doc sum is the integer sum of those grid terms
+    def gq(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
     def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
-    val exp1 = q6(-(lnPba + lnPab + lnPba) / 3.0)
-    val exp2 = q6(-lnPba)
+    val exp1 = q6(-((gq(lnPba) + gq(lnPab) + gq(lnPba)).toDouble / 1e6) / 3.0)
+    val exp2 = q6(-(gq(lnPba).toDouble / 1e6) / 1.0)
     assert(out.contains((1L, 3L, exp1)), s"doc1: $out vs $exp1")
     assert(out.contains((2L, 1L, exp2)), s"doc2: $out vs $exp2")
+  }
+
+  test("bigram LM: the logp aggregate map-side combines (partial_sum, no collect_list buffer)") {
+    // the r10 grid-sum rewrite's plan contract (the q104 BM25 pin): the
+    // shuffle carries one long partial per (partition, doc), not one
+    // bigram struct per row
+    val plan = LanguageModel.bigramCrossEntropy(docs, "doc_id", "text",
+      alpha = 0.5, tau = 8.0).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"), s"no map-side partial sum in:\n$plan")
+    assert(!plan.contains("collect_list"), s"collect_list buffer survived:\n$plan")
+  }
+
+  test("bigram LM: deterministic under re-partitioning (grid sum is order-free)") {
+    val a = LanguageModel.bigramCrossEntropy(docs, "doc_id", "text",
+      alpha = 0.5, tau = 8.0).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Double]("cross_entropy"))).toSet
+    val b = LanguageModel.bigramCrossEntropy(docs.repartition(7), "doc_id",
+      "text", alpha = 0.5, tau = 8.0).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Double]("cross_entropy"))).toSet
+    assert(a == b)
   }
 
   test("bigram LM: flagged iff cross_entropy exceeds tau") {
