@@ -129,6 +129,22 @@ object GenData {
     require(uncut.isEmpty,
       s"c4LineClean cuts nothing in replicas ${uncut.map(_.getAs[Long]("rep")).mkString(",")} " +
         "— sf1 line-clean gate degenerate (rule no longer bites)")
+    // ...and the q137 temperature-mix gate requires BOTH rate branches
+    // live (min(1, 0.45·√(N/n_lang)): en's skew must push its rate below
+    // 1 while a tail language caps at 1) — pin that the replica remap
+    // preserves the lang skew that keeps them live (the q122 lesson:
+    // fixture properties drift silently; r09 verdict item 6). This is a
+    // LIVENESS pin on magnitudes, not a bit-exactness replay — the gate
+    // itself owns the IEEE contract. Bounded collect: one row per lang.
+    val langCounts = docsOut.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n")).collect()
+    val nDocsTotal = langCounts.map(_.getAs[Long]("n")).sum.toDouble
+    val mixRates = langCounts.map(r =>
+      math.min(1.0, 0.45 * math.sqrt(nDocsTotal) /
+        math.sqrt(r.getAs[Long]("n").toDouble)))
+    require(mixRates.exists(_ == 1.0) && mixRates.exists(_ < 1.0),
+      s"q137 rate branches degenerate at sf1: rates ${mixRates.sorted.mkString(",")} " +
+        "— the replica remap no longer preserves the lang skew")
 
     write("embeddings", replicate(read("embeddings"))
       .withColumn("vec_id", col("vec_id") + off)

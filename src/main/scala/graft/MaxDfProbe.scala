@@ -97,10 +97,17 @@ object MaxDfProbe {
         spark.catalog.clearCache(); System.gc()
         dt
       }
+      // degenerate flag (r09 verdict item 5): on a fixture whose whole
+      // vocabulary is stopword-dense at this SF (the driver's sf0.1
+      // fixture under cap 0.5 keeps 1 of 31 terms and matches 0
+      // postings), the config probes NOTHING — mark the row so the
+      // artifact cannot be misread as a real drop-side measurement
+      val degenerate = keptTerms <= 1
       println(s"""{"probe":"maxdf","sf_dir":"$dir","max_df_frac":$cap,""" +
         s""""sec":${f(times.min)},"reps":[${times.map(f).mkString(",")}],""" +
         s""""kept_terms":$keptTerms,"dropped_terms":$droppedTerms,""" +
-        s""""matched_postings":$matchedPostings,"load":${f(load)}}""")
+        s""""matched_postings":$matchedPostings,"degenerate":$degenerate,""" +
+        s""""load":${f(load)}}""")
     }
     spark.stop()
   }
