@@ -46,8 +46,12 @@ fi
 # Bench the FULL surface at sf1 (same q33 exclusion as the gate): the
 # r06 verdict asked the 43-query bench subset widened — $NAMES is every
 # oracle-gated query, so the timing evidence now covers what the gate
-# covers.
-SPARK_GRAFT_SF_DIR=/root/repo/tmp/sf1 sbt -batch "runMain graft.Bench $NAMES" \
-  2>/dev/null | grep '"metric"' | sed 's/^\[info\] //' \
-  > "evidence/BENCH_sf1_${ROUND}.json"
+# covers. Since r10 Bench writes the per-query DETAIL to
+# SPARK_GRAFT_BENCH_OUT itself (stdout carries only the compact summary
+# the driver's tail parser needs), so the artifact is the detail file.
+SPARK_GRAFT_SF_DIR=/root/repo/tmp/sf1 \
+  SPARK_GRAFT_BENCH_OUT="evidence/BENCH_sf1_${ROUND}.json" \
+  sbt -batch "runMain graft.Bench $NAMES" 2>/dev/null | grep '"metric"' || true
+test -s "evidence/BENCH_sf1_${ROUND}.json" || {
+  echo "sf1 bench detail missing; see stderr above" >&2; exit 1; }
 echo "sf1 gate + bench complete; artifacts refreshed under evidence/"
