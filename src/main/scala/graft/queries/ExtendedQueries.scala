@@ -390,6 +390,26 @@ object ExtendedQueries {
         .select(col("node"), col("rank"), col("n_iters"))
     },
 
+    "q138_pagerank_fine_grid" -> { (s, d) =>
+      // q109's pipeline at the FINE in-mass accumulation grid
+      // (gridScale = 1e12, r09 verdict item 7 made real and gated —
+      // the q135 pattern, for graphs): the option callers use when a
+      // power-law hub's in-degree would push the default grid's
+      // 5e-7·d rounding slack past the q6 output cell. Same three
+      // unrolled iterations; the oracle replays with the identical
+      // 1e12 constant, so the cross-engine gate covers BOTH grid
+      // branches, not just the default.
+      val t = Tables(s, d)
+      val edges = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("c"), col("o_custkey")).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      Graph.pageRank(edges, "src", "dst", col("w"), iters = 3,
+          gridScale = 1e12)
+        .select(col("node"), col("rank"), col("n_iters"))
+    },
+
     "q110_source_lang_rollup" -> { (s, d) =>
       // Subtotaled corpus report: the q66 "dataset card" cut by
       // (source × lang) WITH the source-level and grand-total rows a
@@ -448,6 +468,41 @@ object ExtendedQueries {
       |      / 1000000.0 AS raw,
       |    count(*) AS n_terms
       |  FROM per_term GROUP BY 1, 2)""".stripMargin
+
+  /** The pageRank replay, parameterized on the in-mass accumulation
+    * grid so q138 replays q109's identical three unrolled iterations
+    * with only the grid constant changed (the bm25FoldedCte pattern,
+    * for graphs). The per-iteration RANK quantization stays 1e6 at
+    * either grid — `gridScale` governs only how edge contributions
+    * accumulate into a node's inbound mass (Graph.scala's ACCURACY
+    * TRADE). A `def` (no sibling-`val` interpolation at object init).
+    */
+  private def pageRankUnrolled(gridScale: String): String = {
+    def iter(prev: String, out: String) =
+      s"""$out AS (SELECT nd.node,
+         |    floor(((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+         |        + CAST(0.85 AS DOUBLE) * coalesce(m.mass, CAST(0.0 AS DOUBLE)))
+         |      * 1000000.0 + 0.5) / 1000000.0 AS rank
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT s.dst, CAST(sum(CAST(floor(
+         |        CAST(r.rank * s.share AS DOUBLE) * $gridScale + 0.5) AS BIGINT))
+         |      AS DOUBLE) / $gridScale AS mass
+         |    FROM $prev r JOIN sh s ON r.node = s.src GROUP BY s.dst) m
+         |    ON nd.node = m.dst, nn)""".stripMargin
+    s"""WITH e AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+      |    'c' || CAST(o_custkey AS VARCHAR) AS dst, count(*) AS w
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+      |nodes AS (SELECT DISTINCT node FROM
+      |  (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+      |nn AS (SELECT count(*) AS n FROM nodes),
+      |sh AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS share
+      |  FROM e),
+      |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn),
+      |${iter("r0", "r1")},
+      |${iter("r1", "r2")},
+      |${iter("r2", "r3")}
+      |SELECT node, rank, 3 AS n_iters FROM r3""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q51_decontaminate" ->
@@ -716,32 +771,12 @@ object ExtendedQueries {
     // partial aggregation and DuckDB's serial sum agree bit-for-bit).
     // (1-d) is computed as 1.0 - 0.85 IN DOUBLES on both sides so
     // even its last-ulp value agrees.
-    "q109_pagerank" -> {
-      def iter(prev: String, out: String) =
-        s"""$out AS (SELECT nd.node,
-           |    floor(((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
-           |        + CAST(0.85 AS DOUBLE) * coalesce(m.mass, CAST(0.0 AS DOUBLE)))
-           |      * 1000000.0 + 0.5) / 1000000.0 AS rank
-           |  FROM nodes nd LEFT JOIN (
-           |    SELECT s.dst, CAST(sum(CAST(floor(
-           |        CAST(r.rank * s.share AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
-           |      AS DOUBLE) / 1000000.0 AS mass
-           |    FROM $prev r JOIN sh s ON r.node = s.src GROUP BY s.dst) m
-           |    ON nd.node = m.dst, nn)""".stripMargin
-      s"""WITH e AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
-        |    'c' || CAST(o_custkey AS VARCHAR) AS dst, count(*) AS w
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
-        |nodes AS (SELECT DISTINCT node FROM
-        |  (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
-        |nn AS (SELECT count(*) AS n FROM nodes),
-        |sh AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS share
-        |  FROM e),
-        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn),
-        |${iter("r0", "r1")},
-        |${iter("r1", "r2")},
-        |${iter("r2", "r3")}
-        |SELECT node, rank, 3 AS n_iters FROM r3""".stripMargin
-    },
+    "q109_pagerank" -> pageRankUnrolled("1000000.0"),
+
+    // identical unrolled trajectory with only the in-mass accumulation
+    // grid changed to 1e12 (the q135 parameterized-scaffold pattern) —
+    // the rank quantization stays q6 in both
+    "q138_pagerank_fine_grid" -> pageRankUnrolled("1000000000000.0"),
 
     "q110_source_lang_rollup" ->
       """SELECT coalesce(source, 'ALL') AS source,
