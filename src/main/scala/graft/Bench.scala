@@ -214,6 +214,11 @@ object Bench {
         System.err.println(detailJson)
         s"WRITE FAILED ($detailPath): detail on stderr"
       }
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"batch_total":${f(batchTotal)},"streaming_total":${f(harnessTotal)},"settle_sec":${f(settleSec)},"wall_sec":${f(wall)},"load_start":${f(loadStart)},"load_end":${f(loadEnd)},"errors":$errs,"detail_file":"$detailNote"}""")
+    // the summary's error list is CAPPED so a mass-failure run (every
+    // query erroring → ~4.4 KB of names) cannot push the line back past
+    // the driver's 2000-char tail — the full list is in the detail file
+    val errsCapped = (failed.take(8).map("\"" + _ + "\"") ++
+      (if (failed.size > 8) Seq("\"...\"") else Nil)).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${failed.size},"batch_total":${f(batchTotal)},"streaming_total":${f(harnessTotal)},"settle_sec":${f(settleSec)},"wall_sec":${f(wall)},"load_start":${f(loadStart)},"load_end":${f(loadEnd)},"errors":$errsCapped,"detail_file":"$detailNote"}""")
   }
 }

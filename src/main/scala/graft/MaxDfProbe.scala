@@ -101,8 +101,11 @@ object MaxDfProbe {
       // vocabulary is stopword-dense at this SF (the driver's sf0.1
       // fixture under cap 0.5 keeps 1 of 31 terms and matches 0
       // postings), the config probes NOTHING — mark the row so the
-      // artifact cannot be misread as a real drop-side measurement
-      val degenerate = keptTerms <= 1
+      // artifact cannot be misread as a real drop-side measurement.
+      // Either symptom suffices: a near-empty kept vocabulary, or a
+      // scoring join that matched nothing (possible even with several
+      // kept terms, if no probe term survives the cut)
+      val degenerate = keptTerms <= 1 || matchedPostings == 0
       println(s"""{"probe":"maxdf","sf_dir":"$dir","max_df_frac":$cap,""" +
         s""""sec":${f(times.min)},"reps":[${times.map(f).mkString(",")}],""" +
         s""""kept_terms":$keptTerms,"dropped_terms":$droppedTerms,""" +

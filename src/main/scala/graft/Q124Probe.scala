@@ -93,10 +93,15 @@ object Q124Probe {
     labelsC.write.format("noop").mode("overwrite").save()
 
     // one margin pass at zero weights: the per-iteration scoring stage,
-    // grid-sum form + labels join, mirroring Classifier.margins (r10)
+    // grid-sum form + labels join, mirroring Classifier.margins (r10) —
+    // INCLUDING the per-row element_at lookup into the weight literal
+    // (a lit(0.0) shortcut would skip the array indexing cost the real
+    // loop pays on every feature row)
+    val zeroW = Seq.fill(nBuckets + 1)(0.0)
     def margin = featC
       .select(col("__id"),
-        floor((lit(0.0) * col("__cnt")) * lit(1000000.0) + lit(0.5))
+        floor((element_at(typedLit(zeroW), col("__b") + 2) * col("__cnt"))
+            * lit(1000000.0) + lit(0.5))
           .cast("long").as("__qt"))
       .groupBy(col("__id"))
       .agg(sum(col("__qt")).as("__qz"))

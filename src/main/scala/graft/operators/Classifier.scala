@@ -31,9 +31,13 @@ import org.apache.spark.sql.functions._
   * the 1e-6 grid as a long and the per-doc sum is order-free — the
   * aggregate map-side combines as a `partial_sum` instead of buffering
   * per-bucket structs in an array (the pre-r10 ordered fold). Margin
-  * rounding is ≤ 5e-7 per feature, ≤ 5e-7 · (distinct buckets + 1) ≤
-  * 5e-7 · (nBuckets + 1) per margin — a model constant, far inside the
-  * sigmoid's q6 output grid for any sane nBuckets. `exp` runs on
+  * drift vs the UNQUANTIZED model is ≤ 5e-7 per feature, ≤ 5e-7 ·
+  * (nBuckets + 1) per margin — a model constant, but NOT sub-output-
+  * cell: at nBuckets = 32 the worst case is ~1.65e-5 on z, up to ~4
+  * q6 cells on p through the sigmoid's ≤ 0.25 slope, and it grows
+  * with nBuckets. Cross-engine determinism is unaffected (the oracle
+  * replays the identical grid sum); the drift only matters to a reader
+  * comparing scores against an unquantized trainer. `exp` runs on
   * identical IEEE inputs in either engine (the q111 `ln` precedent).
   * The DuckDB oracle replays every unrolled iteration. At extreme
   * corpus sizes the long gradient bound is 1e6 × corpus tokens — past

@@ -43,12 +43,15 @@ import org.apache.spark.sql.functions._
   * here (1e12 · 1 ≪ 9.2e18; the oracle must mirror the same constant).
   * Determinism is unaffected at EITHER grid — this is purely a
   * rounding-accumulation bound. NOTE the grids are not interchangeable
-  * bit-for-bit: the coarser grid rounds in_mass BEFORE the damping
-  * multiply, and that ≤ 5e-7 perturbation can cross a q6 OUTPUT cell at
-  * any in-degree (measured in GraphSpec: a 20-node fixture lands 1-2
-  * output cells apart). What is structural is the bound — per iteration
-  * the grids diverge by at most one q6 cell plus the carried-in rank
-  * difference, so k iterations sit within k·1e-6 (spec-pinned).
+  * bit-for-bit: the coarser grid rounds each edge contribution BEFORE
+  * the damping multiply, and even a ≤ 5e-7 perturbation can cross a q6
+  * OUTPUT cell (measured in GraphSpec: a 20-node fixture lands 1-2
+  * output cells apart after one iteration). The structural cross-grid
+  * bound is the recurrence e_k ≤ d · Σ_in share·(e_{k−1} + grid slack)
+  * + one q6 cell — i.e. it scales with in-degree share mass and
+  * compounds across iterations, NOT a flat k·1e-6; GraphSpec pins the
+  * conservative closed form (indeg-amplified) on its fixture alongside
+  * the measured ~2e-6 actual.
   *
   * At 100 TB: the edge list is the only large table; it is scanned once
   * per iteration, pre-shuffled on src by the degree join so AQE reuses

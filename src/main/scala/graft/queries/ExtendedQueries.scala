@@ -380,13 +380,7 @@ object ExtendedQueries {
       // skew-safe) make the whole trajectory DuckDB-replayable — the
       // oracle runs the SAME three unrolled iterations (the q75 k-means
       // construction, for graphs).
-      val t = Tables(s, d)
-      val edges = t.lineitem
-        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(concat(lit("s"), col("l_suppkey")).as("src"),
-          concat(lit("c"), col("o_custkey")).as("dst"))
-        .agg(count(lit(1)).as("w"))
-      Graph.pageRank(edges, "src", "dst", col("w"), iters = 3)
+      Graph.pageRank(tradeEdges(s, d), "src", "dst", col("w"), iters = 3)
         .select(col("node"), col("rank"), col("n_iters"))
     },
 
@@ -396,16 +390,11 @@ object ExtendedQueries {
       // the q135 pattern, for graphs): the option callers use when a
       // power-law hub's in-degree would push the default grid's
       // 5e-7·d rounding slack past the q6 output cell. Same three
-      // unrolled iterations; the oracle replays with the identical
-      // 1e12 constant, so the cross-engine gate covers BOTH grid
-      // branches, not just the default.
-      val t = Tables(s, d)
-      val edges = t.lineitem
-        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(concat(lit("s"), col("l_suppkey")).as("src"),
-          concat(lit("c"), col("o_custkey")).as("dst"))
-        .agg(count(lit(1)).as("w"))
-      Graph.pageRank(edges, "src", "dst", col("w"), iters = 3,
+      // unrolled iterations over the SAME shared edge builder (so the
+      // "identical pipeline, only the grid differs" contract cannot
+      // drift); the oracle replays with the identical 1e12 constant,
+      // so the cross-engine gate covers BOTH grid branches.
+      Graph.pageRank(tradeEdges(s, d), "src", "dst", col("w"), iters = 3,
           gridScale = 1e12)
         .select(col("node"), col("rank"), col("n_iters"))
     },
@@ -468,6 +457,19 @@ object ExtendedQueries {
       |      / 1000000.0 AS raw,
       |    count(*) AS n_terms
       |  FROM per_term GROUP BY 1, 2)""".stripMargin
+
+  /** The supplier→customer trade edge list q109 and q138 BOTH rank —
+    * one shared builder (the Spark-side analogue of pageRankUnrolled)
+    * so the two grid branches provably run the identical pipeline.
+    */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val t = Tables(s, d)
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("c"), col("o_custkey")).as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
 
   /** The pageRank replay, parameterized on the in-mass accumulation
     * grid so q138 replays q109's identical three unrolled iterations

@@ -39,14 +39,16 @@ class GraphSpec extends graft.SparkSpec {
   test("pageRank: the 1e12 grid tracks the 1e6 grid within the documented bound") {
     // the documented ACCURACY TRADE made real (r09 verdict item 7).
     // Bit-equality across grids is NOT structural — the 1e6 path rounds
-    // in_mass to its grid BEFORE the damping multiply, and that ≤ 5e-7
-    // perturbation can cross a q6 OUTPUT cell at any in-degree
-    // (measured: this 20-node/200-edge fixture lands exactly one-to-two
-    // output cells apart on most nodes). What IS structural is the
-    // bound: each iteration's divergence is at most one q6 output cell
-    // plus the carried-in rank difference, so after k iterations the
-    // grids sit within k · 1e-6 — pinned here. Determinism at either
-    // grid is the repartitioning test above.
+    // each contribution to its grid BEFORE the damping multiply, and
+    // that ≤ 5e-7-per-contribution perturbation can cross a q6 OUTPUT
+    // cell (measured: this 20-node/200-edge fixture lands one-to-two
+    // output cells apart). The structural bound is a RECURRENCE, not a
+    // flat k·1e-6: an iteration's in-mass divergence is at most the
+    // in-edge share mass times (carried rank divergence + 5e-7 grid
+    // slack per contribution), damped, plus one q6 output cell. Pinned
+    // here via its conservative closed form (share mass ≤ in-degree);
+    // the fixture's measured actual is ~2e-6 — far inside. Determinism
+    // at either grid is the repartitioning test above.
     val edges = (0L until 200L).map(i => (s"n${i % 20}", s"n${(i * 7) % 20}", 1L + i % 3))
       .toDF("src", "dst", "w")
     val a = Graph.pageRank(edges, "src", "dst", $"w", iters = 3)
@@ -56,8 +58,14 @@ class GraphSpec extends graft.SparkSpec {
       .collect().map(x => (x.getString(0), x.getDouble(1))).toMap
     assert(a.keySet == b.keySet)
     val maxDiff = a.keys.map(k => math.abs(a(k) - b(k))).max
-    assert(maxDiff <= 3 * 1e-6 + 1e-12,
-      s"grids diverged past the per-iteration cell bound: $maxDiff")
+    // every dst here has in-degree 10 (200 edges onto 20 nodes)
+    val inDeg = 10.0
+    var bound = 0.0
+    for (_ <- 1 to 3) bound = 0.85 * inDeg * (bound + 5e-7) + 1e-6
+    assert(maxDiff <= bound,
+      s"grids diverged past the recurrence bound $bound: $maxDiff")
+    assert(maxDiff <= 4e-6, // the measured fixture actual, with headroom:
+      s"fixture divergence regressed well past its measured ~2e-6: $maxDiff")
     // and on a low-mass fixture where no rounding crosses a cell, the
     // grids agree exactly (the common case the 1e12 option exists for)
     val hub = Seq(("a", "hub", 1L), ("b", "hub", 1L), ("c", "hub", 1L),

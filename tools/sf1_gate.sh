@@ -49,9 +49,15 @@ fi
 # covers. Since r10 Bench writes the per-query DETAIL to
 # SPARK_GRAFT_BENCH_OUT itself (stdout carries only the compact summary
 # the driver's tail parser needs), so the artifact is the detail file.
+# Remove any same-ROUND artifact first: a crashed bench must leave the
+# file MISSING (caught below), not silently pass `test -s` on a stale
+# file from a previous run. Bench stderr goes to a log, not /dev/null,
+# so a crash (and Bench's own write-failure fallback dump) is findable.
+rm -f "evidence/BENCH_sf1_${ROUND}.json"
 SPARK_GRAFT_SF_DIR=/root/repo/tmp/sf1 \
   SPARK_GRAFT_BENCH_OUT="evidence/BENCH_sf1_${ROUND}.json" \
-  sbt -batch "runMain graft.Bench $NAMES" 2>/dev/null | grep '"metric"' || true
+  sbt -batch "runMain graft.Bench $NAMES" 2>"/tmp/bench_sf1_${ROUND}.stderr" \
+  | grep '"metric"' || true
 test -s "evidence/BENCH_sf1_${ROUND}.json" || {
-  echo "sf1 bench detail missing; see stderr above" >&2; exit 1; }
+  echo "sf1 bench detail missing; see /tmp/bench_sf1_${ROUND}.stderr" >&2; exit 1; }
 echo "sf1 gate + bench complete; artifacts refreshed under evidence/"
