@@ -73,9 +73,12 @@ object Graph {
     * Returns (node, rank, n_iters).
     *
     * Cache lifetime (the [[Similarity]] / [[Fuzzy]] convention): the
-    * default `persist` caches `nodes` and `shares` — both read once per
-    * unrolled iteration by the RETURNED lazy plan, so they must outlive
-    * this call — and the handles live until the session drops them. A
+    * default `persist` caches the edge projection `e` (read by both
+    * derived caches' fills — uncached it would pay the caller's edge
+    * subtree twice), `nodes` and `shares` — the latter two read once
+    * per unrolled iteration by the RETURNED lazy plan, so they must
+    * outlive this call — and the handles live until the session drops
+    * them. A
     * caller running many queries in one session (Verify, Bench) should
     * `spark.catalog.clearCache()` between queries (both do), or pass
     * `persist = identity` to trade the cross-iteration reuse for zero
@@ -96,8 +99,13 @@ object Graph {
     // weight stays untouched: with integer weights the per-source sum is
     // exact, so share = w/outw is a bit-deterministic double in any
     // engine (a double weight would make `outw` depend on addition order)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      weight.as("w"))
+    // e itself is persisted (r10): nodes AND shares both materialize
+    // from it, so an uncached e pays the caller's whole edge-derivation
+    // subtree twice — measured 25.3→15.9 s for the 3-iteration q109
+    // pipeline on the sf1 trade graph (5.9M edges whose
+    // lineitem⋈orders build alone costs ~10 s; PrProbe-style A/B)
+    val e = persist(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      weight.as("w")))
     val nodes = persist(e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct())
     // out-weight per source, folded onto the edges once: each edge
