@@ -51,6 +51,67 @@ object Classifier {
   def bucketOf(token: Column, nBuckets: Int, salt: String): Column =
     (Sampling.hashLong(token, salt) % nBuckets).cast("int")
 
+  /** Boundary-marked char n-grams of each whitespace token — the
+    * fastText/CCNet feature family for language ID ("^the$" → "^th",
+    * "the", "he$"). Cross-engine replayable: fixed substring windows of
+    * the marked token, no locale/normalization dependence. A token
+    * whose marked form is shorter than `n` yields no grams (mirrors
+    * DuckDB's empty `range`; Spark's `sequence` would otherwise count
+    * DOWN when start > stop and fabricate grams).
+    */
+  def charNgrams(text: Column, n: Int): Column = {
+    require(n >= 2, s"char n-grams need n >= 2, got $n")
+    flatten(transform(split(text, " "), w => {
+      val m = concat(lit("^"), w, lit("$"))
+      when(length(m) >= n,
+        transform(sequence(lit(1), length(m) - lit(n - 1)), i => m.substr(i, lit(n))))
+        .otherwise(typedLit(Seq.empty[String]))
+    }))
+  }
+
+  /** The shared full-batch training loop over a prebuilt sparse feature
+    * frame `feat` (__id, __b, __cnt — bias as bucket −1) and a 0/1
+    * label frame `labels01` (__id, __y): `iters` gradient steps, then
+    * the final margins frame (__id, __y, __p). Extracted so the
+    * binary ([[logisticTrain]]) and one-vs-rest
+    * ([[logisticTrainOneVsRest]]) forms run the IDENTICAL
+    * grid-determinism construction the q124 oracle replays.
+    */
+  private def fit(feat: DataFrame, labels01: DataFrame, nBuckets: Int,
+                  iters: Int, lr: Double, n: Long): (Seq[Double], DataFrame) = {
+    // margin: exact-integer-grid sum (each w·cnt contribution quantized
+    // to the 1e-6 grid as a long, summed order-free — map-side
+    // combinable, no per-doc array buffer; see the class doc's bound)
+    def margins(wts: Array[Double]): DataFrame = {
+      val wcol = element_at(typedLit(wts.toSeq), col("__b") + 2)
+      feat.select(col("__id"),
+          floor((wcol * col("__cnt")) * lit(1000000.0) + lit(0.5))
+            .cast("long").as("__qt"))
+        .groupBy(col("__id"))
+        .agg(sum(col("__qt")).as("__qz"))
+        .join(labels01, Seq("__id"))
+        .withColumn("__p", Portable.q6(
+          lit(1.0) / (lit(1.0) +
+            exp(-(col("__qz").cast("double") / lit(1000000.0))))))
+    }
+
+    val weights = Array.fill(nBuckets + 1)(0.0)
+    for (_ <- 1 to iters) {
+      // residual on the exact 1e-6 grid → integer gradient (order-free)
+      val resid = margins(weights).select(col("__id"),
+        floor((col("__p") - col("__y")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("__e"))
+      val grads = feat.join(resid, Seq("__id"))
+        .groupBy(col("__b")).agg(sum(col("__e") * col("__cnt")).as("__g"))
+        .collect() // bounded: one row per feature bucket (+ bias)
+      grads.foreach { r =>
+        val b = r.getInt(0); val g = r.getLong(1)
+        weights(b + 1) = weights(b + 1) - lr * (g.toDouble / 1000000.0 / n)
+      }
+    }
+    (weights.toSeq, margins(weights))
+  }
+
   /** Train `iters` full-batch gradient steps of logistic regression on
     * hashed bag-of-words counts; `label` must evaluate to 0/1. The bias
     * rides as synthetic bucket −1 with count 1, so weights, gradients
@@ -74,38 +135,8 @@ object Classifier {
       .persist()
     val n = labels.count() // bounded scalar; also materializes the caches
 
-    // margin: exact-integer-grid sum (each w·cnt contribution quantized
-    // to the 1e-6 grid as a long, summed order-free — map-side
-    // combinable, no per-doc array buffer; see the class doc's bound)
-    def margins(wts: Array[Double]): DataFrame = {
-      val wcol = element_at(typedLit(wts.toSeq), col("__b") + 2)
-      feat.select(col("__id"),
-          floor((wcol * col("__cnt")) * lit(1000000.0) + lit(0.5))
-            .cast("long").as("__qt"))
-        .groupBy(col("__id"))
-        .agg(sum(col("__qt")).as("__qz"))
-        .join(labels, Seq("__id"))
-        .withColumn("__p", Portable.q6(
-          lit(1.0) / (lit(1.0) +
-            exp(-(col("__qz").cast("double") / lit(1000000.0))))))
-    }
-
-    val weights = Array.fill(nBuckets + 1)(0.0)
-    for (_ <- 1 to iters) {
-      // residual on the exact 1e-6 grid → integer gradient (order-free)
-      val resid = margins(weights).select(col("__id"),
-        floor((col("__p") - col("__y")) * lit(1000000.0) + lit(0.5))
-          .cast("long").as("__e"))
-      val grads = feat.join(resid, Seq("__id"))
-        .groupBy(col("__b")).agg(sum(col("__e") * col("__cnt")).as("__g"))
-        .collect() // bounded: one row per feature bucket (+ bias)
-      grads.foreach { r =>
-        val b = r.getInt(0); val g = r.getLong(1)
-        weights(b + 1) = weights(b + 1) - lr * (g.toDouble / 1000000.0 / n)
-      }
-    }
-
-    val scored = margins(weights)
+    val (weights, finalMargins) = fit(feat, labels, nBuckets, iters, lr, n)
+    val scored = finalMargins
       .select(col("__id").as(idCol), col("__y").as("label"),
         col("__p").as("score"), (col("__p") >= 0.5).as("predicted"))
     // the caches exist for the training loop's `iters` actions; release
@@ -114,6 +145,73 @@ object Classifier {
     // recomputes the feature build (one corpus pass) when materialized.
     labels.unpersist()
     feat.unpersist()
-    TrainedLogistic(weights.toSeq, scored)
+    TrainedLogistic(weights, scored)
+  }
+
+  /** One-vs-rest multi-class logistic regression — the CCNet/fastText
+    * language-ID shape: `classCol`'s distinct values become K binary
+    * models trained over ONE shared hashed feature frame (`tokens`
+    * picks the family — [[charNgrams]] for langid, whitespace words for
+    * topical/quality), and every row is scored under all K with the
+    * argmax as the prediction (ties break to the lexicographically
+    * FIRST class — deterministic, oracle-mirrored as
+    * `row_number() OVER (ORDER BY p DESC, cls ASC)`).
+    *
+    * Scale shape: the feature build (the only corpus-sized pass) runs
+    * once and is cached across all K trainings; each training iteration
+    * is the binary form's two keyed aggregations; driver state is K
+    * weight vectors (K × (nBuckets+1) doubles). K is the number of
+    * distinct classes — language ID's K is a model constant (tens to ~
+    * a hundred), never data-sized; the bounded `collect` pulling the
+    * class list is K rows.
+    *
+    * Output: (idCol, classCol, score_<cls> for each class sorted, score
+    * — the winning probability — and predicted). Determinism: each
+    * binary model is the exact [[logisticTrain]] grid construction, so
+    * the full K-model trajectory unrolls in the oracle (q124's
+    * construction, K-fold).
+    */
+  def logisticTrainOneVsRest(docs: DataFrame, idCol: String, textCol: String,
+                             classCol: String, nBuckets: Int, iters: Int,
+                             lr: Double, salt: String,
+                             tokens: Column => Column): DataFrame = {
+    require(nBuckets >= 2 && iters >= 1 && lr > 0, "need nBuckets>=2, iters>=1, lr>0")
+    val base = docs.select(col(idCol).as("__id"),
+      col(classCol).cast("string").as("__cls"),
+      tokens(col(textCol)).as("__w"))
+    val labels = base.select(col("__id"), col("__cls")).persist()
+    val feat = base
+      .select(col("__id"), explode(col("__w")).as("__tok"))
+      .select(col("__id"), bucketOf(col("__tok"), nBuckets, salt).as("__b"))
+      .groupBy(col("__id"), col("__b")).agg(count(lit(1)).as("__cnt"))
+      .unionByName(labels.select(col("__id"), lit(-1).as("__b"), lit(1L).as("__cnt")))
+      .persist()
+    val n = labels.count() // bounded scalar; also materializes the caches
+    // bounded collect: one row per class (a model constant, never data)
+    val classes = labels.select(col("__cls")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(classes.length >= 2, s"one-vs-rest needs >= 2 classes, got ${classes.toSeq}")
+
+    val perClass = classes.map { c =>
+      val lab01 = labels.select(col("__id"),
+        (col("__cls") === c).cast("int").as("__y"))
+      val (_, scoredC) = fit(feat, lab01, nBuckets, iters, lr, n)
+      scoredC.select(col("__id"), col("__p").as(s"score_$c"))
+    }
+    val joined = perClass.reduce(_.join(_, Seq("__id")))
+    // argmax by (p desc, class asc): max over (p, −index, class)
+    // structs — classes are sorted, so a larger −index IS the earlier
+    // class; the struct carries the name so no positional lookup runs
+    val best = array_max(array(classes.zipWithIndex.map { case (c, i) =>
+      struct(col(s"score_$c").as("p"), lit(-i).as("negi"), lit(c).as("cls"))
+    }: _*))
+    val out = labels.join(joined, Seq("__id"))
+      .withColumn("__best", best)
+      .select(col("__id").as(idCol) +: col("__cls").as(classCol) +:
+        classes.map(c => col(s"score_$c")) :+
+        col("__best.p").as("score") :+ col("__best.cls").as("predicted"): _*)
+    labels.unpersist()
+    feat.unpersist()
+    out
   }
 }

@@ -65,31 +65,47 @@ object Graph {
     * rank₀ = 1/N for every node (sources ∪ destinations);
     * rankₜ₊₁(n) = q6( (1−d)/N + d · Σ_{e: dst=n} rankₜ(src) · w/outw(src) ).
     *
-    * Dangling mass (nodes with no out-edges) is dropped, not
-    * redistributed — the conventional "leaky" formulation; the oracle
-    * replays the identical rule. `gridScale` picks the in-mass
-    * accumulation grid (1e6 default; 1e12 for grid-accurate hub mass —
-    * class doc's ACCURACY TRADE; the oracle mirrors the constant).
-    * Returns (node, rank, n_iters).
+    * Dangling mass (nodes with no out-edges) is DROPPED by default —
+    * the conventional "leaky" formulation; with
+    * `danglingRedistribute = true` each iteration instead adds the
+    * dangling nodes' total rank back uniformly:
+    * rankₜ₊₁(n) = q6( (1−d)/N + d · (in_mass(n) + dangling_massₜ/N) ),
+    * the form most PageRank consumers expect (Σranks is conserved up
+    * to the per-node q6 rounding — GraphSpec pins the conservation
+    * bound). The dangling mass is ONE extra zero-key aggregate per
+    * iteration — itself an exact-integer-grid sum on the same
+    * `gridScale` grid (order-free, map-side combinable), so the whole
+    * trajectory stays engine-replayable; the oracle replays the
+    * identical rule either way. `gridScale` picks the in-mass (and
+    * dangling-mass) accumulation grid (1e6 default; 1e12 for
+    * grid-accurate hub mass — class doc's ACCURACY TRADE; the oracle
+    * mirrors the constant). Returns (node, rank, n_iters).
     *
     * Cache lifetime (the [[Similarity]] / [[Fuzzy]] convention): the
     * default `persist` caches the edge projection `e` (read by both
     * derived caches' fills — uncached it would pay the caller's edge
-    * subtree twice), `nodes` and `shares` — the latter two read once
-    * per unrolled iteration by the RETURNED lazy plan, so they must
-    * outlive this call — and the handles live until the session drops
-    * them. A
+    * subtree twice), `nodes` and `shares` (plus the dangling-node set
+    * when redistributing) — all but `e` read once per unrolled
+    * iteration by the RETURNED lazy plan, so they must outlive this
+    * call — and the handles live until the session drops them. `e`
+    * itself is only read while the derived caches FILL: a caller may
+    * unpersist it after the first action on the returned plan to
+    * release the edge copy early (the other handles must stay). A
     * caller running many queries in one session (Verify, Bench) should
     * `spark.catalog.clearCache()` between queries (both do), or pass
     * `persist = identity` to trade the cross-iteration reuse for zero
     * cache residency; at production scale pass `_.checkpoint()` for
     * executor-loss resilience (same trade as
-    * [[Dedup.connectedComponents]]).
+    * [[Dedup.connectedComponents]]) — NOTE a checkpoint persist pays a
+    * THIRD full materialization of `e`, so callers on that path who
+    * already hold a materialized edge table should pass it directly
+    * rather than an unmaterialized derivation (ADVICE r10).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                weight: Column, iters: Int, damping: Double = 0.85,
                persist: DataFrame => DataFrame = _.cache(),
-               gridScale: Double = 1e6): DataFrame = {
+               gridScale: Double = 1e6,
+               danglingRedistribute: Boolean = false): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     // the in-mass accumulation grid (class doc's ACCURACY TRADE): 1e6
     // matches the q6 output grid; 1e12 for grid-accurate hub mass. The
@@ -117,6 +133,14 @@ object Graph {
     val shares = persist(e.join(outW, "src")
       .select(col("src"), col("dst"), (col("w") / col("outw")).as("share")))
     val n = nodes.agg(count(lit(1)).as("n_nodes"))
+    // dangling node set (no out-edges): only customers in a trade graph,
+    // only sinks in a link graph — a node-sized frame, read once per
+    // iteration when redistributing, so it persists like nodes/shares
+    val dangling =
+      if (danglingRedistribute)
+        Some(persist(nodes.join(e.select(col("src")).distinct(),
+          nodes("node") === col("src"), "left_anti")))
+      else None
     var ranks = nodes.crossJoin(broadcast(n))
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"))
     for (_ <- 1 to iters) {
@@ -128,11 +152,30 @@ object Graph {
       val inbound = contribs.groupBy(col("dst"))
         .agg((sum(floor(col("c") * lit(gridScale) + lit(0.5)).cast("long"))
           .cast("double") / lit(gridScale)).as("in_mass"))
-      ranks = nodes.join(inbound, nodes("node") === inbound("dst"), "left")
-        .crossJoin(broadcast(n))
-        .select(col("node"),
-          Portable.q6(lit((1.0 - damping)) / col("n_nodes") +
-            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
+      ranks = dangling match {
+        case None =>
+          nodes.join(inbound, nodes("node") === inbound("dst"), "left")
+            .crossJoin(broadcast(n))
+            .select(col("node"),
+              Portable.q6(lit((1.0 - damping)) / col("n_nodes") +
+                lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
+        case Some(dang) =>
+          // the iteration's total dangling rank: ONE zero-key aggregate,
+          // itself an exact-integer-grid sum on the same grid (the ranks
+          // entering it are already q6-quantized doubles, identical in
+          // any engine), broadcast back as a 1-row scalar
+          val dmass = ranks.join(dang, Seq("node"), "left_semi")
+            .agg(coalesce(
+              sum(floor(col("rank") * lit(gridScale) + lit(0.5)).cast("long"))
+                .cast("double") / lit(gridScale), lit(0.0)).as("__dm"))
+          nodes.join(inbound, nodes("node") === inbound("dst"), "left")
+            .crossJoin(broadcast(n))
+            .crossJoin(broadcast(dmass))
+            .select(col("node"),
+              Portable.q6(lit((1.0 - damping)) / col("n_nodes") +
+                lit(damping) * (coalesce(col("in_mass"), lit(0.0)) +
+                  col("__dm") / col("n_nodes"))).as("rank"))
+      }
     }
     ranks.withColumn("n_iters", lit(iters))
   }

@@ -101,6 +101,32 @@ object CurationQueries {
       Drift.jsDivergence(docs, "source", "text", topV = Some(12))
     },
 
+    "q139_drift_sketched" -> { (s, d) =>
+      // The cmsTopK→drift candidate composition DRIVER-GATED (r10
+      // verdict item 1, closing the last wired-but-spec-only scale
+      // path; the q135 gate-the-branch pattern): when even the exact
+      // vocabulary COUNT frame warrants a sketch, the CMS top-(V+slack)
+      // SELECTS which words are scored while the drift grid keeps exact
+      // counts. Because a CMS never undercounts (q67 bound), its
+      // top-(V+slack) estimate set contains the exact top-V for modest
+      // slack, so this composed path provably equals q134's exact top-V
+      // cut on the gated fixture — which is why the oracle is q134's
+      // CTE scaffold verbatim. The require pins that the sketch
+      // genuinely selected (candidate set ≠ full vocabulary) at every
+      // dir the query is built against.
+      val docs = Tables(s, d).documents
+      val toks = docs.select(explode(split(col("text"), " ")).as("word"))
+      val cand = graft.operators.Sketches.cmsTopK(toks, "word",
+        candidates = toks.select(col("word")).distinct(), k = 12 + 6)
+      // bounded scalars: an 18-row frame count and a zero-key distinct
+      val nCand = cand.count()
+      val vocab = toks.agg(countDistinct(col("word"))).head().getLong(0)
+      require(nCand < vocab,
+        s"q139: the sketch must genuinely select (|cand|=$nCand, vocab=$vocab)")
+      Drift.jsDivergence(docs, "source", "text", topV = Some(12),
+        candidateWords = Some(cand.select(col("word"))))
+    },
+
     "q127_bpe_encode" -> { (s, d) =>
       // The serving step after q116's trainer: tokenize the CORPUS with
       // the learned merges. The per-word segmentation (vocabulary-sized)
@@ -186,6 +212,45 @@ object CurationQueries {
           "curriculum_pos")
         .select(col("doc_id"), col("phase"), col("shuffle_key"),
           col("curriculum_pos"))
+    },
+
+    "q141_langid_trained" -> { (s, d) =>
+      // TRAINED language ID (r10 verdict item 4): q25 is the heuristic
+      // stopword scorer; the CCNet stack's actual langid stage is a
+      // learned linear classifier over hashed char n-grams — this row
+      // gates THAT machinery: one-vs-rest logistic regression
+      // (Classifier.logisticTrainOneVsRest) over boundary-marked char
+      // trigrams (charNgrams — the fastText feature family), one
+      // binary grid-deterministic model per fixture language over ONE
+      // shared cached feature frame, argmax with lexicographic
+      // tiebreak. Features come from the doc's LEADING 6-WORD SNIPPET —
+      // langid classifies a snippet, not the document (and at 100 TB
+      // the snippet IS the scale shape: the feature pass reads a fixed
+      // prefix per doc, not the corpus text volume); it also keeps the
+      // unnormalized-count margins in the non-saturated sigmoid regime
+      // (full-document counts drove every margin past the sigmoid's
+      // saturation, collapsing all scores to exact 0/1 — pinned
+      // against below). The oracle unrolls all five models' full
+      // two-step trajectories (q124's construction, K-fold) plus the
+      // argmax. The fixture's text is deliberately lang-independent,
+      // so the gate pins the TRAINING/SCORING machinery cross-engine,
+      // not fixture accuracy (the models learn the class priors).
+      val docs = Tables(s, d).documents
+      // bounded collect: one row per language
+      val classes = docs.select(col("lang")).distinct()
+        .collect().map(_.getString(0)).sorted
+      require(classes.sameElements(Array("de", "en", "es", "fr", "zh")),
+        s"q141: the oracle unrolls exactly the 5 fixture languages, got ${classes.toSeq}")
+      val out = Classifier.logisticTrainOneVsRest(docs, "doc_id", "text", "lang",
+        nBuckets = 64, iters = 2, lr = 0.5, salt = "lid141",
+        tokens = t => Classifier.charNgrams(
+          array_join(slice(split(t, " "), 1, 6), " "), 3))
+      // liveness pin: the scores must occupy the sigmoid's interior —
+      // a saturated fixture (every score exactly 0/1) would gate only
+      // the priors, not the margin arithmetic. Bounded scalar.
+      val interior = out.where(col("score") > 0.0 && col("score") < 1.0).count()
+      require(interior > 0, "q141: every score saturated to 0/1 — fixture degenerate")
+      out
     },
 
     "q132_kanon_release" -> { (s, d) =>
@@ -501,15 +566,93 @@ object CurationQueries {
     // top-12 by (count DESC, word) — the same deterministic TakeOrdered
     // — plus the retained-corpus-mass audit (exact BIGINT sum of the
     // scored words' counts over the corpus total, then q6)
-    "q134_drift_capped" ->
-      s"""WITH ${DriftCtes("SELECT word, c FROM cALL ORDER BY c DESC, word LIMIT 12")}
-        |SELECT source, max(m) AS n_tokens,
-        |  CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS INT) AS n_words_absent,
-        |  $DriftJsSum AS js_divergence,
-        |  floor((CAST(sum(c) AS DOUBLE) / max(n)) * 1000000.0 + 0.5)
-        |    / 1000000.0 AS v_covered_mass
-        |FROM terms GROUP BY source""".stripMargin
+    "q134_drift_capped" -> DriftCappedSql,
+
+    // q139's sketch-selected path provably EQUALS the exact top-V cut on
+    // the gated fixture (the CMS never undercounts, so its top-(V+slack)
+    // candidate set contains the exact top-V, and selected words keep
+    // exact counts) — the oracle is therefore q134's replay verbatim;
+    // the cross-engine hash match is what gates the equality
+    "q139_drift_sketched" -> DriftCappedSql,
+
+    "q141_langid_trained" -> LangIdSql
   )
+
+  /** The q141 replay: five unrolled one-vs-rest trajectories (q124's
+    * residual→gradient→weights→margin construction, two iterations
+    * each) over ONE shared char-trigram feature CTE, then the argmax.
+    * `feat`/`raw` are MATERIALIZED: five chains × two iterations
+    * reference them ~20 times, and DuckDB would otherwise re-inline
+    * the trigram explode per reference. A `def` (no sibling-`val`
+    * interpolation at object init).
+    */
+  private def LangIdSql: String = {
+    val classes = Seq("de", "en", "es", "fr", "zh")
+    // per-class margin replay: per-feature w·cnt quantized to the 1e-6
+    // grid as BIGINT, summed order-free (the q104/q124 construction)
+    def margin(c: String, wCte: String, out: String) =
+      s"""$out AS (SELECT id, y,
+         |    floor(1.0 / (1.0 + exp(-(CAST(qz AS DOUBLE) / 1000000.0)))
+         |      * 1000000.0 + 0.5) / 1000000.0 AS p
+         |  FROM (SELECT id, sum(CAST(floor((wt * cnt) * 1000000.0 + 0.5)
+         |        AS BIGINT)) AS qz
+         |      FROM feat JOIN $wCte USING (bucket) GROUP BY id) z
+         |  JOIN base_$c USING (id))""".stripMargin
+    // iteration 1 starts from all-zero weights: z = 0 exactly, so
+    // p = q6(1/(1+exp(0))) = 0.5 in any engine (q124's shortcut)
+    def chain(c: String): String =
+      s"""base_$c AS (SELECT id, CASE WHEN lang = '$c' THEN 1 ELSE 0 END AS y FROM raw),
+         |e1_$c AS (SELECT id, CAST(floor((0.5 - y) * 1000000.0 + 0.5) AS BIGINT) AS e
+         |  FROM base_$c),
+         |g1_$c AS (SELECT bucket, sum(e * cnt) AS g FROM feat JOIN e1_$c USING (id)
+         |  GROUP BY 1),
+         |w1_$c AS (SELECT bucket, 0.0 - 0.5 * (CAST(g AS DOUBLE) / 1000000.0 / n.n) AS wt
+         |  FROM g1_$c, n),
+         |${margin(c, s"w1_$c", s"p2_$c")},
+         |e2_$c AS (SELECT id, CAST(floor((p - y) * 1000000.0 + 0.5) AS BIGINT) AS e
+         |  FROM p2_$c),
+         |g2_$c AS (SELECT bucket, sum(e * cnt) AS g FROM feat JOIN e2_$c USING (id)
+         |  GROUP BY 1),
+         |w2_$c AS (SELECT bucket, w1_$c.wt - 0.5 * (CAST(g AS DOUBLE) / 1000000.0 / n.n) AS wt
+         |  FROM w1_$c JOIN g2_$c USING (bucket), n),
+         |${margin(c, s"w2_$c", s"p3_$c")}""".stripMargin
+    s"""WITH raw AS MATERIALIZED (
+       |  SELECT doc_id AS id, lang, string_split(text,' ')[1:6] AS w FROM documents),
+       |n AS (SELECT count(*) AS n FROM raw),
+       |feat AS MATERIALIZED (
+       |  SELECT id, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT id, CAST(('0x'||substr(md5(g||'#lid141'),1,8))::BIGINT % 64 AS INT)
+       |        AS bucket
+       |    FROM (SELECT id, m[i:i+2] AS g
+       |      FROM (SELECT id, m, unnest(range(1, len(m)-1)) AS i
+       |        FROM (SELECT id, '^'||word||'$$' AS m
+       |          FROM (SELECT id, unnest(w) AS word FROM raw)))))
+       |  GROUP BY 1, 2
+       |  UNION ALL SELECT id, -1, 1 FROM raw),
+       |${classes.map(chain).mkString(",\n")},
+       |ranked AS (SELECT id, cls, p,
+       |    row_number() OVER (PARTITION BY id ORDER BY p DESC, cls ASC) AS rn
+       |  FROM (${classes.map(c => s"SELECT id, '$c' AS cls, p FROM p3_$c")
+             .mkString(" UNION ALL ")}))
+       |SELECT r.id AS doc_id, r.lang,
+       |  ${classes.map(c => s"p3_$c.p AS score_$c").mkString(", ")},
+       |  w.p AS score, w.cls AS predicted
+       |FROM raw r ${classes.map(c => s"JOIN p3_$c USING (id)").mkString(" ")}
+       |JOIN (SELECT id, cls, p FROM ranked WHERE rn = 1) w USING (id)""".stripMargin
+  }
+
+  /** The shared q134/q139 capped-drift replay (q139's CMS-selected grid
+    * equals the exact top-V cut by the never-undercount contract). A
+    * `def`: interpolated during `oracles`' own initialization.
+    */
+  private def DriftCappedSql: String =
+    s"""WITH ${DriftCtes("SELECT word, c FROM cALL ORDER BY c DESC, word LIMIT 12")}
+      |SELECT source, max(m) AS n_tokens,
+      |  CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS INT) AS n_words_absent,
+      |  $DriftJsSum AS js_divergence,
+      |  floor((CAST(sum(c) AS DOUBLE) / max(n)) * 1000000.0 + 0.5)
+      |    / 1000000.0 AS v_covered_mass
+      |FROM terms GROUP BY source""".stripMargin
 
   /** Shared q126/q134 oracle scaffolding: token/count CTEs and the
     * per-word JS term grid. `vocabSel` is the SELECT defining the SCORED

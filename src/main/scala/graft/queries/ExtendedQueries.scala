@@ -399,6 +399,22 @@ object ExtendedQueries {
         .select(col("node"), col("rank"), col("n_iters"))
     },
 
+    "q140_pagerank_dangling" -> { (s, d) =>
+      // q109's pipeline with dangling mass REDISTRIBUTED uniformly
+      // (danglingRedistribute = true, r10 verdict item 3 — the third
+      // gated branch through the shared scaffold): the conventional
+      // mass-conserving PageRank most consumers expect. On the trade
+      // graph EVERY customer node is dangling (customers never sell),
+      // so the branch is maximally live: each iteration's dangling
+      // aggregate re-injects the whole customer-side mass instead of
+      // leaking it. One extra zero-key integer-grid aggregate per
+      // iteration; the oracle replays the identical rule, and
+      // GraphSpec pins Σranks conservation up to per-node q6 rounding.
+      Graph.pageRank(tradeEdges(s, d), "src", "dst", col("w"), iters = 3,
+          danglingRedistribute = true)
+        .select(col("node"), col("rank"), col("n_iters"))
+    },
+
     "q110_source_lang_rollup" -> { (s, d) =>
       // Subtotaled corpus report: the q66 "dataset card" cut by
       // (source × lang) WITH the source-level and grand-total rows a
@@ -474,30 +490,55 @@ object ExtendedQueries {
   /** The pageRank replay, parameterized on the in-mass accumulation
     * grid so q138 replays q109's identical three unrolled iterations
     * with only the grid constant changed (the bm25FoldedCte pattern,
-    * for graphs). The per-iteration RANK quantization stays 1e6 at
-    * either grid — `gridScale` governs only how edge contributions
-    * accumulate into a node's inbound mass (Graph.scala's ACCURACY
-    * TRADE). A `def` (no sibling-`val` interpolation at object init).
+    * for graphs), and on the dangling rule so q140 replays the same
+    * iterations with the uniform redistribution term added (Graph's
+    * danglingRedistribute). The per-iteration RANK quantization stays
+    * 1e6 at either grid — `gridScale` governs only how edge
+    * contributions (and, under redistribution, the per-iteration
+    * dangling-mass scalar) accumulate (Graph.scala's ACCURACY TRADE).
+    * A `def` (no sibling-`val` interpolation at object init).
     */
-  private def pageRankUnrolled(gridScale: String): String = {
-    def iter(prev: String, out: String) =
-      s"""$out AS (SELECT nd.node,
+  private def pageRankUnrolled(gridScale: String,
+                               dangling: Boolean = false): String = {
+    // the redistribution term: the iteration's total dangling rank as
+    // the SAME exact-integer-grid sum the Spark side runs (1-row
+    // scalar), divided uniformly across nodes inside the damping factor
+    def dmCte(prev: String, dm: String) =
+      s"""$dm AS (SELECT coalesce(CAST(sum(CAST(floor(
+         |      r.rank * $gridScale + 0.5) AS BIGINT)) AS DOUBLE) / $gridScale,
+         |    CAST(0.0 AS DOUBLE)) AS dm
+         |  FROM $prev r JOIN dang USING (node)),""".stripMargin
+    def iter(prev: String, out: String) = {
+      val dm = s"d$out"
+      val head = if (dangling) dmCte(prev, dm) + "\n" else ""
+      val mass =
+        if (dangling)
+          s"(coalesce(m.mass, CAST(0.0 AS DOUBLE)) + $dm.dm / nn.n)"
+        else "coalesce(m.mass, CAST(0.0 AS DOUBLE))"
+      val extraFrom = if (dangling) s", $dm" else ""
+      s"""$head$out AS (SELECT nd.node,
          |    floor(((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
-         |        + CAST(0.85 AS DOUBLE) * coalesce(m.mass, CAST(0.0 AS DOUBLE)))
+         |        + CAST(0.85 AS DOUBLE) * $mass)
          |      * 1000000.0 + 0.5) / 1000000.0 AS rank
          |  FROM nodes nd LEFT JOIN (
          |    SELECT s.dst, CAST(sum(CAST(floor(
          |        CAST(r.rank * s.share AS DOUBLE) * $gridScale + 0.5) AS BIGINT))
          |      AS DOUBLE) / $gridScale AS mass
          |    FROM $prev r JOIN sh s ON r.node = s.src GROUP BY s.dst) m
-         |    ON nd.node = m.dst, nn)""".stripMargin
+         |    ON nd.node = m.dst, nn$extraFrom)""".stripMargin
+    }
+    val dangCte = if (dangling)
+      """dang AS (SELECT node FROM nodes nd
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = nd.node)),
+        |""".stripMargin
+    else ""
     s"""WITH e AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
       |    'c' || CAST(o_custkey AS VARCHAR) AS dst, count(*) AS w
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
       |nodes AS (SELECT DISTINCT node FROM
       |  (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
       |nn AS (SELECT count(*) AS n FROM nodes),
-      |sh AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS share
+      |${dangCte}sh AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS share
       |  FROM e),
       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn),
       |${iter("r0", "r1")},
@@ -779,6 +820,8 @@ object ExtendedQueries {
     // grid changed to 1e12 (the q135 parameterized-scaffold pattern) —
     // the rank quantization stays q6 in both
     "q138_pagerank_fine_grid" -> pageRankUnrolled("1000000000000.0"),
+
+    "q140_pagerank_dangling" -> pageRankUnrolled("1000000.0", dangling = true),
 
     "q110_source_lang_rollup" ->
       """SELECT coalesce(source, 'ALL') AS source,

@@ -116,6 +116,50 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("collect_list"), s"collect_list buffer survived:\n$plan")
   }
 
+  test("charNgrams yields boundary-marked windows; short tokens yield none") {
+    val df = Seq((1L, "the a")).toDF("id", "text")
+    val grams = df.select(explode(Classifier.charNgrams(col("text"), 3)).as("g"))
+      .as[String].collect().toSeq
+    assert(grams == Seq("^th", "the", "he$", "^a$"))
+    // a 4-gram over "a" ("^a$", length 3) must yield NOTHING — not a
+    // fabricated descending sequence (Spark's sequence counts DOWN when
+    // start > stop; DuckDB's range is empty: the guard pins the match)
+    val none = df.select(explode(Classifier.charNgrams(lit("a"), 4)).as("g")).count()
+    assert(none == 0L)
+  }
+
+  test("logisticTrainOneVsRest: separable classes argmax correctly; ties break to the first class") {
+    // three trivially separable classes by marker token
+    val docs = (0 until 60).map { i =>
+      val cls = Seq("aa", "bb", "cc")(i % 3)
+      (i.toLong, cls, s"$cls alpha beta")
+    }.toDF("doc_id", "cls", "text")
+    val out = Classifier.logisticTrainOneVsRest(docs, "doc_id", "text", "cls",
+      nBuckets = 16, iters = 3, lr = 0.5, salt = "ovr",
+      tokens = split(_, " "))
+    assert(out.columns.toSeq == Seq("doc_id", "cls",
+      "score_aa", "score_bb", "score_cc", "score", "predicted"))
+    val rows = out.select("cls", "predicted").as[(String, String)].collect()
+    assert(rows.forall { case (c, p) => c == p },
+      s"separable one-vs-rest misclassified: ${rows.filterNot(r => r._1 == r._2).take(3).toSeq}")
+    // partition invariance: the K trajectories are exact-integer grids
+    val out2 = Classifier.logisticTrainOneVsRest(docs.repartition(7), "doc_id",
+      "text", "cls", nBuckets = 16, iters = 3, lr = 0.5, salt = "ovr",
+      tokens = split(_, " "))
+    assert(out.collect().map(_.toSeq).toSet == out2.collect().map(_.toSeq).toSet)
+    // tie rule: identical text for both classes -> identical scores ->
+    // the lexicographically FIRST class wins every argmax
+    val tied = Seq((1L, "xx", "same text"), (2L, "yy", "same text"))
+      .toDF("doc_id", "cls", "text")
+    val tiedOut = Classifier.logisticTrainOneVsRest(tied, "doc_id", "text", "cls",
+      nBuckets = 4, iters = 1, lr = 0.5, salt = "tie", tokens = split(_, " "))
+      .select("score_xx", "score_yy", "predicted")
+      .as[(Double, Double, String)].collect()
+    assert(tiedOut.forall(r => r._1 == r._2),
+      s"symmetric classes should score identically: ${tiedOut.toSeq}")
+    assert(tiedOut.forall(_._3 == "xx"), s"tie must break to 'xx': ${tiedOut.toSeq}")
+  }
+
   // ---- Quantize -------------------------------------------------------
 
   test("pqEncode: seed vectors reconstruct exactly; codes stay in range") {

@@ -78,6 +78,43 @@ class GraphSpec extends graft.SparkSpec {
     assert(ha == hb, "hub fixture: grids should agree bit-exactly here")
   }
 
+  test("pageRank danglingRedistribute conserves Σranks up to grid rounding; the leaky form leaks") {
+    // every dst is a sink (sources never receive), so the dangling set
+    // is the whole dst side — the redistribution branch is maximally
+    // live, exactly like the gated trade graph's customer side
+    val edges = (0L until 200L).map(i => (s"s${i % 20}", s"m${(i * 7) % 20}", 1L + i % 3))
+      .toDF("src", "dst", "w")
+    val iters = 3
+    def total(redistribute: Boolean): Double =
+      Graph.pageRank(edges, "src", "dst", $"w", iters = iters,
+          danglingRedistribute = redistribute)
+        .agg(sum($"rank")).head().getDouble(0)
+    val conserved = total(redistribute = true)
+    val leaky = total(redistribute = false)
+    // conservation bound: per iteration the error picks up at most
+    // 5e-7 per edge contribution (E rows quantized onto the 1e6 grid;
+    // the dangling sum itself is EXACT — the entering ranks are already
+    // q6 doubles, so their grid longs round losslessly), damped, plus
+    // one q6 output cell per node
+    val n = 40.0; val e = 200.0
+    var bound = 0.0
+    for (_ <- 1 to iters) bound = 0.85 * (bound + e * 5e-7) + n * 5e-7
+    assert(math.abs(conserved - 1.0) <= bound,
+      s"redistributed Σranks drifted past $bound from 1: $conserved")
+    // the leaky default genuinely leaks the sinks' mass on this fixture
+    assert(leaky < conserved - 0.1,
+      s"leaky form should lose sink mass (leaky=$leaky, conserved=$conserved)")
+    // and the redistribution branch stays bit-deterministic under
+    // re-partitioning (its dangling aggregate is an integer-grid sum)
+    val a = Graph.pageRank(edges, "src", "dst", $"w", iters = iters,
+        danglingRedistribute = true)
+      .collect().map(x => (x.getString(0), x.getDouble(1))).toSet
+    val b = Graph.pageRank(edges.repartition(7), "src", "dst", $"w",
+        iters = iters, danglingRedistribute = true)
+      .collect().map(x => (x.getString(0), x.getDouble(1))).toSet
+    assert(a == b, "dangling-redistributed ranks drifted under repartition")
+  }
+
   test("pageRank rejects an un-oracle-mirrored grid constant") {
     val edges = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
     intercept[IllegalArgumentException] {
