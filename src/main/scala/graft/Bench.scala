@@ -71,6 +71,22 @@ object Bench {
     "q106_zorder_layout", "q113_schema_evolution",
     "q115_stream_left_interval_join", "q117_available_now_catchup")
 
+  /** Queries that exist to GATE AN OPERATOR BRANCH cross-engine by
+    * re-running a full pipeline with one constant/flag changed (the
+    * q135 pattern): q135 re-runs BM25 at the dropping df cap, q138/q140
+    * re-run the 3-iteration PageRank at the fine grid / with dangling
+    * redistribution, q139 re-runs the capped drift with sketch-selected
+    * candidates. Their cost is a REPLAY of an already-benched pipeline,
+    * so the batch section grows linearly as branches get gated (r10
+    * verdict item 6); the artifacts carry this set and a
+    * `branch_gate_total` subtotal so round-over-round batch totals
+    * stay interpretable — compare `batch_total - branch_gate_total`
+    * for the organic trend.
+    */
+  private[graft] val branchGates: Set[String] = Set(
+    "q135_bm25_capped", "q138_pagerank_fine_grid",
+    "q139_drift_sketched", "q140_pagerank_dangling")
+
   /** Wait (bounded) for the 1-min loadavg to decay below `target` so the
     * next section's per-query `load` fields start from a clean machine;
     * returns seconds waited. Bounded: 1-min load decays ~e^(-t/60), so
@@ -168,6 +184,12 @@ object Bench {
       (name, reps.min, reps, load)
     }
     def f(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
+    // env-derived strings (SPARK_GRAFT_SF_DIR / SPARK_GRAFT_BENCH_OUT)
+    // are interpolated into the summary JSON: a path carrying a quote or
+    // backslash would produce an unparseable final stdout line — the
+    // exact failure mode the compact summary exists to fix (ADVICE r10)
+    def jstr(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val repsJson = results.map { case (k, _, reps, load) =>
@@ -179,6 +201,9 @@ object Bench {
     val byName = results.map(r => r._1 -> r._2).toMap
     val batchTotal = batch.map(byName).sum
     val harnessTotal = harness.map(byName).sum
+    val branchGateTotal = selected.filter(branchGates).map(byName).sum
+    val branchGatesJson = selected.filter(branchGates)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val wall = (System.nanoTime() - t0Wall) / 1e9
     // sample end-of-run load BEFORE stop: the field means "load as the
     // last query finished", not "load after executor teardown"
@@ -198,7 +223,7 @@ object Bench {
     // parsed:null); the summary is a few hundred bytes and carries the
     // totals plus a pointer to the detail file.
     val detailJson =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","batch_total":${f(batchTotal)},"streaming_total":${f(harnessTotal)},"settle_sec":${f(settleSec)},"queries":$qs,"errors":$errs,"sf":"$sfDir","load_start":${f(loadStart)},"load_end":${f(loadEnd)},"wall_sec":${f(wall)},"detail":$repsJson}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","batch_total":${f(batchTotal)},"streaming_total":${f(harnessTotal)},"branch_gate_total":${f(branchGateTotal)},"branch_gates":$branchGatesJson,"settle_sec":${f(settleSec)},"queries":$qs,"errors":$errs,"sf":"${jstr(sfDir)}","load_start":${f(loadStart)},"load_end":${f(loadEnd)},"wall_sec":${f(wall)},"detail":$repsJson}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "evidence/BENCH_detail_last.json")
     val detailNote =
@@ -219,6 +244,6 @@ object Bench {
     // the driver's 2000-char tail — the full list is in the detail file
     val errsCapped = (failed.take(8).map("\"" + _ + "\"") ++
       (if (failed.size > 8) Seq("\"...\"") else Nil)).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${failed.size},"batch_total":${f(batchTotal)},"streaming_total":${f(harnessTotal)},"settle_sec":${f(settleSec)},"wall_sec":${f(wall)},"load_start":${f(loadStart)},"load_end":${f(loadEnd)},"errors":$errsCapped,"detail_file":"$detailNote"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"${jstr(sfDir)}","n_queries":${results.size},"n_errors":${failed.size},"batch_total":${f(batchTotal)},"streaming_total":${f(harnessTotal)},"branch_gate_total":${f(branchGateTotal)},"settle_sec":${f(settleSec)},"wall_sec":${f(wall)},"load_start":${f(loadStart)},"load_end":${f(loadEnd)},"errors":$errsCapped,"detail_file":"${jstr(detailNote)}"}""")
   }
 }

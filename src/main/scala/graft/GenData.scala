@@ -135,13 +135,14 @@ object GenData {
     // preserves the lang skew that keeps them live (the q122 lesson:
     // fixture properties drift silently; r09 verdict item 6). This is a
     // LIVENESS pin on magnitudes, not a bit-exactness replay — the gate
-    // itself owns the IEEE contract. Bounded collect: one row per lang.
-    val langCounts = docsOut.groupBy(col("lang"))
-      .agg(count(lit(1)).as("n")).collect()
-    val nDocsTotal = langCounts.map(_.getAs[Long]("n")).sum.toDouble
-    val mixRates = langCounts.map(r =>
-      math.min(1.0, 0.45 * math.sqrt(nDocsTotal) /
-        math.sqrt(r.getAs[Long]("n").toDouble)))
+    // itself owns the IEEE contract. The rates come from the OPERATOR
+    // (Sampling.temperatureMix, q137's exact invocation), not a
+    // re-derived formula — a hand copy would silently keep validating a
+    // formula the gate no longer runs if the operator's scale or shape
+    // changed (ADVICE r10). Bounded collect: one distinct rate per lang.
+    val mixRates = graft.operators.Sampling.temperatureMix(
+        docsOut, "lang", "doc_id", scale = 0.45, salt = "tmix")
+      .select(col("mix_rate")).distinct().collect().map(_.getDouble(0))
     require(mixRates.exists(_ == 1.0) && mixRates.exists(_ < 1.0),
       s"q137 rate branches degenerate at sf1: rates ${mixRates.sorted.mkString(",")} " +
         "— the replica remap no longer preserves the lang skew")

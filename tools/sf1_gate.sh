@@ -51,13 +51,23 @@ fi
 # the driver's tail parser needs), so the artifact is the detail file.
 # Remove any same-ROUND artifact first: a crashed bench must leave the
 # file MISSING (caught below), not silently pass `test -s` on a stale
-# file from a previous run. Bench stderr goes to a log, not /dev/null,
-# so a crash (and Bench's own write-failure fallback dump) is findable.
+# file from a previous run. Full bench stderr still goes to /tmp (a
+# ~600 KB Spark-warning stream, too big to commit per round), but the
+# DURABLE part lands under evidence/ (ADVICE r10: /tmp is lost on
+# reboot/cleanup and the compact summary's n_errors lived nowhere
+# durable outside the detail JSON): the [bench] marker lines — per-query
+# start order, FAILED messages, write-failure fallback dumps — plus the
+# compact stdout summary line, appended after the run.
 rm -f "evidence/BENCH_sf1_${ROUND}.json"
+BENCH_LOG="evidence/BENCH_sf1_${ROUND}.log"
+STDERR_TMP="/tmp/bench_sf1_${ROUND}.stderr"
 SPARK_GRAFT_SF_DIR=/root/repo/tmp/sf1 \
   SPARK_GRAFT_BENCH_OUT="evidence/BENCH_sf1_${ROUND}.json" \
-  sbt -batch "runMain graft.Bench $NAMES" 2>"/tmp/bench_sf1_${ROUND}.stderr" \
-  | grep '"metric"' || true
+  sbt -batch "runMain graft.Bench $NAMES" 2>"$STDERR_TMP" \
+  | grep '"metric"' > "/tmp/bench_sf1_${ROUND}.summary" || true
+grep '^\[bench\]' "$STDERR_TMP" > "$BENCH_LOG" || true
+cat "/tmp/bench_sf1_${ROUND}.summary" >> "$BENCH_LOG"
+cat "/tmp/bench_sf1_${ROUND}.summary"
 test -s "evidence/BENCH_sf1_${ROUND}.json" || {
-  echo "sf1 bench detail missing; see /tmp/bench_sf1_${ROUND}.stderr" >&2; exit 1; }
+  echo "sf1 bench detail missing; see $BENCH_LOG and $STDERR_TMP" >&2; exit 1; }
 echo "sf1 gate + bench complete; artifacts refreshed under evidence/"
