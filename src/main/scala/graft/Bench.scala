@@ -185,11 +185,20 @@ object Bench {
     }
     def f(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
     // env-derived strings (SPARK_GRAFT_SF_DIR / SPARK_GRAFT_BENCH_OUT)
-    // are interpolated into the summary JSON: a path carrying a quote or
-    // backslash would produce an unparseable final stdout line — the
-    // exact failure mode the compact summary exists to fix (ADVICE r10)
-    def jstr(s: String): String =
-      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // are interpolated into the summary JSON: a path carrying a quote,
+    // backslash, or control char (a newline ALSO breaks the "final
+    // stdout line" parse) would produce an unparseable summary — the
+    // exact failure mode the compact summary exists to fix (ADVICE
+    // r10). Same escape set as Verify's oracle_sql writer.
+    def jstr(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val repsJson = results.map { case (k, _, reps, load) =>
@@ -244,6 +253,6 @@ object Bench {
     // the driver's 2000-char tail — the full list is in the detail file
     val errsCapped = (failed.take(8).map("\"" + _ + "\"") ++
       (if (failed.size > 8) Seq("\"...\"") else Nil)).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"${jstr(sfDir)}","n_queries":${results.size},"n_errors":${failed.size},"batch_total":${f(batchTotal)},"streaming_total":${f(harnessTotal)},"branch_gate_total":${f(branchGateTotal)},"settle_sec":${f(settleSec)},"wall_sec":${f(wall)},"load_start":${f(loadStart)},"load_end":${f(loadEnd)},"errors":$errsCapped,"detail_file":"${jstr(detailNote)}"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"${jstr(sfDir)}","n_queries":${results.size},"n_errors":${failed.size},"batch_total":${f(batchTotal)},"streaming_total":${f(harnessTotal)},"branch_gate_total":${f(branchGateTotal)},"branch_gates":$branchGatesJson,"settle_sec":${f(settleSec)},"wall_sec":${f(wall)},"load_start":${f(loadStart)},"load_end":${f(loadEnd)},"errors":$errsCapped,"detail_file":"${jstr(detailNote)}"}""")
   }
 }

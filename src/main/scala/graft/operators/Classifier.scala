@@ -169,7 +169,20 @@ object Classifier {
     * — the winning probability — and predicted). Determinism: each
     * binary model is the exact [[logisticTrain]] grid construction, so
     * the full K-model trajectory unrolls in the oracle (q124's
-    * construction, K-fold).
+    * construction, K-fold). `classCol` must be non-null (a null class
+    * is require-rejected, not silently scored — filter or fill first;
+    * the null-stratum convention belongs to [[Sampling.temperatureMix]],
+    * where a null stratum has sampling semantics).
+    *
+    * Cache lifetime (the [[Graph.pageRank]] convention, NOT the binary
+    * form's release-before-return): the RETURNED plan reads the cached
+    * feature frame once per class (K margin aggregates), so releasing
+    * the caches here would make every downstream action pay K
+    * corpus-sized feature rebuilds. The labels/features handles
+    * therefore stay live until the session drops them — callers
+    * running many queries in one session should
+    * `spark.catalog.clearCache()` between queries (Verify and Bench
+    * both do).
     */
   def logisticTrainOneVsRest(docs: DataFrame, idCol: String, textCol: String,
                              classCol: String, nBuckets: Int, iters: Int,
@@ -187,9 +200,14 @@ object Classifier {
       .unionByName(labels.select(col("__id"), lit(-1).as("__b"), lit(1L).as("__cnt")))
       .persist()
     val n = labels.count() // bounded scalar; also materializes the caches
-    // bounded collect: one row per class (a model constant, never data)
-    val classes = labels.select(col("__cls")).distinct()
-      .collect().map(_.getString(0)).sorted
+    // bounded collect: one row per class (a model constant, never data);
+    // null-check BEFORE sorting — Array[String].sorted NPEs on null, so
+    // the require must see the raw values
+    val rawClasses = labels.select(col("__cls")).distinct()
+      .collect().map(_.getString(0))
+    require(!rawClasses.contains(null),
+      "one-vs-rest requires non-null classes; filter or fill nulls first")
+    val classes = rawClasses.sorted
     require(classes.length >= 2, s"one-vs-rest needs >= 2 classes, got ${classes.toSeq}")
 
     val perClass = classes.map { c =>
@@ -205,13 +223,12 @@ object Classifier {
     val best = array_max(array(classes.zipWithIndex.map { case (c, i) =>
       struct(col(s"score_$c").as("p"), lit(-i).as("negi"), lit(c).as("cls"))
     }: _*))
-    val out = labels.join(joined, Seq("__id"))
+    // the caches stay live: the returned plan's K margin aggregates
+    // each read `feat` — see the cache-lifetime note in the scaladoc
+    labels.join(joined, Seq("__id"))
       .withColumn("__best", best)
       .select(col("__id").as(idCol) +: col("__cls").as(classCol) +:
         classes.map(c => col(s"score_$c")) :+
         col("__best.p").as("score") :+ col("__best.cls").as("predicted"): _*)
-    labels.unpersist()
-    feat.unpersist()
-    out
   }
 }

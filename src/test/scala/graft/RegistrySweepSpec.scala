@@ -254,6 +254,31 @@ class RegistrySweepSpec extends SparkSpec {
     )
   }
 
+  test("dedupByIdWithinWatermark's real streaming shape matches its batch stand-in (stand-in cannot drift)") {
+    // the batch screen below plans a stand-in for this one builder (it
+    // refuses batch frames outright); this guard pins the BUILDER's own
+    // analyzed streaming plan — a bare watermarked stateful dedup on
+    // exactly the id key, no joins/aggregates/windows — so a future
+    // change to the builder cannot silently diverge from the shape the
+    // stand-in screens
+    import org.apache.spark.sql.functions.col
+    val src = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+      .select(col("timestamp").as("ts"), col("value").as("event_id"))
+    val analyzed = graft.streaming.StreamOps
+      .dedupByIdWithinWatermark(src, "ts", "event_id", "10 minutes")
+      .queryExecution.analyzed
+    val names = analyzed.collect { case n => n.nodeName }
+    assert(names.count(_ == "DeduplicateWithinWatermark") == 1,
+      s"builder no longer a single stateful dedup: $names")
+    assert(!names.exists(n => n.contains("Join") || n.contains("Aggregate") ||
+      n.contains("Window")), s"builder grew shapes the stand-in does not screen: $names")
+    val keys = analyzed.collect {
+      case d if d.nodeName == "DeduplicateWithinWatermark" =>
+        d.expressions.flatMap(_.references.map(_.name))
+    }.flatten
+    assert(keys == Seq("event_id"), s"dedup key drifted from the stand-in's: $keys")
+  }
+
   test("every StreamOps builder's batch-equivalent plan passes the four screens") {
     assert(streamingPlans.size >= 7, "streaming sweep lost a builder")
     val offenders = streamingPlans.toSeq.sortBy(_._1).flatMap { case (n, p) =>

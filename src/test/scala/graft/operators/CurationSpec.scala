@@ -158,6 +158,15 @@ class CurationSpec extends SparkSpec {
     assert(tiedOut.forall(r => r._1 == r._2),
       s"symmetric classes should score identically: ${tiedOut.toSeq}")
     assert(tiedOut.forall(_._3 == "xx"), s"tie must break to 'xx': ${tiedOut.toSeq}")
+    // a null class is require-rejected with a usable message, not the
+    // opaque NPE Array[String].sorted would throw
+    val withNull = Seq((1L, null.asInstanceOf[String], "x"), (2L, "a", "y"),
+      (3L, "b", "z")).toDF("doc_id", "cls", "text")
+    val err = intercept[IllegalArgumentException] {
+      Classifier.logisticTrainOneVsRest(withNull, "doc_id", "text", "cls",
+        nBuckets = 4, iters = 1, lr = 0.5, salt = "n", tokens = split(_, " "))
+    }
+    assert(err.getMessage.contains("non-null classes"))
   }
 
   // ---- Quantize -------------------------------------------------------

@@ -65,7 +65,10 @@ SPARK_GRAFT_SF_DIR=/root/repo/tmp/sf1 \
   SPARK_GRAFT_BENCH_OUT="evidence/BENCH_sf1_${ROUND}.json" \
   sbt -batch "runMain graft.Bench $NAMES" 2>"$STDERR_TMP" \
   | grep '"metric"' > "/tmp/bench_sf1_${ROUND}.summary" || true
-grep '^\[bench\]' "$STDERR_TMP" > "$BENCH_LOG" || true
+# '^{' also captures Bench's write-failure fallback dump (the detail
+# JSON lands on stderr as a brace-led line when the file write fails —
+# exactly the case where stderr is the only copy of the measurements)
+grep -E '^\[bench\]|^\{' "$STDERR_TMP" > "$BENCH_LOG" || true
 cat "/tmp/bench_sf1_${ROUND}.summary" >> "$BENCH_LOG"
 cat "/tmp/bench_sf1_${ROUND}.summary"
 test -s "evidence/BENCH_sf1_${ROUND}.json" || {
