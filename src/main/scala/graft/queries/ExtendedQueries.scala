@@ -500,6 +500,14 @@ object ExtendedQueries {
     */
   private def pageRankUnrolled(gridScale: String,
                                dangling: Boolean = false): String = {
+    // In the dangling variant every rank CTE is referenced TWICE (the
+    // next iteration's mass subquery AND its dm scalar), so an inlining
+    // replayer would duplicate the whole upstream pipeline per
+    // reference — 2^iters copies of the corpus-sized edge build, which
+    // blew DuckDB's temp spill at sf1. MATERIALIZED pins each stage to
+    // one evaluation (they are node-sized). The non-dangling text stays
+    // byte-identical to the long-gated q109/q138 oracles.
+    val mat = if (dangling) "MATERIALIZED " else ""
     // the redistribution term: the iteration's total dangling rank as
     // the SAME exact-integer-grid sum the Spark side runs (1-row
     // scalar), divided uniformly across nodes inside the damping factor
@@ -516,7 +524,7 @@ object ExtendedQueries {
           s"(coalesce(m.mass, CAST(0.0 AS DOUBLE)) + $dm.dm / nn.n)"
         else "coalesce(m.mass, CAST(0.0 AS DOUBLE))"
       val extraFrom = if (dangling) s", $dm" else ""
-      s"""$head$out AS (SELECT nd.node,
+      s"""$head$out AS $mat(SELECT nd.node,
          |    floor(((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
          |        + CAST(0.85 AS DOUBLE) * $mass)
          |      * 1000000.0 + 0.5) / 1000000.0 AS rank
@@ -528,19 +536,19 @@ object ExtendedQueries {
          |    ON nd.node = m.dst, nn$extraFrom)""".stripMargin
     }
     val dangCte = if (dangling)
-      """dang AS (SELECT node FROM nodes nd
+      """dang AS MATERIALIZED (SELECT node FROM nodes nd
         |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = nd.node)),
         |""".stripMargin
     else ""
-    s"""WITH e AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+    s"""WITH e AS $mat(SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
       |    'c' || CAST(o_custkey AS VARCHAR) AS dst, count(*) AS w
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
-      |nodes AS (SELECT DISTINCT node FROM
+      |nodes AS $mat(SELECT DISTINCT node FROM
       |  (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
       |nn AS (SELECT count(*) AS n FROM nodes),
-      |${dangCte}sh AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS share
+      |${dangCte}sh AS $mat(SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS share
       |  FROM e),
-      |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn),
+      |r0 AS $mat(SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn),
       |${iter("r0", "r1")},
       |${iter("r1", "r2")},
       |${iter("r2", "r3")}
