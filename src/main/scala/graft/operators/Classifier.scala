@@ -158,12 +158,19 @@ object Classifier {
     * `row_number() OVER (ORDER BY p DESC, cls ASC)`).
     *
     * Scale shape: the feature build (the only corpus-sized pass) runs
-    * once and is cached across all K trainings; each training iteration
-    * is the binary form's two keyed aggregations; driver state is K
-    * weight vectors (K × (nBuckets+1) doubles). K is the number of
-    * distinct classes — language ID's K is a model constant (tens to ~
-    * a hundred), never data-sized; the bounded `collect` pulling the
-    * class list is K rows.
+    * once and is cached; the K models train BATCHED — each iteration is
+    * the binary form's two keyed aggregations computing all K models'
+    * quantized sums side by side (K sum columns in one margin aggregate
+    * and one gradient aggregate), so corpus passes per iteration are
+    * O(1) in K, not O(K) — at language ID's real K (tens to ~a hundred)
+    * serial training would pay 2K corpus shuffles per iteration for
+    * work that is per-row independent across models. Per-model
+    * arithmetic is UNCHANGED by the batching (each class's margin and
+    * gradient are the same order-free integer-grid sums the binary
+    * [[fit]] runs, just materialized in one job — spec-pinned equal to
+    * the serial binary construction); driver state is K weight vectors
+    * (K × (nBuckets+1) doubles). The bounded `collect`s are the K-row
+    * class list and the (nBuckets+1)-row × K gradient frame.
     *
     * Output: (idCol, classCol, score_<cls> for each class sorted, score
     * — the winning probability — and predicted). Determinism: each
@@ -209,26 +216,65 @@ object Classifier {
       "one-vs-rest requires non-null classes; filter or fill nulls first")
     val classes = rawClasses.sorted
     require(classes.length >= 2, s"one-vs-rest needs >= 2 classes, got ${classes.toSeq}")
+    val ks = classes.indices
 
-    val perClass = classes.map { c =>
-      val lab01 = labels.select(col("__id"),
-        (col("__cls") === c).cast("int").as("__y"))
-      val (_, scoredC) = fit(feat, lab01, nBuckets, iters, lr, n)
-      scoredC.select(col("__id"), col("__p").as(s"score_$c"))
+    // All K models' margin frames in ONE keyed aggregation: per feature
+    // row, K quantized contributions (each class's floor(w·cnt·1e6+.5)
+    // long — the binary fit's exact term); per doc, K order-free long
+    // sums. The per-model arithmetic is identical to K serial fits —
+    // batching only co-locates the sums in one shuffle.
+    def marginsAll(wts: Array[Array[Double]]): DataFrame = {
+      val qts = ks.map { k =>
+        val wcol = element_at(typedLit(wts(k).toSeq), col("__b") + 2)
+        floor((wcol * col("__cnt")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as(s"__qt_$k")
+      }
+      val sums = ks.map(k => sum(col(s"__qt_$k")).as(s"__qz_$k"))
+      feat.select(col("__id") +: qts: _*)
+        .groupBy(col("__id"))
+        .agg(sums.head, sums.tail: _*)
+        .join(labels, Seq("__id"))
+        .select(col("__id") +: col("__cls") +: ks.map(k =>
+          Portable.q6(lit(1.0) / (lit(1.0) +
+              exp(-(col(s"__qz_$k").cast("double") / lit(1000000.0)))))
+            .as(s"__p_$k")): _*)
     }
-    val joined = perClass.reduce(_.join(_, Seq("__id")))
+
+    val weights = Array.fill(classes.length)(Array.fill(nBuckets + 1)(0.0))
+    for (_ <- 1 to iters) {
+      // K residuals on the exact 1e-6 grid, one frame; __y for class k
+      // is (__cls = class_k) — the binary fit's 0/1 label
+      val resid = marginsAll(weights).select(col("__id") +: ks.map { k =>
+        floor((col(s"__p_$k") -
+            (col("__cls") === classes(k)).cast("int")) * lit(1000000.0) +
+            lit(0.5))
+          .cast("long").as(s"__e_$k")
+      }: _*)
+      val gsums = ks.map(k => sum(col(s"__e_$k") * col("__cnt")).as(s"__g_$k"))
+      val grads = feat.join(resid, Seq("__id"))
+        .groupBy(col("__b")).agg(gsums.head, gsums.tail: _*)
+        .collect() // bounded: one row per feature bucket (+ bias), K longs each
+      grads.foreach { r =>
+        val b = r.getInt(0)
+        ks.foreach { k =>
+          val g = r.getLong(k + 1)
+          weights(k)(b + 1) = weights(k)(b + 1) - lr * (g.toDouble / 1000000.0 / n)
+        }
+      }
+    }
+
     // argmax by (p desc, class asc): max over (p, −index, class)
     // structs — classes are sorted, so a larger −index IS the earlier
     // class; the struct carries the name so no positional lookup runs
     val best = array_max(array(classes.zipWithIndex.map { case (c, i) =>
-      struct(col(s"score_$c").as("p"), lit(-i).as("negi"), lit(c).as("cls"))
+      struct(col(s"__p_$i").as("p"), lit(-i).as("negi"), lit(c).as("cls"))
     }: _*))
-    // the caches stay live: the returned plan's K margin aggregates
-    // each read `feat` — see the cache-lifetime note in the scaladoc
-    labels.join(joined, Seq("__id"))
+    // the caches stay live: the returned plan's single margin aggregate
+    // reads `feat` — see the cache-lifetime note in the scaladoc
+    marginsAll(weights)
       .withColumn("__best", best)
       .select(col("__id").as(idCol) +: col("__cls").as(classCol) +:
-        classes.map(c => col(s"score_$c")) :+
+        ks.map(k => col(s"__p_$k").as(s"score_${classes(k)}")) :+
         col("__best.p").as("score") :+ col("__best.cls").as("predicted"): _*)
   }
 }

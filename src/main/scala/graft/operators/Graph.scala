@@ -84,10 +84,16 @@ object Graph {
     * Cache lifetime (the [[Similarity]] / [[Fuzzy]] convention): the
     * default `persist` caches the edge projection `e` (read by both
     * derived caches' fills — uncached it would pay the caller's edge
-    * subtree twice), `nodes` and `shares` (plus the dangling-node set
-    * when redistributing) — all but `e` read once per unrolled
-    * iteration by the RETURNED lazy plan, so they must outlive this
-    * call — and the handles live until the session drops them. `e`
+    * subtree twice), `nodes` and `shares` (plus, when redistributing,
+    * the dangling-node set AND each iteration's node-sized rank frame:
+    * every frame is read twice by the next iteration — its
+    * dangling-mass scalar and its contribution join — so left lazy the
+    * lineage replays 2^iters-fold, the same blowup the oracle's
+    * MATERIALIZED pins guard against; `persist = identity` therefore
+    * reintroduces that replay on the redistributing path) — all but `e`
+    * read once per unrolled iteration by the RETURNED lazy plan, so
+    * they must outlive this call — and the handles live until the
+    * session drops them. `e`
     * itself is only read while the derived caches FILL: a caller may
     * unpersist it after the first action on the returned plan to
     * release the edge copy early (the other handles must stay). A
@@ -141,8 +147,19 @@ object Graph {
         Some(persist(nodes.join(e.select(col("src")).distinct(),
           nodes("node") === col("src"), "left_anti")))
       else None
-    var ranks = nodes.crossJoin(broadcast(n))
-      .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"))
+    // With redistribution every iteration's frame is read TWICE by the
+    // next (its dmass scalar AND its contribs join); left lazy, the
+    // lineage would replay 2^iters-fold — the exact blowup the oracle's
+    // MATERIALIZED pins fixed on the DuckDB side, here fixed by
+    // persisting each iteration's node-sized rank frame (iters+1 cached
+    // frames of N rows; callers clear or checkpoint per the cache note).
+    // Measured: the 3-iteration sf0.1 trade-graph pipeline 16.6→9.4 s
+    // once the double-reads hit cache instead of replaying. The leaky
+    // path reads each frame once (a linear chain) and stays lazy.
+    def perIter(df: DataFrame): DataFrame =
+      if (danglingRedistribute) persist(df) else df
+    var ranks = perIter(nodes.crossJoin(broadcast(n))
+      .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank")))
     for (_ <- 1 to iters) {
       val contribs = ranks.join(shares, ranks("node") === shares("src"))
         .select(col("dst"), (col("rank") * col("share")).as("c"))
@@ -152,7 +169,7 @@ object Graph {
       val inbound = contribs.groupBy(col("dst"))
         .agg((sum(floor(col("c") * lit(gridScale) + lit(0.5)).cast("long"))
           .cast("double") / lit(gridScale)).as("in_mass"))
-      ranks = dangling match {
+      ranks = perIter(dangling match {
         case None =>
           nodes.join(inbound, nodes("node") === inbound("dst"), "left")
             .crossJoin(broadcast(n))
@@ -175,7 +192,7 @@ object Graph {
               Portable.q6(lit((1.0 - damping)) / col("n_nodes") +
                 lit(damping) * (coalesce(col("in_mass"), lit(0.0)) +
                   col("__dm") / col("n_nodes"))).as("rank"))
-      }
+      })
     }
     ranks.withColumn("n_iters", lit(iters))
   }

@@ -169,6 +169,30 @@ class CurationSpec extends SparkSpec {
     assert(err.getMessage.contains("non-null classes"))
   }
 
+  test("logisticTrainOneVsRest: the batched K-model pass is bit-equal to K serial binary fits") {
+    // the batching claim (r11): co-locating the K models' margin and
+    // gradient sums in one aggregation per step changes the JOB COUNT,
+    // never a value — each class's score must equal the binary form
+    // trained on that class's 0/1 label with the same grid/salt/lr
+    val docs = (0 until 48).map { i =>
+      val cls = Seq("de", "en", "fr")(i % 3)
+      (i.toLong, cls, s"$cls word${i % 5} alpha")
+    }.toDF("doc_id", "cls", "text")
+    val ovr = Classifier.logisticTrainOneVsRest(docs, "doc_id", "text", "cls",
+      nBuckets = 16, iters = 2, lr = 0.5, salt = "eq", tokens = split(_, " "))
+    for (c <- Seq("de", "en", "fr")) {
+      val serial = Classifier.logisticTrain(docs, "doc_id", "text",
+          label = col("cls") === c, nBuckets = 16, iters = 2, lr = 0.5,
+          salt = "eq")
+        .scored.select(col("doc_id"), col("score"))
+        .as[(Long, Double)].collect().toMap
+      val batched = ovr.select(col("doc_id"), col(s"score_$c"))
+        .as[(Long, Double)].collect().toMap
+      assert(batched == serial,
+        s"batched score_$c diverged from the serial binary fit")
+    }
+  }
+
   // ---- Quantize -------------------------------------------------------
 
   test("pqEncode: seed vectors reconstruct exactly; codes stay in range") {
