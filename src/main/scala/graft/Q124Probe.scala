@@ -125,6 +125,7 @@ object Q124Probe {
           .cast("long").as("__e"))
       featC.join(resid, Seq("__id"))
         .groupBy(col("__b")).agg(sum(col("__e") * col("__cnt")).as("__g"))
+        // bounded: one row per feature bucket (+ bias) — the gradient frame
         .collect()
     }
 
@@ -134,6 +135,7 @@ object Q124Probe {
     // FEATURE skew, and bias rows are one constant row per doc)
     val census = featC.where(col("__b") =!= -1).groupBy(col("__b"))
       .agg(count(lit(1)).as("rows"), sum(col("__cnt")).as("tokens"))
+      // bounded: one row per feature bucket
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     featC.unpersist()
     labelsC.unpersist()

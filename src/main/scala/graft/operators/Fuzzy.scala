@@ -94,6 +94,7 @@ object Fuzzy {
                           squareMaxBlock: Long = 2000L): DataFrame = {
     val maxBlock = Option(
       df.groupBy(col(blockCol)).agg(count(lit(1)).as("__n"))
+        // bounded: 1-row max scalar
         .agg(max(col("__n"))).collect()(0).get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     if (maxBlock <= squareMaxBlock)

@@ -17,6 +17,7 @@ object Incremental {
 
   /** The resume point: max timestamp already loaded (None on empty). */
   def terminalTs(existing: DataFrame, tsCol: String): Option[java.sql.Timestamp] =
+    // bounded: 1-row max-timestamp scalar
     existing.agg(max(col(tsCol))).collect().headOption
       .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[java.sql.Timestamp]))
 

@@ -53,6 +53,7 @@ object Quantize {
                  nSub: Int): DataFrame = {
     require(nSub >= 1, "nSub must be >= 1")
     val d = emb.agg(max(size(col(vecCol))).as("mx"), min(size(col(vecCol))).as("mn"))
+      // bounded: 1-row min/max-dimension scalar
       .collect()(0)
     val inDim = d.getAs[Int]("mx")
     require(inDim == d.getAs[Int]("mn") && inDim % nSub == 0,

@@ -505,6 +505,7 @@ object Similarity {
           coalesce(col("m.centv"), col("c0.centv")).as("centv"))
       // k × dim doubles to the driver, re-planned as a literal table: keeps
       // the per-iteration lineage flat instead of k-deep
+      // bounded: the k × dim centroid table
       val rows = updated.collect()
       import scala.jdk.CollectionConverters._
       cents = spark.createDataFrame(rows.toSeq.asJava, updated.schema)

@@ -134,6 +134,7 @@ object DailyUpdate {
               e.getMessage.toLowerCase.contains("path does not exist") =>
           expected.limit(0)
       }
+    // bounded: calendar days in the backfill horizon
     val missing = expected.except(present).collect().map(_.getDate(0)).toSeq.sortBy(_.getTime)
     if (missing.nonEmpty)
       Formats.writePartitioned(

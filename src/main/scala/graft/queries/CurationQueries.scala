@@ -59,6 +59,7 @@ object CurationQueries {
       val out = Classifier.logisticTrain(Tables(s, d).documents, "doc_id", "text",
         label = array_contains(split(col("text"), " "), "vector"),
         nBuckets = 32, iters = 3, lr = 0.5, salt = "clf124").scored
+      // bounded: <= 2 distinct 0/1 labels
       val classes = out.select(col("label")).distinct().collect().map(_.getInt(0)).sorted
       require(classes.sameElements(Array(0, 1)),
         s"q124: fixture must carry both label classes, got ${classes.toSeq}")
@@ -128,6 +129,7 @@ object CurationQueries {
       // collect; un-collected it would run again per bench rep)
       val candWords = graft.operators.Sketches
         .cmsTopK(toks, "word", candidates = vocabDf, k = 12 + 6)
+        // bounded: the <= k+slack = 18-row sketch candidate set
         .select(col("word")).as[String].collect()
       vocabDf.unpersist()
       require(candWords.length < vocab,
@@ -275,6 +277,7 @@ object CurationQueries {
       val k = math.max(5L, n / 100L)
       val out = graft.operators.Privacy.kAnonRelease(
         u, Seq("lang", "source"), col("n_toks"), k)
+      // bounded: one row per released (lang, source) cell
       val langs = out.select(col("lang")).collect().map(_.getString(0))
       require(langs.contains("__suppressed") && langs.exists(_ != "__suppressed"),
         s"q132: fixture must exercise both branches at k=$k")

@@ -69,6 +69,7 @@ object GateQueries {
     val out = root.resolve("out").toString
 
     val ev = t.events.where(col("user_id") < 150)
+    // bounded: 1-row min/max scalar
     val mm = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).collect()(0)
     // µs midpoint via the us()/microTs pair — the day-1/day-2 split must
     // not depend on ms-grid alignment of the fixture timestamps (the
@@ -298,6 +299,7 @@ object GateQueries {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
         .where(col("doc_id") < 2000)
+        // bounded: key-capped fixture — constant rows at every SF (replica ids offset past the cap)
         .as[(Long, String)].collect()
       // the oracle attributes each pair to greatest(id mod 3), which is
       // only the micro-batch id if every addData round actually forms a
@@ -397,6 +399,7 @@ object GateQueries {
       val ev = Tables(s, d).events
         .where(col("user_id") < 150)
         .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        // bounded: key-capped fixture — constant rows at every SF (replica ids offset past the cap)
         .as[(Long, java.sql.Timestamp, Long, Double)].collect()
       val dir = java.nio.file.Files.createTempDirectory("graft-q78").toString
       val input = org.apache.spark.sql.execution.streaming.runtime
@@ -432,6 +435,7 @@ object GateQueries {
       val ev = Tables(s, d).events
         .where(col("user_id") < 150)
         .select(col("user_id"), col("ts"), col("event_type"))
+        // bounded: key-capped fixture — constant rows at every SF (replica ids offset past the cap)
         .as[(Long, java.sql.Timestamp, String)].collect()
         .sortBy(r => (us(r._2), r._1, r._3))
       val chunks = ev.grouped(math.max(1, (ev.length + 2) / 3)).toSeq
@@ -471,6 +475,7 @@ object GateQueries {
       val ev = Tables(s, d).events
         .where(col("user_id") < 150)
         .select(col("user_id"), col("ts"), col("value"))
+        // bounded: key-capped fixture — constant rows at every SF (replica ids offset past the cap)
         .as[(Long, java.sql.Timestamp, Double)].collect()
         .sortBy(r => (us(r._2), r._1))
       val maxUs = ev.map(r => us(r._2)).max
@@ -517,6 +522,7 @@ object GateQueries {
       val ev = Tables(s, d).events
         .where(col("user_id") < 150)
         .select(col("ts"), col("event_type"), col("value"))
+        // bounded: key-capped fixture — constant rows at every SF (replica ids offset past the cap)
         .as[(java.sql.Timestamp, String, Double)].collect()
         .sortBy(r => (us(r._1), r._2))
       val maxUs = ev.map(r => us(r._1)).max
@@ -559,6 +565,7 @@ object GateQueries {
       val ev = Tables(s, d).events
         .where(col("user_id") < 150)
         .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        // bounded: key-capped fixture — constant rows at every SF (replica ids offset past the cap)
         .as[(Long, java.sql.Timestamp, Long, Double)].collect()
         .sortBy(r => (us(r._2), r._1))
       val chunks = ev.grouped(math.max(1, (ev.length + 2) / 3)).toSeq
@@ -595,6 +602,7 @@ object GateQueries {
       val ev = t.events
         .where(col("user_id") < 150 && col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("value"))
+        // bounded: key-capped fixture — constant rows at every SF (replica ids offset past the cap)
         .as[(Long, Long, Double)].collect().sortBy(_._1)
       val chunks = ev.grouped(math.max(1, (ev.length + 2) / 3)).toSeq
       val input = org.apache.spark.sql.execution.streaming.runtime
@@ -630,6 +638,7 @@ object GateQueries {
       def side(tpe: String) = Tables(s, d).events
         .where(col("user_id") < 150 && col("event_type") === tpe)
         .select(col("event_id"), col("user_id"), col("ts"))
+        // bounded: key-capped fixture — constant rows at every SF (replica ids offset past the cap)
         .as[(Long, Long, java.sql.Timestamp)].collect()
         .sortBy(r => (us(r._3), r._1))
       val (views, clicks) = (side("view"), side("click"))
@@ -744,6 +753,7 @@ object GateQueries {
       val ev = Tables(s, d).events
         .where(col("user_id") < 150)
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        // bounded: key-capped fixture — constant rows at every SF (replica ids offset past the cap)
         .as[(Long, java.sql.Timestamp, String, Double)].collect()
       val (delayed, onTime) = ev.partition(_._1 % 7 == 0)
       val ordered = onTime.sortBy(r => (us(r._2), r._1))
@@ -803,6 +813,7 @@ object GateQueries {
       val ev = Tables(s, d).events
         .where(col("user_id") < 150)
         .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        // bounded: key-capped fixture — constant rows at every SF (replica ids offset past the cap)
         .as[(Long, java.sql.Timestamp, Long, Double)].collect()
       val withheldIds = ev.groupBy(_._3).map { case (_, rows) =>
         rows.maxBy(r => (us(r._2), r._1))._1
@@ -873,6 +884,7 @@ object GateQueries {
       val ev = Tables(s, d).events
         .where(col("user_id") < 150)
         .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        // bounded: key-capped fixture — constant rows at every SF (replica ids offset past the cap)
         .as[(Long, java.sql.Timestamp, Long, Double)].collect()
       val dir = java.nio.file.Files.createTempDirectory("graft-q89").toString
       val target = s"$dir/snapshot"
@@ -928,6 +940,7 @@ object GateQueries {
       val ev = Tables(s, d).events
         .where(col("user_id") < 150)
         .select(col("user_id"), col("ts"), col("value"))
+        // bounded: key-capped fixture — constant rows at every SF (replica ids offset past the cap)
         .as[(Long, java.sql.Timestamp, Double)].collect()
         .sortBy(r => (us(r._2), r._1))
       val maxUs = ev.map(r => us(r._2)).max
@@ -1136,6 +1149,7 @@ object GateQueries {
       val ev = Tables(s, d).events
         .where(col("user_id") < 150)
         .select(col("user_id"), col("ts"), col("event_type"))
+        // bounded: key-capped fixture — constant rows at every SF (replica ids offset past the cap)
         .as[(Long, java.sql.Timestamp, String)].collect()
       val withheldKeys = ev.groupBy(_._1).map { case (u, rows) =>
         val last = rows.maxBy(r => (us(r._2), r._3))
@@ -1184,6 +1198,7 @@ object GateQueries {
       val ev = Tables(s, d).events
         .where(col("user_id") < 150)
         .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        // bounded: key-capped fixture — constant rows at every SF (replica ids offset past the cap)
         .as[(Long, java.sql.Timestamp, Long, Double)].collect()
       val (delayed, onTime) = ev.partition(_._1 % 7 == 0)
       val ordered = onTime.sortBy(r => (us(r._2), r._1))
@@ -1241,6 +1256,7 @@ object GateQueries {
       def side(tpe: String) = Tables(s, d).events
         .where(col("user_id") < 150 && col("event_type") === tpe)
         .select(col("event_id"), col("user_id"), col("ts"))
+        // bounded: key-capped fixture — constant rows at every SF (replica ids offset past the cap)
         .as[(Long, Long, java.sql.Timestamp)].collect()
         .sortBy(r => (us(r._3), r._1))
       val views = side("view")
@@ -1312,6 +1328,7 @@ object GateQueries {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
         .where(col("doc_id") < 2000)
+        // bounded: key-capped fixture — constant rows at every SF (replica ids offset past the cap)
         .as[(Long, String)].collect()
       require((0 until 3).forall(b => docs.exists(_._1 % 3 == b)),
         "q100 fixture must populate all three residue classes")
@@ -1473,6 +1490,7 @@ object GateQueries {
       val ranges = back.groupBy(input_file_name().as("f"))
         .agg(min(col("user_id")).as("lo"), max(col("user_id")).as("hi"))
         .select(col("lo"), col("hi"))
+        // bounded: one row per written file (numFiles = 8)
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       require(ranges.length >= 4,
         s"q103: expected a multi-file clustered layout, got ${ranges.length} files")
@@ -1511,6 +1529,7 @@ object GateQueries {
       val stats = back.groupBy(input_file_name().as("f"))
         .agg(min(col("user_id")).as("alo"), max(col("user_id")).as("ahi"),
           min(col("event_id")).as("blo"), max(col("event_id")).as("bhi"))
+        // bounded: one row per written file (numFiles = 16)
         .collect()
         .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       require(stats.length >= 8,
@@ -1571,6 +1590,7 @@ object GateQueries {
         .select(col("day").cast("timestamp").as("day"),
           col("l_n_rows"), col("r_n_rows"), col("status"))
       val statuses = out.select(col("status")).distinct()
+        // bounded: distinct status labels (<= 4 classes)
         .collect().map(_.getString(0)).toSet
       require(Set("match", "differ", "missing_left", "missing_right")
           .subsetOf(statuses),
@@ -1747,6 +1767,7 @@ object GateQueries {
       def side(tpe: String) = Tables(s, d).events
         .where(col("user_id") < 150 && col("event_type") === tpe)
         .select(col("event_id"), col("user_id"), col("ts"))
+        // bounded: key-capped fixture — constant rows at every SF (replica ids offset past the cap)
         .as[(Long, Long, java.sql.Timestamp)].collect()
         .sortBy(r => (us(r._3), r._1))
       val (views, clicks) = (side("view"), side("click"))

@@ -395,6 +395,7 @@ object LLMQueries {
       val out = Sampling.tokenBudgetPlan(toks, "doc_id", "lang", "n_tokens",
         Map("en" -> 0.3, "de" -> 0.1, "es" -> 0.1, "fr" -> 0.1, "zh" -> 0.4),
         budgetTokens = total / 2, salt = "mix121")
+      // bounded: one row per target language (the plan frame is per-group)
       val rates = out.select(col("rate")).collect().map(_.getDouble(0))
       require(rates.exists(_ == 1.0) && rates.exists(_ < 1.0),
         s"q121: fixture must exercise both the capped and fractional branches, got ${rates.toSeq}")

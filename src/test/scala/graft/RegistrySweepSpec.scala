@@ -374,6 +374,63 @@ class RegistrySweepSpec extends SparkSpec {
       "screen failed to flag a zero-key collect_set")
   }
 
+  /** The driver-collect audit: every `.collect()`/`.collectAsList(` in
+    * MAIN source must carry the word "bounded" on its own line or
+    * within the five lines above it — the written-bound convention the
+    * boundedRoot certificate delegates to ("the no-data-sized-collect
+    * audit"), until now a per-round hand grep. A `.collect()` without a
+    * stated bound is the one driver-side shape no plan screen can see:
+    * the plan is fine, the DRIVER heap is what dies at 100 TB. Returns
+    * the 1-based offending line numbers so the failure message names
+    * file:line. Pure function over source lines so the liveness test
+    * can feed it synthetic offenders.
+    */
+  private def unboundedCollects(lines: IndexedSeq[String]): Seq[Int] =
+    lines.zipWithIndex.collect {
+      case (l, i)
+        if (l.contains(".collect()") || l.contains(".collectAsList(")) &&
+          !lines.slice(math.max(0, i - 5), i + 1)
+            .exists(_.toLowerCase.contains("bounded")) => i + 1
+    }
+
+  test("every driver-side collect in main source states its bound within five lines") {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    assert(java.nio.file.Files.isDirectory(root),
+      s"source root not found from ${java.nio.file.Paths.get("").toAbsolutePath} — " +
+        "the audit must run from the repo root")
+    val files = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).toSeq.sortBy(_.toString)
+    val offenders = files.flatMap { f =>
+      val lines = java.nio.file.Files.readAllLines(f).asScala.toIndexedSeq
+      unboundedCollects(lines).map(n => s"$f:$n")
+    }
+    assert(offenders.isEmpty,
+      s"driver collect without a written bound: ${offenders.mkString(", ")} — " +
+        "state what bounds the collected row count (a scalar aggregate, a " +
+        "key-capped fixture, k centroids, nBuckets gradient rows, calendar " +
+        "days, ...) in a comment containing 'bounded' within five lines above")
+  }
+
+  test("the driver-collect audit flags an unannotated collect (screen is live)") {
+    val offender = IndexedSeq(
+      "val all = docs.select(col(\"text\"))",
+      "  .collect()")
+    assert(unboundedCollects(offender) == Seq(2),
+      "audit failed to flag a bare data-sized collect")
+    val justified = IndexedSeq(
+      "// bounded: one row per feature bucket",
+      "val g = grads.collect()")
+    assert(unboundedCollects(justified).isEmpty,
+      "audit flagged a collect with a written bound")
+    val tooFar = IndexedSeq(
+      "// bounded: this note is six lines up, outside the window",
+      "", "", "", "", "",
+      "val g = grads.collect()")
+    assert(unboundedCollects(tooFar) == Seq(7),
+      "audit accepted a bound note outside the five-line window")
+  }
+
   test("the root-anchored bounded-build certificate rejects a deep-bounded big build (screen is live)") {
     // r08 ADVICE shape: a corpus-sized probe joined with a LIMIT 5 frame —
     // the old anywhere-in-subtree scan certified this via the folded
