@@ -269,4 +269,61 @@ class PropertySpec extends SparkSpec {
         "packing dropped or duplicated docs")
     }
   }
+
+  test("property: pageRank = sequential quantized replay on random graphs (both grids × both dangling modes)") {
+    // The operator's whole value is that its quantized trajectory is
+    // engine-replayable; this is the strongest form of that claim — a
+    // driver-side sequential implementation of the documented recurrence
+    // must match BIT-FOR-BIT on arbitrary topologies (parallel edges,
+    // self-loops, hubs, dangling sinks, disconnected nodes), not just on
+    // the curated fixtures. Mirrors the engine's IEEE order exactly:
+    // share = w/outw (long→double division), per-edge floor(c·gs+0.5)
+    // longs summed, dm likewise, q6 on the damped update.
+    val damping = 0.85
+    def replay(edges: Seq[(Long, Long, Long)], iters: Int, gs: Double,
+               dangle: Boolean): Map[Long, Double] = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val n = nodes.length
+      val outw = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+      val shares = edges.map { case (s, d, w) => (s, d, w.toDouble / outw(s).toDouble) }
+      val dangling = nodes.filterNot(outw.contains)
+      var rank = nodes.map(_ -> 1.0 / n).toMap
+      for (_ <- 1 to iters) {
+        val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        shares.foreach { case (s, d, sh) =>
+          in(d) += math.floor((rank(s) * sh) * gs + 0.5).toLong
+        }
+        val dm =
+          if (dangle) dangling.map(nd => math.floor(rank(nd) * gs + 0.5).toLong).sum.toDouble / gs
+          else 0.0
+        rank = nodes.map { nd =>
+          val inMass = in.get(nd).map(_.toDouble / gs).getOrElse(0.0)
+          val base = (1.0 - damping) / n +
+            damping * (if (dangle) inMass + dm / n else inMass)
+          nd -> math.floor(base * 1000000.0 + 0.5) / 1000000.0
+        }.toMap
+      }
+      rank
+    }
+    val graphGen: Gen[List[(Long, Long, Long)]] = for {
+      n <- Gen.choose(1, 40)
+      ss <- Gen.listOfN(n, Gen.choose(1L, 12L))
+      ds <- Gen.listOfN(n, Gen.choose(1L, 12L))
+      ws <- Gen.listOfN(n, Gen.choose(1L, 5L))
+    } yield ss.lazyZip(ds).lazyZip(ws).toList
+    for {
+      i <- 1 to 6
+      gs <- Seq(1e6, 1e12)
+      dangle <- Seq(false, true)
+    } {
+      val edges = graphGen(Gen.Parameters.default, Seed(300L + i)).get
+      val got = Graph.pageRank(edges.toDF("src", "dst", "w"), "src", "dst",
+          $"w", iters = 3, gridScale = gs, danglingRedistribute = dangle)
+        .select("node", "rank").as[(Long, Double)].collect().toMap
+      val want = replay(edges, iters = 3, gs, dangle)
+      assert(got == want,
+        s"seed ${300 + i} gs=$gs dangle=$dangle: engine diverged from the sequential replay")
+      spark.catalog.clearCache() // release the per-call rank/edge caches
+    }
+  }
 }
