@@ -102,6 +102,29 @@ object LLMQueries {
         blockCol = "label", minCosine = 0.35)
     },
 
+    "q142_srp_near_dup" -> { (s, d) =>
+      // q29's 100-TB SCALE PATH driver-gated (r11 — the same
+      // wired-but-spec-only class q139 closed for drift): nearDupSRP
+      // pre-buckets by a 4-bit sign-random-projection signature so the
+      // pair join runs within (block, srp-bucket) cells instead of
+      // q29's full within-block square — recall < 1 by construction,
+      // and the oracle replays the IDENTICAL md5-seeded ±1 projections
+      // with q112's ordered list_reduce fold, so what is hash-matched
+      // is the scale path's own semantics, not its agreement with q29.
+      // The require pins the bucketing genuinely partitions at every
+      // gated dir (one occupied bucket would make this row q29 again).
+      val emb = Tables(s, d).embeddings
+      // bounded: 1-row distinct-count scalar (≤ 2^srpBits buckets exist)
+      val nBuckets = emb.select(graft.functions.VectorFns.srpBucket(
+          graft.functions.VectorFns.asDouble(col("embedding")), 4, "srp-v1")
+          .as("b"))
+        .agg(countDistinct(col("b"))).head().getLong(0)
+      require(nBuckets > 1,
+        s"q142: SRP must genuinely partition the vectors, got $nBuckets bucket")
+      Similarity.nearDupSRP(emb, "vec_id", "embedding",
+        blockCol = "label", minCosine = 0.35, srpBits = 4)
+    },
+
     "q30_binary_pipeline" -> { (s, d) =>
       // Opaque-binary column pipeline, all-real since round 6 (the
       // round-1 decode stub now lives only as the documented audio/video
@@ -607,6 +630,35 @@ object LLMQueries {
         |  SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
         |    floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS cosine
         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.35""".stripMargin,
+
+    // q29's scale path: the srp-v1 ±1 projections re-derive from md5 hex
+    // slices and fold in index order via q112's list_reduce construction
+    // (the ORDERED sum is the contract — a GROUP BY sum would be
+    // order-unspecified); bucket bits mirror srpBucket's strict proj > 0.
+    "q142_srp_near_dup" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |bs AS (SELECT unnest(range(0, 4)) AS b),
+        |ii AS (SELECT unnest(range(0, (SELECT max(len(v)) FROM e))) AS i),
+        |sg AS (SELECT b, i,
+        |    CASE WHEN ('0x'||substr(md5('srp-v1:'||b||':'||i), 1, 1))::BIGINT % 2 = 0
+        |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS s
+        |  FROM bs, ii),
+        |terms AS (SELECT e.vec_id, sg.b, sg.i, e.v[sg.i + 1] * sg.s AS t
+        |  FROM e CROSS JOIN sg WHERE sg.i < len(e.v)),
+        |proj AS (SELECT vec_id, b,
+        |    CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list(CAST(t AS DOUBLE) ORDER BY i)), (a, x) -> a + x) AS DOUBLE) AS p
+        |  FROM terms GROUP BY 1, 2),
+        |buck AS (SELECT vec_id,
+        |    CAST(sum(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT ea.label AS block, ea.vec_id AS id_a, eb.vec_id AS id_b,
+        |    floor(list_cosine_similarity(ea.v, eb.v) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        |  FROM e ea JOIN buck ba ON ea.vec_id = ba.vec_id
+        |    JOIN e eb ON ea.label = eb.label AND ea.vec_id < eb.vec_id
+        |    JOIN buck bb ON eb.vec_id = bb.vec_id AND ba.bucket = bb.bucket)
         |WHERE cosine >= 0.35""".stripMargin,
 
     "q33_simhash_near_dup" ->

@@ -543,6 +543,20 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
     assert(out == Seq((1L, 2L))) // 3 is antipodal → different bucket
   }
+
+  test("nearDupSRP is a subset of the exact within-block square with identical scores (q142 contract)") {
+    // recall < 1 by construction, precision = 1: every SRP pair must
+    // appear in nearDupWithin's exact square with the SAME quantized
+    // cosine, and on the real fixture the bucketing must actually prune
+    val e = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val srp = Similarity.nearDupSRP(e, "vec_id", "embedding", "label", 0.35, 4)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    val exact = Similarity.nearDupWithin(e, "vec_id", "embedding", "label", 0.35)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    assert(srp.subsetOf(exact), s"SRP invented pairs: ${(srp -- exact).take(3)}")
+    assert(srp.size < exact.size,
+      s"bucketing pruned nothing (srp=${srp.size}, exact=${exact.size}) — the scale path is vacuous here")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
