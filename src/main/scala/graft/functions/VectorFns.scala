@@ -33,18 +33,43 @@ object VectorFns {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm2(a) * norm2(b))
 
+  /** Driver-side mirror of `HashFns.md5Long(s, 1) % 2 == 0` — the first
+    * md5 hex char's parity, as a ±1.0 sign. Must stay value-identical to
+    * the column form: the srp sign matrix is built from it ONCE on the
+    * driver while the DuckDB oracle still re-derives every sign from
+    * `substr(md5(...), 1, 1)`.
+    */
+  private def md5SignParity(s: String): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (((d(0) >> 4) & 0xF) % 2 == 0) 1.0 else -1.0
+  }
+
   /** Sign-random-projection bucket: `nBits`-bit signature from deterministic
     * ±1 projection vectors (seeded by md5, portable + reproducible). Groups
     * near-identical vectors into the same bucket so near-dup search joins
     * within buckets instead of an unbounded cross join — the 100 TB path.
+    *
+    * The sign matrix is a CONSTANT (`nBits` × `dim`) and is built ONCE as
+    * driver literals — the [[graft.operators.Projection]] construction.
+    * The per-row form this replaced re-derived every sign with an md5 of
+    * `"seed:b:i"` INSIDE the projection lambda: nBits·dim md5 string
+    * digests per vector, which benchmarked the 4-bit bucket pass at 16×
+    * the cost of the exact pair square it exists to avoid (sf1, r11).
+    * Values are bit-identical either way (the driver parity mirrors
+    * `md5Long(_, 1) % 2`, spec-pinned), so the oracle replay — and the
+    * strict `proj > 0` bit rule and index-ordered fold — are unchanged.
+    * `dim` must be ≥ every row's vector length (shorter rows slice the
+    * sign row; a LONGER row would zip against null signs and poison the
+    * fold, hence derived as max(size) by callers — the Quantize contract).
     */
-  def srpBucket(v: Column, nBits: Int, seed: String): Column = {
+  def srpBucket(v: Column, nBits: Int, seed: String, dim: Int): Column = {
+    require(dim >= 1, s"srpBucket needs dim >= 1, got $dim")
     val bits = (0 until nBits).map { b =>
-      // deterministic sign pattern for bit b: sign(md5(seed:b:i) odd/even)
-      val signs = transform(sequence(lit(0), size(v) - 1), i =>
-        when(HashFns.md5Long(concat_ws(":", lit(seed), lit(b), i.cast("string")), 1) % 2 === 0, lit(1.0))
-          .otherwise(lit(-1.0)))
-      val proj = aggregate(zip_with(v, signs, (x, s) => x * s), lit(0.0), (acc, x) => acc + x)
+      val signs = (0 until dim).map(i => md5SignParity(s"$seed:$b:$i"))
+      val proj = aggregate(
+        zip_with(v, slice(typedLit(signs), lit(1), size(v)), (x, s) => x * s),
+        lit(0.0), (acc, x) => acc + x)
       when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a + b)

@@ -589,9 +589,13 @@ object Similarity {
     */
   def nearDupSRP(emb: DataFrame, idCol: String, vecCol: String, blockCol: String,
                  minCosine: Double, srpBits: Int): DataFrame = {
+    // bounded: 1-row max-dimension scalar (the Quantize contract) — sizes
+    // the driver-literal srp sign matrix so no row zips past it
+    val dim = emb.agg(max(size(col(vecCol)))).head().getInt(0)
+    require(dim >= 1, "nearDupSRP needs non-empty vectors")
     val e = emb.select(col(blockCol).as("block"), col(idCol).as("id"),
         VectorFns.asDouble(col(vecCol)).as("v"))
-      .withColumn("bucket", VectorFns.srpBucket(col("v"), srpBits, "srp-v1"))
+      .withColumn("bucket", VectorFns.srpBucket(col("v"), srpBits, "srp-v1", dim))
       .withColumn("nrm", VectorFns.norm2(col("v")))
     e.as("a").join(e.as("b"),
         col("a.block") === col("b.block") && col("a.bucket") === col("b.bucket") &&

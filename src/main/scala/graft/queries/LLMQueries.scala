@@ -114,9 +114,11 @@ object LLMQueries {
       // The require pins the bucketing genuinely partitions at every
       // gated dir (one occupied bucket would make this row q29 again).
       val emb = Tables(s, d).embeddings
+      // bounded: 1-row max-dimension scalar (the Quantize contract)
+      val dim = emb.agg(max(size(col("embedding")))).head().getInt(0)
       // bounded: 1-row distinct-count scalar (≤ 2^srpBits buckets exist)
       val nBuckets = emb.select(graft.functions.VectorFns.srpBucket(
-          graft.functions.VectorFns.asDouble(col("embedding")), 4, "srp-v1")
+          graft.functions.VectorFns.asDouble(col("embedding")), 4, "srp-v1", dim)
           .as("b"))
         .agg(countDistinct(col("b"))).head().getLong(0)
       require(nBuckets > 1,

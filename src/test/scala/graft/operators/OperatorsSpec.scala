@@ -544,6 +544,34 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq((1L, 2L))) // 3 is antipodal → different bucket
   }
 
+  test("srpBucket's driver-literal sign matrix is value-identical to the per-row md5 column form") {
+    // the r11 rewrite moved the nBits×dim md5 sign derivation from
+    // inside the projection lambda (nBits·dim digests PER VECTOR) to
+    // one driver-built literal matrix; the buckets must not move by a
+    // single bit, or the committed oracle replay breaks
+    import graft.functions.{HashFns, VectorFns}
+    val e = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+    // bounded: 1-row max-dimension scalar
+    val dim = e.agg(max(size(col("v")))).head().getInt(0)
+    def oldForm(v: org.apache.spark.sql.Column, nBits: Int,
+                seed: String): org.apache.spark.sql.Column = {
+      val bits = (0 until nBits).map { b =>
+        val signs = transform(sequence(lit(0), size(v) - 1), i =>
+          when(HashFns.md5Long(concat_ws(":", lit(seed), lit(b), i.cast("string")), 1) % 2 === 0,
+            lit(1.0)).otherwise(lit(-1.0)))
+        val proj = aggregate(zip_with(v, signs, (x, s) => x * s), lit(0.0), (acc, x) => acc + x)
+        when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+      }
+      bits.reduce((a, b) => a + b)
+    }
+    val diff = e.select(
+        VectorFns.srpBucket(col("v"), 6, "srp-v1", dim).as("neu"),
+        oldForm(col("v"), 6, "srp-v1").as("old"))
+      .where(col("neu") =!= col("old")).count()
+    assert(diff == 0L, s"$diff vectors changed srp bucket under the literal sign matrix")
+  }
+
   test("nearDupSRP is a subset of the exact within-block square with identical scores (q142 contract)") {
     // recall < 1 by construction, precision = 1: every SRP pair must
     // appear in nearDupWithin's exact square with the SAME quantized
