@@ -87,6 +87,25 @@ object Bench {
     "q135_bm25_capped", "q138_pagerank_fine_grid",
     "q139_drift_sketched", "q140_pagerank_dangling")
 
+  /** JSON string-escape for env-derived values (SPARK_GRAFT_SF_DIR /
+    * SPARK_GRAFT_BENCH_OUT) interpolated into the summary line: a path
+    * carrying a quote, backslash, or control char (a newline ALSO breaks
+    * the "final stdout line" parse) would otherwise produce an
+    * unparseable summary — the exact failure mode the compact summary
+    * exists to fix (ADVICE r10). Same escape set as Verify's oracle_sql
+    * writer. Hoisted out of main (r12) so the hostile-path unit test can
+    * pin it.
+    */
+  private[graft] def jstr(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   /** Wait (bounded) for the 1-min loadavg to decay below `target` so the
     * next section's per-query `load` fields start from a clean machine;
     * returns seconds waited. Bounded: 1-min load decays ~e^(-t/60), so
@@ -184,21 +203,6 @@ object Bench {
       (name, reps.min, reps, load)
     }
     def f(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
-    // env-derived strings (SPARK_GRAFT_SF_DIR / SPARK_GRAFT_BENCH_OUT)
-    // are interpolated into the summary JSON: a path carrying a quote,
-    // backslash, or control char (a newline ALSO breaks the "final
-    // stdout line" parse) would produce an unparseable summary — the
-    // exact failure mode the compact summary exists to fix (ADVICE
-    // r10). Same escape set as Verify's oracle_sql writer.
-    def jstr(s: String): String = s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val repsJson = results.map { case (k, _, reps, load) =>

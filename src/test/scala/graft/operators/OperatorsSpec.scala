@@ -544,6 +544,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq((1L, 2L))) // 3 is antipodal → different bucket
   }
 
+  test("nearDupSRP: empty input fails the contract require, zero-length vectors are excluded (ADVICE r11)") {
+    // empty input: max(size(v)) is NULL — must surface the require
+    // message, not an NPE from a bare getInt on the null aggregate
+    val empty = Seq.empty[(Long, Array[Float], String)].toDF("vec_id", "embedding", "label")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.nearDupSRP(empty, "vec_id", "embedding", "label", 0.35, 4)
+    }
+    assert(ex.getMessage.contains("non-empty vectors"))
+    // zero-length vectors: srpBucket would fold them to bucket 0 and the
+    // NaN cosine would pass `>= minCosine` under Spark's NaN ordering,
+    // while the oracle's terms CTE omits them — they must be filtered
+    val mixed = Seq(
+      (1L, Array(1.0f, 0.01f), "b"), (2L, Array(1.0f, 0.02f), "b"),
+      (3L, Array.empty[Float], "b"), (4L, Array.empty[Float], "b")
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.nearDupSRP(mixed, "vec_id", "embedding", "label", 0.35, 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L)), s"empty-vector pair leaked: $out")
+  }
+
   test("srpBucket's driver-literal sign matrix is value-identical to the per-row md5 column form") {
     // the r11 rewrite moved the nBits×dim md5 sign derivation from
     // inside the projection lambda (nBits·dim digests PER VECTOR) to
