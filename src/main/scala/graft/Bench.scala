@@ -69,7 +69,8 @@ object Bench {
     "q99_stream_late_interval_join", "q100_neardup_recovery",
     "q101_parquet_landing", "q102_compaction", "q103_clustered_layout",
     "q106_zorder_layout", "q113_schema_evolution",
-    "q115_stream_left_interval_join", "q117_available_now_catchup")
+    "q115_stream_left_interval_join", "q117_available_now_catchup",
+    "q144_incremental_first_touch")
 
   /** Queries that exist to GATE AN OPERATOR BRANCH cross-engine by
     * re-running a full pipeline with one constant/flag changed (the

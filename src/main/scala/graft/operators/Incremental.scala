@@ -21,16 +21,46 @@ object Incremental {
     existing.agg(max(col(tsCol))).collect().headOption
       .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[java.sql.Timestamp]))
 
-  /** Rows of `incoming` strictly after the terminal ts of `existing` —
-    * the incremental delta to append. Pushdown-friendly: the ts predicate
-    * reaches the incoming scan (partition pruning on date-partitioned
-    * layouts).
+  /** Rows of `incoming` strictly after a precomputed terminal ts — the
+    * boundary form of [[deltaSince]], for callers that derive SEVERAL
+    * deltas from one boundary (DailyUpdate reads the prior facts'
+    * terminal once, then cuts both the fact delta and the raw-event
+    * delta the incremental first-touch stage consumes — one bounded
+    * scalar action instead of one per delta, and the two cuts cannot
+    * disagree). Pushdown-friendly: the ts predicate reaches the incoming
+    * scan (partition pruning on date-partitioned layouts).
     */
-  def deltaSince(existing: DataFrame, incoming: DataFrame, tsCol: String): DataFrame =
-    terminalTs(existing, tsCol) match {
+  def deltaAfter(incoming: DataFrame, tsCol: String,
+                 terminal: Option[java.sql.Timestamp]): DataFrame =
+    terminal match {
       case Some(t) => incoming.where(col(tsCol) > lit(t))
       case None    => incoming
     }
+
+  /** Rows of `incoming` strictly after the terminal ts of `existing` —
+    * the incremental delta to append.
+    */
+  def deltaSince(existing: DataFrame, incoming: DataFrame, tsCol: String): DataFrame =
+    deltaAfter(incoming, tsCol, terminalTs(existing, tsCol))
+
+  /** Incremental first-touch insert — the reference's ONE incremental
+    * DERIVED stage (`first_acquisition`, update_etl.py:412-452: insert
+    * new (user, type) first-touch rows only, anti-joined against the
+    * loaded state; every other derived table there is delete+rebuild).
+    *
+    * `deltaFirsts` must be the per-key firsts of a delta whose rows are
+    * ALL strictly later than every event the state was built from (the
+    * [[deltaAfter]] cut) — then keys already in the state keep their
+    * recorded first touch (nothing in the delta can precede it) and only
+    * ABSENT keys insert, so the result row-for-row equals the full
+    * rebuild at delta-sized cost (IncrementalSpec pins the equality,
+    * boundary ties included). One shuffle on the keys for the anti join
+    * + the union — at 100 TB the anti join's probe side is the
+    * delta-sized frame, never the accumulated state.
+    */
+  def firstTouchInsert(state: DataFrame, deltaFirsts: DataFrame,
+                       keys: Seq[String]): DataFrame =
+    state.unionByName(deltaFirsts.join(state, keys, "left_anti"))
 
   /** Current-period replace: drop `existing` rows in the period and take
     * `incoming`'s — the delete+reload idiom as a declarative union (write

@@ -583,6 +583,55 @@ object Similarity {
         not(coalesce(col("__dup"), lit(false))).as("kept"))
   }
 
+  /** [[semDedupWith]] at the 100-TB shape (r12, closing the r11 verdict's
+    * "last unconditioned pair join"): the near-dup search runs within
+    * (centroid_id, srp-bucket) SUB-blocks instead of the full
+    * within-cluster square — a hot cluster of s docs costs
+    * Σ_buckets bᵢ² pair work instead of s², the same fix [[nearDupSRP]]
+    * (q142) applied to q29's within-label square. Recall < 1 by
+    * construction (a near-dup pair split across srp buckets is never
+    * compared — SemDedupSpec pins dropped ⊆ [[semDedupWith]]'s dropped);
+    * raise `srpBits` toward 0 extra buckets to recover [[semDedupWith]]
+    * exactly. Buckets reuse the q142 "srp-v1" deterministic ±1 sign
+    * projections, so a DuckDB oracle replays them verbatim. Output is
+    * TOTAL like [[semDedupWith]] — every input id gets a verdict — which
+    * is why empty vectors are REJECTED up front rather than filtered:
+    * an empty vector has no cosine to any candidate, and Spark would
+    * otherwise pass its NaN through `>= minCosine` while an oracle's
+    * term expansion omits it (the [[nearDupSRP]] ADVICE-r11 class).
+    */
+  def semDedupSRP(emb: DataFrame, idCol: String, vecCol: String,
+                  centroids: DataFrame, minCosine: Double,
+                  srpBits: Int): DataFrame = {
+    // bounded: 1-row (min, max) dimension scalar — max sizes the
+    // driver-literal srp sign matrix, min rejects empty vectors (null
+    // aggregate = empty input, folded into the same require)
+    val dims = emb.agg(min(size(col(vecCol))), max(size(col(vecCol)))).head()
+    val minDim = Option(dims.get(0)).map(_.asInstanceOf[Int]).getOrElse(0)
+    val dim = Option(dims.get(1)).map(_.asInstanceOf[Int]).getOrElse(0)
+    require(minDim >= 1 && dim >= 1,
+      "semDedupSRP needs non-empty vectors (an empty vector has no cosine)")
+    val c = emb.select(col(idCol).as("vid"), VectorFns.asDouble(col(vecCol)).as("v"))
+      .withColumn("vn", VectorFns.norm2(col("v")))
+      .withColumn("bucket", VectorFns.srpBucket(col("v"), srpBits, "srp-v1", dim))
+    val withN = centroids.withColumn("centn", VectorFns.norm2(col("centv")))
+    val assigned = Dedup.oneByKey(
+        c.crossJoin(broadcast(withN))
+          .withColumn("sim",
+            Portable.q6(VectorFns.dot(col("v"), col("centv")) / (col("vn") * col("centn")))),
+        Seq("vid"), Seq(col("sim").desc, col("centroid_id").asc))
+      .select(col("vid"), col("v"), col("vn"), col("centroid_id"), col("bucket"))
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
+      .where(Portable.q6(VectorFns.dot(col("a.v"), col("b.v")) /
+        (col("a.vn") * col("b.vn"))) >= minCosine)
+      .select(col("b.vid").as("vid")).distinct()
+    assigned.join(dropped.withColumn("__dup", lit(true)), Seq("vid"), "left")
+      .select(col("vid").as(idCol), col("centroid_id"),
+        not(coalesce(col("__dup"), lit(false))).as("kept"))
+  }
+
   /** Scale path for near-dup: SRP-bucket first (candidates only within the
     * same (block, srp) bucket). Recall < 1 by construction; used when the
     * exact within-block square is too large.

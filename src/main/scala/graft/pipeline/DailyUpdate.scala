@@ -87,11 +87,17 @@ object DailyUpdate {
     val factPath = s"$outDir/fact_events_clean"
     val clean = stages.head._2(spark, sfDir).withColumn("d", to_date(col("ts")))
     val existing = try Some(Formats.readParquet(spark, factPath)) catch { case _: Throwable => None }
+    // the prior facts' terminal ts, read ONCE before the append (one
+    // bounded scalar action): it cuts the fact delta below AND the
+    // raw-event delta the incremental first_acquisition stage consumes —
+    // one boundary, two deltas, no drift (and reading it after the
+    // append would see today's rows and cut an empty delta)
+    val prevTerminal = existing.flatMap(p => Incremental.terminalTs(p, "ts"))
     existing match {
       // delta rows APPEND into their partitions: a dynamic overwrite here
       // would replace the terminal day's partition with only the delta,
       // silently dropping that day's previously loaded rows
-      case Some(prev) => Incremental.deltaSince(prev, clean, "ts")
+      case Some(_) => Incremental.deltaAfter(clean, "ts", prevTerminal)
         .write.mode("append").partitionBy("d").parquet(factPath)
       case None => Formats.writePartitioned(clean, factPath, Seq("d"))
     }
@@ -99,13 +105,79 @@ object DailyUpdate {
     // 3. derived chain (declarative; a scheduler may parallelize branches)
     val counts = deriveStages.map { case (name, build) =>
       val obs = org.apache.spark.sql.Observation()
-      build(spark, sfDir).observe(obs, count(lit(1)).as("n"))
-        .write.mode("overwrite").parquet(s"$outDir/$name")
+      val plan = observedPlan(spark, sfDir, name, build, existing.isDefined,
+        prevTerminal, s"$outDir/$name").observe(obs, count(lit(1)).as("n"))
+      if (name == "first_acquisition")
+        // the incremental plan READS the live state table — write-then-
+        // swap (the upsertSink contract) so the snapshot is never
+        // truncated before its replacement is fully materialized
+        writeSwap(plan, s"$outDir/$name")
+      else plan.write.mode("overwrite").parquet(s"$outDir/$name")
       name -> obs.get("n").asInstanceOf[Long]
     }.toMap
 
     counts + ("fact_events_clean" -> Formats.readParquet(spark, factPath).count()) +
       ("date_gaps_found" -> gaps)
+  }
+
+  /** The plan a derived stage writes. Every stage is the reference's
+    * delete+rebuild EXCEPT `first_acquisition` — the one stage the
+    * reference itself maintains incrementally (update_etl.py:412-452:
+    * anti-join insert of new (user, type) first-touch rows only). With
+    * prior state on disk, day N's plan is
+    * [[Incremental.firstTouchInsert]] over the firsts of the RAW-event
+    * delta (rows after the prior facts' terminal ts — the same boundary
+    * the fact load cut): delta-sized work whose output row-for-row
+    * equals the full q04 rebuild, because every delta ts is later than
+    * every loaded ts (state keys keep their recorded first touch; an
+    * absent key's entire history is inside the delta). Gated
+    * cross-engine as q144 (oracle = q04's rebuild SQL verbatim); the
+    * equality is spec-pinned boundary ties included. Fresh out dirs
+    * (day 1) and every other stage fall through to the full rebuild.
+    */
+  private def observedPlan(spark: SparkSession, sfDir: String, name: String,
+                           build: (SparkSession, String) => DataFrame,
+                           factsExisted: Boolean,
+                           prevTerminal: Option[java.sql.Timestamp],
+                           target: String): DataFrame =
+    if (name != "first_acquisition" || !factsExisted) build(spark, sfDir)
+    else {
+      val state = try Some(Formats.readParquet(spark, target)) catch { case _: Throwable => None }
+      state match {
+        case None => build(spark, sfDir) // state lost/corrupt → rebuild
+        case Some(st) =>
+          val deltaFirsts = graft.operators.Dedup.firstByKey(
+              Incremental.deltaAfter(Tables(spark, sfDir).events, "ts", prevTerminal),
+              Seq("user_id", "event_type"), "ts", "event_id")
+            .select(col("user_id"), col("event_type"),
+              col("event_id").as("first_event_id"), col("ts").as("first_ts"))
+          Incremental.firstTouchInsert(st, deltaFirsts, Seq("user_id", "event_type"))
+      }
+    }
+
+  /** Write-then-swap (the streaming `upsertSink` contract, batch form):
+    * materialize the replacement fully at `target.tmp`, stage the live
+    * snapshot to `target.old`, promote — a crash between the renames
+    * leaves a complete `.old` the next run restores. Required for any
+    * stage whose plan READS its own live table (the incremental
+    * first_acquisition); harmless (one extra rename) elsewhere.
+    */
+  private def writeSwap(df: DataFrame, targetPath: String): Unit = {
+    val spark = df.sparkSession
+    val target = new org.apache.hadoop.fs.Path(targetPath)
+    val tmp = new org.apache.hadoop.fs.Path(targetPath + ".tmp")
+    val old = new org.apache.hadoop.fs.Path(targetPath + ".old")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery: a prior run died mid-swap (target staged to .old,
+    // tmp never promoted) — restore the full snapshot first
+    if (!fs.exists(target) && fs.exists(old))
+      require(fs.rename(old, target), s"failed to restore $old to $target")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(old, true)
+    if (fs.exists(target))
+      require(fs.rename(target, old), s"failed to stage $target to $old")
+    require(fs.rename(tmp, target), s"failed to promote $tmp to $target")
+    fs.delete(old, true)
   }
 
   /** Gap-driven backfill — the reference's `backfill.py`, which loops

@@ -1747,6 +1747,96 @@ object GateQueries {
       out
     },
 
+    "q143_semdedup_srp" -> { (s, d) =>
+      // q114's 100-TB form (r12, closing the r11 verdict's "last
+      // unconditioned pair join shape"): the same trained k-means
+      // clusters (k=16, iters=3 — the q75/q114 shared oracle replay
+      // prefix), but the within-cluster near-dup square is further
+      // conditioned on the q142 "srp-v1" 4-bit sign-projection bucket —
+      // pair work Σ bᵢ² per cluster instead of sᵢ², the fix for the hot
+      // cluster that would otherwise re-create q29's square. Recall < 1
+      // by construction (SemDedupSpec pins dropped ⊆ q114's dropped and
+      // genuine pruning); the oracle replays the identical projections
+      // via the shared SrpBuckCte. The require pins that SRP genuinely
+      // SUB-partitions at least one cluster at every gated dir — one
+      // bucket per cluster would make this row q114 again.
+      val emb = Tables(s, d).embeddings
+      val cents = Similarity.kMeansCentroids(emb, "vec_id", "embedding",
+        k = 16, iters = 3)
+      // bounded: 1-row max-dimension scalar (sizes the srp sign matrix)
+      val dim = Option(emb.agg(max(size(col("embedding")))).head().get(0))
+        .map(_.asInstanceOf[Int]).getOrElse(0)
+      require(dim >= 1, "q143: embeddings fixture must carry non-empty vectors")
+      // bounded: 1-row max-distinct-buckets-per-cluster scalar (≤ 16 srp
+      // buckets exist per cluster at 4 bits)
+      val maxBuckets = Similarity.assignToCentroids(emb, "vec_id", "embedding", cents)
+        .join(emb.select(col("vec_id"),
+          graft.functions.VectorFns.srpBucket(
+            graft.functions.VectorFns.asDouble(col("embedding")), 4, "srp-v1", dim)
+            .as("__b")), "vec_id")
+        .groupBy(col("centroid_id")).agg(countDistinct(col("__b")).as("nb"))
+        .agg(max(col("nb"))).head().getLong(0)
+      require(maxBuckets > 1,
+        s"q143: SRP must genuinely sub-partition a cluster, got max $maxBuckets bucket(s)")
+      val out = Similarity.semDedupSRP(emb, "vec_id", "embedding", cents,
+        minCosine = 0.35, srpBits = 4)
+      // both verdict branches live, as in q114 (their ratio is SF-shaped
+      // and belongs to the oracle)
+      val dropped = out.where(!col("kept")).count()
+      require(dropped > 0, "q143: fixture must contain same-bucket semantic near-dups")
+      require(out.where(col("kept")).count() > 0, "q143: representatives must survive")
+      out
+    },
+
+    "q144_incremental_first_touch" -> { (s, d) =>
+      // The reference's ONE incremental DERIVED stage gated END TO END
+      // (r12, the r11 verdict's stretch item): first_acquisition is
+      // maintained incrementally IN THE REFERENCE (update_etl.py:412-452,
+      // anti-join insert of new rows only) while q86 full-rebuilds every
+      // derived table. Two-day fixture (the q86 split: day 1 = events to
+      // the µs midpoint, day 2 = the full log), DailyUpdate run with ONLY
+      // the first_acquisition stage both days: day 1 writes the rebuild,
+      // day 2 computes firsts of the RAW-EVENT DELTA (rows after day 1's
+      // fact terminal — the same boundary the fact load cut) and
+      // anti-join inserts them into day-1 state via write-then-swap.
+      // The gated table is day 2's INCREMENTAL output; the oracle is
+      // q04's full-rebuild SQL VERBATIM over the same (uncapped) events —
+      // the hash match IS the incremental≡rebuild equality, cross-engine.
+      // DailyUpdateSpec pins the branch genuinely runs (a planted
+      // state-only row SURVIVES day 2 — a rebuild would erase it) and
+      // IncrementalSpec pins the equality boundary-ties included.
+      import java.nio.file.{Files => JFiles}
+      val ev = Tables(s, d).events
+      // the split lands ONE µs BELOW the latest first-touch (max over
+      // keys of min ts), NOT at the q86 midpoint: a midpoint split goes
+      // degenerate once every (user, type) key has appeared in the first
+      // half of the log (it has at sf0.01 — 750 keys over 10k events),
+      // gating only the state pass-through; this split structurally
+      // guarantees day 2 inserts at least the latest-first key.
+      // bounded: 1-row max-of-min-ts scalar
+      val lastFirst = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("ts")).as("f")).agg(max(col("f"))).collect()(0).getTimestamp(0)
+      val split = microTs(us(lastFirst) - 1L)
+      val root = JFiles.createTempDirectory("graft-incfirst")
+      val (day1, day2) = (root.resolve("day1"), root.resolve("day2"))
+      JFiles.createDirectories(day1); JFiles.createDirectories(day2)
+      ev.where(col("ts") <= lit(split)).write.parquet(s"$day1/events.parquet")
+      ev.write.parquet(s"$day2/events.parquet")
+      val out = root.resolve("out").toString
+      val stage = graft.pipeline.DailyUpdate.stages.filter(_._1 == "first_acquisition")
+      val r1 = graft.pipeline.DailyUpdate.run(s, day1.toString, out, stage)
+      val r2 = graft.pipeline.DailyUpdate.run(s, day2.toString, out, stage)
+      // both branches of the incremental rule must be live: day-1 state
+      // non-empty AND day 2 genuinely inserting new (user, type) keys —
+      // a split where day 2 adds no first-touches would gate only the
+      // state pass-through
+      require(r1("first_acquisition") > 0L, "q144: day-1 state is empty")
+      require(r2("first_acquisition") > r1("first_acquisition"),
+        s"q144: day 2 inserted no new first-touch keys " +
+          s"(${r1("first_acquisition")} -> ${r2("first_acquisition")}) — split degenerate")
+      s.read.parquet(s"$out/first_acquisition")
+    },
+
     "q115_stream_left_interval_join" -> { (s, d) =>
       // LEFT OUTER stream-stream interval join, driver-gated — the fifth
       // streaming semantics class: NULL-emission on watermark proof.
@@ -2569,6 +2659,28 @@ object GateQueries {
         |  WHERE floor(list_cosine_similarity(a.nv, b.nv) * 1000000.0 + 0.5) / 1000000.0 >= 0.35)
         |SELECT a.nid AS vec_id, a.cid AS centroid_id, (d.vid IS NULL) AS kept
         |FROM asgn a LEFT JOIN dup d ON a.nid = d.vid""".stripMargin,
+
+    "q143_semdedup_srp" ->
+      // q114's replay with the pair square further conditioned on the
+      // shared srp-v1 bucket (LLMQueries.SrpBuckCte, q142's projections
+      // token-for-token — both gates replay the SAME bucketing): dropped
+      // = has a lower-id near-dup in the SAME (cluster, srp-bucket) cell
+      s"""$KMeansAsgnCte,
+        |${LLMQueries.SrpBuckCte},
+        |dup AS (SELECT DISTINCT b.nid AS vid
+        |  FROM asgn a JOIN buck ba ON a.nid = ba.vec_id
+        |    JOIN asgn b ON a.cid = b.cid AND a.nid < b.nid
+        |    JOIN buck bb ON b.nid = bb.vec_id AND ba.bucket = bb.bucket
+        |  WHERE floor(list_cosine_similarity(a.nv, b.nv) * 1000000.0 + 0.5) / 1000000.0 >= 0.35)
+        |SELECT a.nid AS vec_id, a.cid AS centroid_id, (d.vid IS NULL) AS kept
+        |FROM asgn a LEFT JOIN dup d ON a.nid = d.vid""".stripMargin,
+
+    "q144_incremental_first_touch" ->
+      // q04's full-rebuild SQL VERBATIM (the q139 share-the-oracle
+      // pattern): the gated table is day 2's INCREMENTAL first-touch
+      // state, so the hash match against the rebuild IS the
+      // incremental≡rebuild equality, cross-engine
+      CoreQueries.oracles("q04_first_touch"),
 
     "q88_bucketed_join" ->
       """WITH r AS (SELECT user_id, count(*) AS n_events,

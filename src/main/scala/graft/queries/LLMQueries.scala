@@ -457,6 +457,32 @@ object LLMQueries {
       |    count(*) AS n_bigrams
       |  FROM scored GROUP BY 1)""".stripMargin
 
+  /** The srp-v1 sign-projection bucket replay over an `e(vec_id, …, v)`
+    * CTE: 4 deterministic ±1 projections re-derived from md5 hex slices,
+    * folded in index order via q112's list_reduce construction (the
+    * ORDERED sum is the contract — a GROUP BY sum would be
+    * order-unspecified); bucket bits mirror srpBucket's strict proj > 0.
+    * Token-for-token shared by q142 (within-label near-dup) and q143's
+    * cluster-scoped SemDeDup composition (GateQueries) so the two gates
+    * replay the IDENTICAL projections; ends at `buck(vec_id, bucket)`.
+    */
+  private[queries] val SrpBuckCte: String =
+    """bs AS (SELECT unnest(range(0, 4)) AS b),
+      |ii AS (SELECT unnest(range(0, (SELECT max(len(v)) FROM e))) AS i),
+      |sg AS (SELECT b, i,
+      |    CASE WHEN ('0x'||substr(md5('srp-v1:'||b||':'||i), 1, 1))::BIGINT % 2 = 0
+      |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS s
+      |  FROM bs, ii),
+      |terms AS (SELECT e.vec_id, sg.b, sg.i, e.v[sg.i + 1] * sg.s AS t
+      |  FROM e CROSS JOIN sg WHERE sg.i < len(e.v)),
+      |proj AS (SELECT vec_id, b,
+      |    CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list(CAST(t AS DOUBLE) ORDER BY i)), (a, x) -> a + x) AS DOUBLE) AS p
+      |  FROM terms GROUP BY 1, 2),
+      |buck AS (SELECT vec_id,
+      |    CAST(sum(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM proj GROUP BY 1)""".stripMargin
+
   /** The minhash→LSH→verified-jaccard→connected-components replay shared
     * by q42 (dedup decisions) and q136 (leakage-safe split): recursive
     * min-label reachability over the near-dup pair graph, ending at
@@ -638,27 +664,12 @@ object LLMQueries {
         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cosine >= 0.35""".stripMargin,
 
-    // q29's scale path: the srp-v1 ±1 projections re-derive from md5 hex
-    // slices and fold in index order via q112's list_reduce construction
-    // (the ORDERED sum is the contract — a GROUP BY sum would be
-    // order-unspecified); bucket bits mirror srpBucket's strict proj > 0.
+    // q29's scale path: the srp-v1 projections replay via the shared
+    // SrpBuckCte (token-for-token common with q143's cluster-scoped
+    // composition, so the two gates cannot drift on the bucketing).
     "q142_srp_near_dup" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-        |bs AS (SELECT unnest(range(0, 4)) AS b),
-        |ii AS (SELECT unnest(range(0, (SELECT max(len(v)) FROM e))) AS i),
-        |sg AS (SELECT b, i,
-        |    CASE WHEN ('0x'||substr(md5('srp-v1:'||b||':'||i), 1, 1))::BIGINT % 2 = 0
-        |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS s
-        |  FROM bs, ii),
-        |terms AS (SELECT e.vec_id, sg.b, sg.i, e.v[sg.i + 1] * sg.s AS t
-        |  FROM e CROSS JOIN sg WHERE sg.i < len(e.v)),
-        |proj AS (SELECT vec_id, b,
-        |    CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |        list(CAST(t AS DOUBLE) ORDER BY i)), (a, x) -> a + x) AS DOUBLE) AS p
-        |  FROM terms GROUP BY 1, 2),
-        |buck AS (SELECT vec_id,
-        |    CAST(sum(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM proj GROUP BY 1)
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |$SrpBuckCte
         |SELECT * FROM (
         |  SELECT ea.label AS block, ea.vec_id AS id_a, eb.vec_id AS id_b,
         |    floor(list_cosine_similarity(ea.v, eb.v) * 1000000.0 + 0.5) / 1000000.0 AS cosine

@@ -50,4 +50,43 @@ class SemDedupSpec extends graft.SparkSpec {
       .orderBy("vec_id").collect().toSeq
     assert(a == b)
   }
+
+  test("semDedupSRP drops a subset of the exact within-cluster drops, with genuine pruning (q143 contract)") {
+    // recall < 1 by construction, precision = 1: every srp-conditioned
+    // drop must also be an exact within-cluster drop (a same-bucket pair
+    // is a same-cluster pair), every verdict stays total, and on the
+    // real fixture the sub-bucketing must actually prune — otherwise the
+    // scale path is vacuous there
+    val e = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val cents = Similarity.kMeansCentroids(e, "vec_id", "embedding", k = 16, iters = 3)
+    val exact = Similarity.semDedupWith(e, "vec_id", "embedding", cents, 0.35)
+    val srp = Similarity.semDedupSRP(e, "vec_id", "embedding", cents, 0.35, srpBits = 4)
+    val exactDropped = exact.where(!col("kept"))
+      .select("vec_id").as[Long].collect().toSet
+    val srpDropped = srp.where(!col("kept"))
+      .select("vec_id").as[Long].collect().toSet
+    assert(srpDropped.subsetOf(exactDropped),
+      s"SRP invented drops: ${(srpDropped -- exactDropped).take(3)}")
+    assert(srpDropped.size < exactDropped.size,
+      s"sub-bucketing pruned nothing (srp=${srpDropped.size}, exact=${exactDropped.size})")
+    assert(srp.count() == e.count(), "every vector must get a verdict")
+    // and the cluster assignment surface is the shared one — ids map to
+    // the same centroid under both forms
+    val ea = exact.select("vec_id", "centroid_id").as[(Long, Long)].collect().toSet
+    val sa = srp.select("vec_id", "centroid_id").as[(Long, Long)].collect().toSet
+    assert(ea == sa, "srp form drifted the centroid assignment")
+  }
+
+  test("semDedupSRP rejects empty vectors up front (total-output contract)") {
+    // an empty vector has no cosine; Spark would pass its NaN through
+    // `>= minCosine` while the oracle's term expansion omits it — and
+    // the output must stay total, so filtering is not an option either:
+    // the contract is a require, surfaced before any job runs
+    val cents = Similarity.kMeansCentroids(emb, "vec_id", "embedding", k = 2, iters = 1)
+    val withEmpty = emb.union(Seq((99L, Array.empty[Float])).toDF("vec_id", "embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.semDedupSRP(withEmpty, "vec_id", "embedding", cents, 0.35, 4)
+    }
+    assert(ex.getMessage.contains("non-empty vectors"))
+  }
 }
