@@ -86,7 +86,10 @@ object Bench {
     */
   private[graft] val branchGates: Set[String] = Set(
     "q135_bm25_capped", "q138_pagerank_fine_grid",
-    "q139_drift_sketched", "q140_pagerank_dangling")
+    "q139_drift_sketched", "q140_pagerank_dangling",
+    // q143 replays q114's trained-k-means pipeline (its dominant cost)
+    // with the pair join further conditioned on the srp bucket
+    "q143_semdedup_srp")
 
   /** JSON string-escape for env-derived values (SPARK_GRAFT_SF_DIR /
     * SPARK_GRAFT_BENCH_OUT) interpolated into the summary line: a path

@@ -13,8 +13,22 @@ set -e
 cd "$(dirname "$0")/.."
 ROUND=${ROUND:-r07}
 
-sbt -batch "runMain graft.GenData" 2>/dev/null
-sbt -batch "runMain graft.Verify /root/repo/tmp/sf1 /root/repo/tmp/verify_sf1" 2>/dev/null
+# GenData/Verify stderr is a Spark-warning stream (too big to commit),
+# but an ERRORED run must leave a durable artifact (ADVICE r11 follow-up
+# to the r10 item): capture each step's stderr to /tmp and, on failure,
+# promote its tail into evidence/ before aborting.
+step() {
+  name="$1"; shift
+  errf="/tmp/sf1gate_${ROUND}_${name}.stderr"
+  if ! "$@" 2>"$errf"; then
+    status=$?
+    tail -n 120 "$errf" > "evidence/SF1GATE_${ROUND}_${name}_failure.log"
+    echo "sf1 gate step '$name' FAILED (exit $status); stderr tail in evidence/SF1GATE_${ROUND}_${name}_failure.log" >&2
+    exit "$status"
+  fi
+}
+step gendata sbt -batch "runMain graft.GenData"
+step verify sbt -batch "runMain graft.Verify /root/repo/tmp/sf1 /root/repo/tmp/verify_sf1"
 
 NAMES=$(python3 - <<'EOF'
 import json
