@@ -69,10 +69,27 @@ object Retrieval {
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val lengthNorm = col("tf") + lit(k1) *
       (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
-    val perTerm = qTerms
+    // The per-term contribution depends ONLY on (term, doc) — compute it
+    // (and its 1e-6 grid long, see below) on the POSTINGS-sized frame
+    // BEFORE the query join, not on the join's (query, term, doc) output
+    // (r12): the scoring arithmetic (log/divides/floor) runs once per
+    // posting instead of once per matched query-term row (the fixture's
+    // stopword-grade terms make matched rows ≈ postings × probes/term),
+    // and the join then carries ONE long instead of tf/dl/df/avgdl.
+    // Same joins, same rows, identical doubles → identical longs:
+    // bit-identical output, oracle untouched. Measured q104 36.0→33.3 s
+    // at sf1 (PERFPROBE_bm25hoist_r12) — modest locally because the
+    // matched-pair partial-agg + exchange dominates there, but the
+    // payload narrowing compounds at a real corpus where tf/dl/df ride
+    // a multi-TB join output.
+    // no broadcast hint on termStats: vocabulary grows (sub-linearly)
+    // with the corpus, so AQE decides from measured sizes (§4 policy)
+    val perTermDoc = postings
       .join(termStats, "term")
-      .join(postings, "term")
-      .withColumn("tscore", idf * (col("tf") * lit(k1 + 1.0)) / lengthNorm)
+      .withColumn("__qt",
+        floor((idf * (col("tf") * lit(k1 + 1.0)) / lengthNorm) *
+          lit(1000000.0) + lit(0.5)).cast("long"))
+      .select(col("term"), id, col("__qt"))
 
     // Exact-integer-grid sum (the q109/q126 construction): each term's
     // contribution quantizes to the 1e-6 grid as a LONG, and longs sum
@@ -82,12 +99,11 @@ object Retrieval {
     // doc)) instead of buffering matched-term structs in an
     // ObjectHashAggregate array. Accuracy: ≤ 5e-7 · n_terms rounding,
     // and n_terms is bounded by the QUERY's term count (a probe-shape
-    // constant), never the corpus. Overflow headroom: tscore ≤
+    // constant), never the corpus. Overflow headroom: a contribution ≤
     // idf_max · (k1+1) ≲ 60 even at N = 10¹⁰ docs, so each grid term is
     // < 6e7 and a query needs ~10¹¹ matched terms to approach 2⁶³.
-    val folded = perTerm
-      .withColumn("__qt",
-        floor(col("tscore") * lit(1000000.0) + lit(0.5)).cast("long"))
+    val folded = qTerms
+      .join(perTermDoc, "term")
       .groupBy(col(queryIdCol), id)
       .agg(sum(col("__qt")).as("__qsum"), count(lit(1)).as("n_terms"))
       .withColumn("score",
