@@ -71,6 +71,79 @@ object Quantize {
     * distances; each dist2 is already q6-grid-valued, so the long sum
     * is EXACT, not merely deterministic).
     */
+  /** ADC (asymmetric distance computation) top-k over stored PQ codes —
+    * the SEARCH half of IVF-PQ serving ([[pqEncode]] is the build half):
+    * each query precomputes one q6 subspace distance to every codebook
+    * cell, and a corpus vector's approximate distance is then the EXACT
+    * integer-grid sum of the `nSub` cells its stored codes name. The
+    * corpus side never touches floats or vectors — it scans the code
+    * strings it stored at encode time, which is the point at 100 TB:
+    * the embedding fleet stays on disk, the scan reads `nSub` small
+    * integers per row.
+    *
+    * Scale shape: the LUT is (nQueries × nSub × nCodes) q6 doubles —
+    * all caller constants — folded into the projection as a LITERAL
+    * per-query array (the [[Projection]] broadcast-into-codegen move),
+    * so scoring is a zero-shuffle codegen'd projection over the code
+    * table; the only shuffle is the per-query top-k, and that plans as
+    * WindowGroupLimit (map-side partial limits, ≤ nQueries·k rows per
+    * partition survive the exchange).
+    *
+    * Determinism: each LUT cell is the q6 ordered-fold distance (the
+    * [[pqEncode]] dist2 contract, so an engine replays it bit-for-bit);
+    * cells are exactly grid-valued, so the per-row sum over longs is
+    * EXACT; ties rank on (adc_dist asc, id asc).
+    */
+  def adcTopK(codes: DataFrame, idCol: String, codesCol: String,
+              queries: DataFrame, qidCol: String, qvecCol: String,
+              codebook: DataFrame, nSub: Int, nCodes: Int, k: Int,
+              excludeSelf: Boolean = false): DataFrame = {
+    require(nCodes >= 1 && k >= 1, "adcTopK needs nCodes >= 1 and k >= 1")
+    val qd = Portable.q6(aggregate(
+      zip_with(col("subvec"), col("cent"), (a: Column, b: Column) => (a - b) * (a - b)),
+      lit(0.0), (acc: Column, y: Column) => acc + y))
+    // bounded: nQueries × nSub × nCodes rows, every factor a caller
+    // constant — the fixed LUT ADC exists to precompute
+    val lutRows = subVectors(queries, qidCol, qvecCol, nSub)
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col(qidCol).cast("long").as("qid"), col("sub"), col("code"), qd.as("qd"))
+      .collect()
+    require(lutRows.nonEmpty, "adcTopK: empty query set")
+    val lut: Seq[(Long, Array[Double])] =
+      lutRows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (q, rows) =>
+        val arr = new Array[Double](nSub * nCodes)
+        rows.foreach { r =>
+          val (s, c) = (r.getAs[Int]("sub"), r.getAs[Int]("code"))
+          require(s >= 0 && s < nSub && c >= 0 && c < nCodes,
+            s"adcTopK: codebook cell ($s,$c) outside nSub=$nSub × nCodes=$nCodes")
+          arr(s * nCodes + c) = r.getAs[Double]("qd")
+        }
+        q -> arr
+      }
+    val codeArr = transform(split(col(codesCol), "_"), (c: Column) => c.cast("int"))
+    val perQuery = lut.map { case (q, arr) =>
+      val lutLit = array(arr.toSeq.map(lit): _*)
+      // each cell is q6-grid-valued, so the long sum is exact (class doc)
+      val gridSum = aggregate(
+        sequence(lit(0), lit(nSub - 1)),
+        lit(0L),
+        (acc: Column, j: Column) => acc +
+          floor(element_at(lutLit, j * nCodes + element_at(codeArr, j + 1) + 1)
+            * lit(1000000.0) + lit(0.5)).cast("long"))
+      struct(lit(q).as("query_id"),
+        Portable.q6(gridSum.cast("double") / lit(1000000.0)).as("adc_dist"))
+    }
+    val scored = codes
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        explode(array(perQuery: _*)).as("s"))
+      .select(col("s.query_id"), col("neighbor_id"), col("s.adc_dist"))
+    val candidates =
+      if (excludeSelf) scored.where(col("neighbor_id") =!= col("query_id"))
+      else scored
+    Rankings.topKPerGroup(candidates, Seq("query_id"),
+      Seq(col("adc_dist").asc, col("neighbor_id").asc), k)
+  }
+
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String, nSub: Int,
                codebook: DataFrame): DataFrame = {
     val dist2 = Portable.q6(aggregate(

@@ -77,6 +77,31 @@ object CurationQueries {
         Quantize.seededCodebook(emb, "vec_id", "embedding", nSub = 8, nCodes = 16))
     },
 
+    "q145_pq_adc_topk" -> { (s, d) =>
+      // The SEARCH half of IVF-PQ serving (q125 is the build half):
+      // ADC top-5 over the STORED code strings — the corpus side scans
+      // nSub small integers per row, never floats, which is the whole
+      // point of PQ at 100 TB. Queries are four non-seed vectors (a
+      // seed's distance to its own cell is 0 — non-seeds keep every
+      // LUT read non-degenerate); same 8×16 seeded codebook as q125 so
+      // the oracle replays encode + search through ONE shared CTE
+      // scaffold. Scoring is a zero-shuffle literal-LUT projection
+      // (Quantize.adcTopK); the only shuffle is the WindowGroupLimit
+      // top-k.
+      val emb = Tables(s, d).embeddings
+      val cb = Quantize.seededCodebook(emb, "vec_id", "embedding", nSub = 8, nCodes = 16)
+      val codes = Quantize.pqEncode(emb, "vec_id", "embedding", nSub = 8, cb)
+      val out = Quantize.adcTopK(codes, "vec_id", "codes",
+        emb.where(col("vec_id").between(16, 19)), "vec_id", "embedding",
+        cb, nSub = 8, nCodes = 16, k = 5, excludeSelf = true)
+      // bounded: <= nQueries rows (one count per probe)
+      val perQ = out.groupBy(col("query_id")).count().collect()
+      require(perQ.length == 4 && perQ.forall(_.getLong(1) == 5),
+        s"q145: every probe must fill its top-5 on the gated fixture " +
+          s"(got ${perQ.map(r => r.getLong(0) -> r.getLong(1)).toSeq.sortBy(_._1)})")
+      out
+    },
+
     "q126_corpus_drift" -> { (s, d) =>
       // Distribution-drift report: per-source unigram JS divergence vs
       // the whole corpus (+ token volume and absent-word coverage) —
@@ -309,7 +334,51 @@ object CurationQueries {
   /** DuckDB replays. The classifier oracle unrolls all three training
     * iterations (the q75/q109/q116 trained-path construction).
     */
+  /** q125's PQ-encode replay (subvector split → seeded codebook → q6
+    * ordered-fold subspace distances → per-(vector, subspace) pick) as
+    * a shareable CTE prefix: q145's ADC search replays the SAME stored
+    * picks through `best`, so the build gate and the search gate cannot
+    * drift (the q134/q139 share-the-oracle convention).
+    */
+  val PqCodesCte: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sv AS (SELECT vec_id, CAST(s AS INT) AS sub, v[s*8+1 : s*8+8] AS sv
+      |  FROM e, (SELECT unnest(range(0, 8)) AS s)),
+      |cb AS (SELECT CAST(vec_id AS INT) AS code, sub, sv AS cent
+      |  FROM sv WHERE vec_id < 16),
+      |d AS (SELECT a.vec_id, a.sub, cb.code,
+      |    floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(range(1, 9),
+      |          i -> (a.sv[i] - cb.cent[i]) * (a.sv[i] - cb.cent[i]))),
+      |      (x, y) -> x + y) * 1000000.0 + 0.5) / 1000000.0 AS dist2
+      |  FROM sv a JOIN cb USING (sub)),
+      |best AS (SELECT vec_id, sub, code, dist2 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+      |        ORDER BY dist2, code) AS rn FROM d)
+      |  WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q145_pq_adc_topk" ->
+      s"""WITH $PqCodesCte,
+        |q AS (SELECT vec_id AS query_id, sub, sv FROM sv
+        |  WHERE vec_id BETWEEN 16 AND 19),
+        |lut AS (SELECT q.query_id, cb.sub, cb.code,
+        |    floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, 9),
+        |          i -> (q.sv[i] - cb.cent[i]) * (q.sv[i] - cb.cent[i]))),
+        |      (x, y) -> x + y) * 1000000.0 + 0.5) / 1000000.0 AS qd
+        |  FROM q JOIN cb USING (sub)),
+        |adc AS (SELECT l.query_id, b.vec_id AS neighbor_id,
+        |    floor((CAST(sum(CAST(floor(l.qd * 1000000.0 + 0.5) AS BIGINT))
+        |        AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS adc_dist
+        |  FROM best b JOIN lut l ON l.sub = b.sub AND l.code = b.code
+        |  WHERE b.vec_id <> l.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INT) AS rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dist, neighbor_id) AS rn FROM adc)
+        |WHERE rn <= 5""".stripMargin,
+
     "q122_line_clean" ->
       """WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |lines AS (SELECT doc_id, len(w) AS nw, unnest(list_transform(
@@ -393,21 +462,7 @@ object CurationQueries {
     },
 
     "q125_pq_codes" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |sv AS (SELECT vec_id, CAST(s AS INT) AS sub, v[s*8+1 : s*8+8] AS sv
-        |  FROM e, (SELECT unnest(range(0, 8)) AS s)),
-        |cb AS (SELECT CAST(vec_id AS INT) AS code, sub, sv AS cent
-        |  FROM sv WHERE vec_id < 16),
-        |d AS (SELECT a.vec_id, a.sub, cb.code,
-        |    floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |        list_transform(range(1, 9),
-        |          i -> (a.sv[i] - cb.cent[i]) * (a.sv[i] - cb.cent[i]))),
-        |      (x, y) -> x + y) * 1000000.0 + 0.5) / 1000000.0 AS dist2
-        |  FROM sv a JOIN cb USING (sub)),
-        |best AS (SELECT vec_id, sub, code, dist2 FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-        |        ORDER BY dist2, code) AS rn FROM d)
-        |  WHERE rn = 1)
+      s"""WITH $PqCodesCte
         |SELECT vec_id,
         |  string_agg(code::VARCHAR, '_' ORDER BY sub) AS codes,
         |  floor((CAST(sum(CAST(floor(dist2 * 1000000.0 + 0.5) AS BIGINT))

@@ -173,6 +173,12 @@ class RegistrySweepSpec extends SparkSpec {
         "subspace order (nSub = 8, a model constant). A grid sum cannot " +
         "replace it because the output is a sequence, not a sum; the " +
         "numeric recon_err half of the old fold DID convert (r10)"),
+    "q145_pq_adc_topk" ->
+      ("inherits q125's buffer: the ADC search consumes the stored code " +
+        "STRINGS, so its plan contains pqEncode's nSub-bounded " +
+        "subspace-order gather (see q125's entry); the search's own " +
+        "scoring is a zero-buffer literal-LUT projection and its " +
+        "distance sum is already the exact-integer-grid form"),
     "q127_bpe_encode" ->
       ("Bpe.encodeCorpus reassembles each document's token stream (and " +
         "each word's BPE symbols) in POSITION order — the tokenized " +

@@ -215,6 +215,92 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("adcTopK: ADC equals the grid sum over picked cells; seeds score exactly; " +
+    "approximation is live; ties and partitioning are pinned") {
+    val nSub = 4; val nCodes = 16; val subDim = 2
+    val base = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (i * 8 + j).toFloat / 10f))
+    }
+    // vec 20 duplicates vec 5's values: same codes, same ADC distance —
+    // the tie must rank the lower id first
+    val vecs = (base :+ (20L, base(5)._2.clone())).toDF("vec_id", "embedding")
+    val cb = Quantize.seededCodebook(vecs, "vec_id", "embedding", nSub, nCodes)
+    val codes = Quantize.pqEncode(vecs, "vec_id", "embedding", nSub, cb)
+    // query 6 sits next to the 5/20 duplicate pair (the tie check);
+    // query 16's neighborhood is the non-seed tail (the approximation check)
+    val queries = vecs.where(col("vec_id").isin(6L, 16L))
+    val out = Quantize.adcTopK(codes, "vec_id", "codes", queries, "vec_id",
+      "embedding", cb, nSub, nCodes, k = 6, excludeSelf = true)
+      .select("query_id", "neighbor_id", "adc_dist", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+
+    // Scala reference: q6 per-subspace distance to the PICKED centroid,
+    // exact grid sum — the operator's stated semantics
+    def q6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def subs(v: Array[Float]): Array[Array[Double]] =
+      v.map(_.toDouble).grouped(subDim).toArray
+    // bounded: nSub × nCodes codebook rows
+    val cents = cb.select("sub", "code", "cent")
+      .as[(Int, Int, Seq[Double])].collect()
+      .map { case (s, c, v) => (s, c) -> v.toArray }.toMap
+    // bounded: one code row per fixture vector (21 rows)
+    val picks = codes.select("vec_id", "codes").as[(Long, String)].collect()
+      .map { case (id, cs) => id -> cs.split("_").map(_.toInt) }.toMap
+    def subDist(q: Array[Double], c: Array[Double]): Double =
+      q6d(q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+    def adcRef(q: Array[Float], nid: Long): Double = {
+      val qs = subs(q)
+      val grid = (0 until nSub).map { s =>
+        math.floor(subDist(qs(s), cents((s, picks(nid)(s)))) * 1e6 + 0.5).toLong
+      }.sum
+      q6d(grid.toDouble / 1e6)
+    }
+    val byQ = base.toMap
+    out.foreach { case (q, n, d, _) =>
+      assert(n != q, "self must be excluded")
+      assert(d == adcRef(byQ(q), n), s"ADC($q,$n) diverged from the pick replay")
+    }
+    // ranking: ascending adc_dist, neighbor id tiebreak, dense 1..k
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4) == (1 to 6))
+      assert(sorted == rows.sortBy(r => (r._3, r._2)).zipWithIndex
+        .map { case ((q, n, d, _), i) => (q, n, d, i + 1) })
+    }
+    // a SEED neighbor reconstructs exactly, so its ADC distance IS the
+    // true (per-subspace q6) query→vector distance
+    def trueD(q: Array[Float], v: Array[Float]): Double = {
+      val (qs, vs) = (subs(q), subs(v))
+      q6d((0 until nSub).map(s =>
+        math.floor(subDist(qs(s), vs(s)) * 1e6 + 0.5).toLong).sum.toDouble / 1e6)
+    }
+    val seedRows = out.filter(_._2 < nCodes)
+    assert(seedRows.nonEmpty, "fixture must rank some seed neighbor")
+    seedRows.foreach { case (q, n, d, _) =>
+      assert(d == trueD(byQ(q), byQ(n)), s"seed $n must score its true distance")
+    }
+    // approximation is LIVE: some non-seed neighbor's ADC differs from
+    // its true distance (it scores the reconstruction, not the vector)
+    val nonSeed = out.filter(r => r._2 >= nCodes && r._2 <= 19)
+    assert(nonSeed.exists { case (q, n, d, _) => d != trueD(byQ(q), byQ(n)) },
+      "fixture must exercise the approximation")
+    // tie rule: 5 and its duplicate 20 carry equal distances; 5 first.
+    // Both MUST surface in query 6's top-6 (they flank it) — a vacuous
+    // pass here would mean the fixture stopped exercising the tie.
+    val q6rows = out.filter(_._1 == 6L)
+    val tieA = q6rows.find(_._2 == 5L)
+    val tieB = q6rows.find(_._2 == 20L)
+    assert(tieA.nonEmpty && tieB.nonEmpty, "tie pair must rank for query 6")
+    assert(tieA.get._3 == tieB.get._3 && tieA.get._4 < tieB.get._4,
+      "duplicate must tie on distance and rank after the lower id")
+    // partition invariance: the code table's layout cannot change ranks
+    val repart = Quantize.adcTopK(codes.repartition(7), "vec_id", "codes",
+      queries, "vec_id", "embedding", cb, nSub, nCodes, k = 6, excludeSelf = true)
+      .select("query_id", "neighbor_id", "adc_dist", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(repart.sortBy(r => (r._1, r._4)) == out.sortBy(r => (r._1, r._4)))
+  }
+
   test("pqEncode rejects dimensions that do not divide into subspaces") {
     val vecs = Seq((0L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
