@@ -146,22 +146,63 @@ object Retrieval {
                   emb: DataFrame, embIdCol: String, vecCol: String,
                   k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(docIdCol).asc)
+    cosineScores(cands, queryIdCol, docIdCol, emb, embIdCol, vecCol)
+      .withColumn("rerank", row_number().over(w))
+      .where(col("rerank") <= k)
+  }
+
+  /** The shared dense-scoring step of [[denseRerank]] and
+    * [[hardNegatives]]: every (probe, candidate) pair annotated with
+    * its q6 embedding cosine. Same join shape, coverage contract, and
+    * self-exclusion as denseRerank (see its doc) — candidate-sized
+    * equi-join for candidate vectors, broadcast semi-joined probe
+    * vectors, zero pairwise work beyond the candidate list itself.
+    */
+  def cosineScores(cands: DataFrame, queryIdCol: String, docIdCol: String,
+                   emb: DataFrame, embIdCol: String, vecCol: String): DataFrame = {
     val e = emb.select(col(embIdCol), graft.functions.VectorFns.asDouble(col(vecCol)).as("__v"))
       .withColumn("__n", graft.functions.VectorFns.norm2(col("__v")))
     val ce = e.select(col(embIdCol).as(docIdCol), col("__v").as("__cv"), col("__n").as("__cn"))
     val qe = e.join(cands.select(col(queryIdCol).as(embIdCol)).distinct(),
         Seq(embIdCol), "left_semi")
       .select(col(embIdCol).as(queryIdCol), col("__v").as("__qv"), col("__n").as("__qn"))
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("cosine").desc, col(docIdCol).asc)
     cands.where(col(docIdCol) =!= col(queryIdCol))
       .join(ce, Seq(docIdCol))
       .join(broadcast(qe), Seq(queryIdCol))
       .withColumn("cosine", Portable.q6(
         graft.functions.VectorFns.dot(col("__qv"), col("__cv")) /
           (col("__qn") * col("__cn"))))
-      .withColumn("rerank", row_number().over(w))
-      .where(col("rerank") <= k)
       .drop("__qv", "__qn", "__cv", "__cn")
+  }
+
+  /** Hard-negative mining for contrastive retriever training (the
+    * DPR/ANCE data-prep step): from an already dense-scored candidate
+    * list ([[cosineScores]] over a BM25 recall pass), drop the
+    * POSITIVES (cosine >= `posThreshold` — the corpus's near-dup
+    * relevance rule, the q29 threshold family) and keep the top
+    * `negPerQuery` survivors BY RETRIEVER RANK. Those are the
+    * lexically-confusable non-relevant docs a dual encoder learns the
+    * decision boundary from — random negatives are too easy, and the
+    * candidates BM25 itself ranked high are exactly the confusions.
+    *
+    * Scale shape: the split is a codegen'd filter over the
+    * candidate-sized scored frame; the per-query cap plans as
+    * WindowGroupLimit. Ordering is (`bm25RankCol` asc, doc id asc) —
+    * the rank column is already unique per query when it comes from
+    * [[bm25TopK]], the id tiebreak keeps the contract total for any
+    * caller. NaN cosines (zero-norm vectors) never pass `<` and are
+    * therefore treated as positives and dropped, not ranked.
+    */
+  def hardNegatives(scored: DataFrame, queryIdCol: String, docIdCol: String,
+                    bm25RankCol: String, posThreshold: Double,
+                    negPerQuery: Int): DataFrame = {
+    require(negPerQuery >= 1, "negPerQuery must be >= 1")
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col(bm25RankCol).asc, col(docIdCol).asc)
+    scored.where(col("cosine") < posThreshold)
+      .withColumn("neg_rank", row_number().over(w).cast("int"))
+      .where(col("neg_rank") <= negPerQuery)
   }
 }

@@ -198,6 +198,46 @@ object CurationQueries {
         t.embeddings, "vec_id", "embedding", k = 5)
     },
 
+    "q146_hard_negatives" -> { (s, d) =>
+      // Hard-negative mining (Retrieval.hardNegatives) — the
+      // contrastive complement of q128: the SAME probe panel and BM25
+      // recall pass, but instead of reranking the best candidates it
+      // mines the top-3 lexically-confusable NON-relevant ones per
+      // probe (cosine < 0.2 — the relevance rule; measured live on
+      // both branches at every SF: 25–48 positives drop, hundreds of
+      // negatives remain) ordered by the retriever's own rank — the
+      // training pairs a dual encoder learns its decision boundary
+      // from. Oracle shares q128's entire recall+scoring replay
+      // (HybridScoredCte), so the two gates cannot drift.
+      val t = Tables(s, d)
+      val docs = t.documentsSpread
+      val probes = docs.where(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(slice(split(col("text"), " "), 1, 4))).as("term"))
+      val cands = graft.operators.Retrieval.bm25TopK(docs, "doc_id", "text",
+          probes, "query_id", "term", k = 20, k1 = 1.2, b = 0.75, maxDfFrac = 0.9)
+        .select(col("query_id"), col("doc_id"),
+          col("score").as("bm25_score"), col("rank").as("bm25_rank"))
+      // persisted so the branch-liveness pins below don't re-run the
+      // BM25 pass; candidate-pool-sized (≤ probes × 20 rows), and the
+      // contract mains clear the cache per query
+      val scored = graft.operators.Retrieval.cosineScores(cands,
+        "query_id", "doc_id", t.embeddings, "vec_id", "embedding").persist()
+      // bounded: one scalar census row over the candidate pool
+      val st = scored.agg(
+        sum(when(col("cosine") >= 0.2, 1L).otherwise(0L)).as("pos"),
+        countDistinct(col("query_id")).as("nq")).collect()(0)
+      require(st.getLong(0) > 0,
+        "q146: the positive branch must be live on the gated fixture")
+      val out = graft.operators.Retrieval.hardNegatives(scored,
+        "query_id", "doc_id", "bm25_rank", posThreshold = 0.2, negPerQuery = 3)
+      // bounded: one scalar row (distinct probes that mined a negative)
+      val nq = out.agg(countDistinct(col("query_id"))).collect()(0).getLong(0)
+      require(nq == st.getLong(1),
+        s"q146: every probe must mine at least one negative ($nq of ${st.getLong(1)})")
+      out
+    },
+
     "q129_dsir_select" -> { (s, d) =>
       // DSIR-style importance resampling (Dsir.importanceSelect): a
       // bigram LM trained on the en subset vs the corpus LM; every doc
@@ -357,6 +397,30 @@ object CurationQueries {
       |        ORDER BY dist2, code) AS rn FROM d)
       |  WHERE rn = 1)""".stripMargin
 
+  /** q128's BM25-recall + dense-scoring replay (folded BM25 → top-20
+    * per probe → q6 embedding cosines with self-exclusion) as a
+    * shareable CTE prefix: q146's negative mining consumes the SAME
+    * `scored` frame q128's rerank does, so the rerank gate and the
+    * mining gate cannot drift (the q134/q139 convention).
+    */
+  def HybridScoredCte: String =
+    s"""${ExtendedQueries.bm25FoldedCte(0.9)},
+      |bm AS (SELECT * FROM (
+      |    SELECT query_id, doc_id,
+      |      floor(raw * 1000000.0 + 0.5) / 1000000.0 AS bm25_score,
+      |      CAST(row_number() OVER (PARTITION BY query_id
+      |        ORDER BY floor(raw * 1000000.0 + 0.5) / 1000000.0 DESC, doc_id)
+      |        AS INT) AS bm25_rank
+      |    FROM folded) WHERE bm25_rank <= 20),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |scored AS (SELECT b.query_id, b.doc_id, b.bm25_score, b.bm25_rank,
+      |    floor(list_cosine_similarity(qe.v, ce.v) * 1000000.0 + 0.5)
+      |      / 1000000.0 AS cosine
+      |  FROM bm b
+      |  JOIN e ce ON ce.vec_id = b.doc_id
+      |  JOIN e qe ON qe.vec_id = b.query_id
+      |  WHERE b.doc_id <> b.query_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q145_pq_adc_topk" ->
       s"""WITH $PqCodesCte,
@@ -484,27 +548,21 @@ object CurationQueries {
         |FROM tok JOIN seg USING (word) GROUP BY doc_id""".stripMargin,
 
     "q128_hybrid_retrieval" ->
-      s"""WITH ${ExtendedQueries.bm25FoldedCte(0.9)},
-        |bm AS (SELECT * FROM (
-        |    SELECT query_id, doc_id,
-        |      floor(raw * 1000000.0 + 0.5) / 1000000.0 AS bm25_score,
-        |      CAST(row_number() OVER (PARTITION BY query_id
-        |        ORDER BY floor(raw * 1000000.0 + 0.5) / 1000000.0 DESC, doc_id)
-        |        AS INT) AS bm25_rank
-        |    FROM folded) WHERE bm25_rank <= 20),
-        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |scored AS (SELECT b.query_id, b.doc_id, b.bm25_score, b.bm25_rank,
-        |    floor(list_cosine_similarity(qe.v, ce.v) * 1000000.0 + 0.5)
-        |      / 1000000.0 AS cosine
-        |  FROM bm b
-        |  JOIN e ce ON ce.vec_id = b.doc_id
-        |  JOIN e qe ON qe.vec_id = b.query_id
-        |  WHERE b.doc_id <> b.query_id)
+      s"""WITH $HybridScoredCte
         |SELECT * FROM (
         |  SELECT query_id, doc_id, bm25_score, bm25_rank, cosine,
         |    CAST(row_number() OVER (PARTITION BY query_id
         |      ORDER BY cosine DESC, doc_id) AS INT) AS rerank
         |  FROM scored) WHERE rerank <= 5""".stripMargin,
+
+    "q146_hard_negatives" ->
+      s"""WITH $HybridScoredCte
+        |SELECT query_id, doc_id, bm25_score, bm25_rank, cosine,
+        |  CAST(rn AS INT) AS neg_rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY bm25_rank, doc_id) AS rn
+        |  FROM scored WHERE cosine < 0.2)
+        |WHERE rn <= 3""".stripMargin,
 
     "q129_dsir_select" -> {
       // score `bgr` under a (c2x, c1x, vx) model: LEFT joins + exact

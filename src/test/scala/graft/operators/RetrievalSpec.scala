@@ -68,6 +68,26 @@ class RetrievalSpec extends graft.SparkSpec {
     assert(a == b)
   }
 
+  test("hardNegatives drops positives, ranks by retriever rank with id ties, " +
+    "caps per query, and treats NaN cosines as positives") {
+    val scored = Seq(
+      (1L, 10L, 1, 0.5),        // positive (>= 0.2): dropped
+      (1L, 11L, 2, 0.1),        // neg rank 1
+      (1L, 12L, 3, -0.3),       // neg rank 2
+      (1L, 13L, 4, 0.19),       // neg rank 3 (just under the threshold)
+      (1L, 14L, 5, -0.9),       // capped out at negPerQuery = 3
+      (2L, 20L, 1, Double.NaN), // NaN never passes < τ: dropped, not ranked
+      (2L, 19L, 2, 0.05),       // rank tie with 21 → lower doc id first
+      (2L, 21L, 2, 0.0)
+    ).toDF("query_id", "doc_id", "bm25_rank", "cosine")
+    val out = Retrieval.hardNegatives(scored, "query_id", "doc_id",
+        "bm25_rank", posThreshold = 0.2, negPerQuery = 3)
+      .select("query_id", "doc_id", "neg_rank")
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(out == Seq((1L, 11L, 1), (1L, 12L, 2), (1L, 13L, 3),
+      (2L, 19L, 1), (2L, 21L, 2)))
+  }
+
   test("bm25: the score aggregate map-side combines (partial_sum, no collect_list buffer)") {
     // the r09 grid-sum rewrite's plan contract (the q109/q126 pin): the
     // shuffle carries one long partial per (partition, query, doc), not
