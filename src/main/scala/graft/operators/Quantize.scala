@@ -99,28 +99,8 @@ object Quantize {
               codebook: DataFrame, nSub: Int, nCodes: Int, k: Int,
               excludeSelf: Boolean = false): DataFrame = {
     require(nCodes >= 1 && k >= 1, "adcTopK needs nCodes >= 1 and k >= 1")
-    val qd = Portable.q6(aggregate(
-      zip_with(col("subvec"), col("cent"), (a: Column, b: Column) => (a - b) * (a - b)),
-      lit(0.0), (acc: Column, y: Column) => acc + y))
-    // bounded: nQueries × nSub × nCodes rows, every factor a caller
-    // constant — the fixed LUT ADC exists to precompute
-    val lutRows = subVectors(queries, qidCol, qvecCol, nSub)
-      .join(broadcast(codebook), Seq("sub"))
-      .select(col(qidCol).cast("long").as("qid"), col("sub"), col("code"), qd.as("qd"))
-      .collect()
-    require(lutRows.nonEmpty, "adcTopK: empty query set")
-    val lut: Seq[(Long, Array[Double])] =
-      lutRows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (q, rows) =>
-        val arr = new Array[Double](nSub * nCodes)
-        rows.foreach { r =>
-          val (s, c) = (r.getAs[Int]("sub"), r.getAs[Int]("code"))
-          require(s >= 0 && s < nSub && c >= 0 && c < nCodes,
-            s"adcTopK: codebook cell ($s,$c) outside nSub=$nSub × nCodes=$nCodes")
-          arr(s * nCodes + c) = r.getAs[Double]("qd")
-        }
-        q -> arr
-      }
-    val codeArr = transform(split(col(codesCol), "_"), (c: Column) => c.cast("int"))
+    val lut = adcLut(queries, qidCol, qvecCol, codebook, nSub, nCodes)
+    val codeArr = parsedCodes(codesCol)
     val perQuery = lut.map { case (q, arr) =>
       val lutLit = array(arr.toSeq.map(lit): _*)
       // each cell is q6-grid-valued, so the long sum is exact (class doc)
@@ -137,6 +117,108 @@ object Quantize {
       .select(col(idCol).cast("long").as("neighbor_id"),
         explode(array(perQuery: _*)).as("s"))
       .select(col("s.query_id"), col("neighbor_id"), col("s.adc_dist"))
+    val candidates =
+      if (excludeSelf) scored.where(col("neighbor_id") =!= col("query_id"))
+      else scored
+    Rankings.topKPerGroup(candidates, Seq("query_id"),
+      Seq(col("adc_dist").asc, col("neighbor_id").asc), k)
+  }
+
+  /** The per-query ADC lookup table ([[adcTopK]] / [[ivfAdcTopK]]'s
+    * shared precompute): one q6 ordered-fold distance per (query,
+    * subspace, code) cell, pulled to the driver and re-emitted as
+    * literals.
+    */
+  private def adcLut(queries: DataFrame, qidCol: String, qvecCol: String,
+                     codebook: DataFrame, nSub: Int,
+                     nCodes: Int): Seq[(Long, Array[Double])] = {
+    val qd = Portable.q6(aggregate(
+      zip_with(col("subvec"), col("cent"), (a: Column, b: Column) => (a - b) * (a - b)),
+      lit(0.0), (acc: Column, y: Column) => acc + y))
+    // bounded: nQueries × nSub × nCodes rows, every factor a caller
+    // constant — the fixed LUT ADC exists to precompute
+    val lutRows = subVectors(queries, qidCol, qvecCol, nSub)
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col(qidCol).cast("long").as("qid"), col("sub"), col("code"), qd.as("qd"))
+      .collect()
+    require(lutRows.nonEmpty, "ADC: empty query set")
+    lutRows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (q, rows) =>
+      val arr = new Array[Double](nSub * nCodes)
+      rows.foreach { r =>
+        val (s, c) = (r.getAs[Int]("sub"), r.getAs[Int]("code"))
+        require(s >= 0 && s < nSub && c >= 0 && c < nCodes,
+          s"ADC: codebook cell ($s,$c) outside nSub=$nSub × nCodes=$nCodes")
+        arr(s * nCodes + c) = r.getAs[Double]("qd")
+      }
+      q -> arr
+    }
+  }
+
+  /** The stored '_'-joined code string parsed back to int codes. */
+  private def parsedCodes(codesCol: String): Column =
+    transform(split(col(codesCol), "_"), (c: Column) => c.cast("int"))
+
+  /** IVF-routed ADC top-k — the composed IVF-PQ index ([[adcTopK]]
+    * restricted to each query's probed inverted lists): queries rank
+    * the coarse `centroids` by q6 cosine and probe the `nProbe`
+    * nearest; only corpus codes whose stored list assignment
+    * (`listCol`, built once at index time via
+    * [[Similarity.assignToCentroids]] and stored WITH the codes — the
+    * on-disk layout of a real IVF-PQ index, list-partitionable for
+    * scan pruning) falls in a probed list are ADC-scored. Recall < 1
+    * by construction (a true neighbor in an unprobed list is never
+    * scored); `nProbe` = number of lists recovers [[adcTopK]] exactly.
+    *
+    * Scale shape: probe routing is a (queries × nCentroids) broadcast
+    * cross with a per-query WindowGroupLimit — both caller constants;
+    * the candidate cut is ONE broadcast semi-cross join of the code
+    * table against the (nQueries × nProbe)-row probe frame, so corpus
+    * rows in unprobed lists are dropped before any scoring; scoring
+    * reads a literal (query, cell)-keyed LUT map (the [[adcTopK]]
+    * contract, map-shaped because query_id is a COLUMN after the
+    * probe join), still a codegen'd projection with an exact
+    * integer-grid sum. The only data-sized shuffle is the final
+    * per-query top-k.
+    */
+  def ivfAdcTopK(codes: DataFrame, idCol: String, codesCol: String,
+                 listCol: String, queries: DataFrame, qidCol: String,
+                 qvecCol: String, centroids: DataFrame, codebook: DataFrame,
+                 nSub: Int, nCodes: Int, nProbe: Int, k: Int,
+                 excludeSelf: Boolean = false): DataFrame = {
+    require(nProbe >= 1 && nCodes >= 1 && k >= 1,
+      "ivfAdcTopK needs nProbe >= 1, nCodes >= 1 and k >= 1")
+    val lut = adcLut(queries, qidCol, qvecCol, codebook, nSub, nCodes)
+    val cellsPerQ = nSub * nCodes
+    val lutMap = map_from_arrays(
+      array(lut.flatMap { case (q, arr) =>
+        arr.indices.map(i => lit(q * cellsPerQ + i)) }: _*),
+      array(lut.flatMap(_._2.toSeq).map(lit): _*))
+    val cents = centroids.select(col("centroid_id"), col("centv"))
+      .withColumn("__cn", VectorFns.norm2(col("centv")))
+    val q = queries.select(col(qidCol).cast("long").as("query_id"),
+        VectorFns.asDouble(col(qvecCol)).as("__qv"))
+      .withColumn("__qn", VectorFns.norm2(col("__qv")))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("__sim", Portable.q6(
+        VectorFns.dot(col("__qv"), col("centv")) / (col("__qn") * col("__cn"))))
+      .withColumn("__pr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("__sim").desc, col("centroid_id").asc)))
+      .where(col("__pr") <= nProbe)
+      .select(col("query_id"), col("centroid_id").as(listCol))
+    val codeArr = parsedCodes(codesCol)
+    // each LUT cell is q6-grid-valued, so the long sum is exact
+    val gridSum = aggregate(
+      sequence(lit(0), lit(nSub - 1)),
+      lit(0L),
+      (acc: Column, j: Column) => acc +
+        floor(element_at(lutMap,
+            col("query_id") * cellsPerQ + j * nCodes + element_at(codeArr, j + 1))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+    val scored = codes
+      .select(col(idCol).cast("long").as("neighbor_id"), col(listCol), col(codesCol))
+      .join(broadcast(probes), Seq(listCol))
+      .select(col("query_id"), col("neighbor_id"),
+        Portable.q6(gridSum.cast("double") / lit(1000000.0)).as("adc_dist"))
     val candidates =
       if (excludeSelf) scored.where(col("neighbor_id") =!= col("query_id"))
       else scored

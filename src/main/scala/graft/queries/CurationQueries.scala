@@ -102,6 +102,38 @@ object CurationQueries {
       out
     },
 
+    "q147_ivf_adc" -> { (s, d) =>
+      // The COMPOSED IVF-PQ index (q41 routes, q145 scores — this row
+      // gates the two composed): the corpus's PQ codes are stored WITH
+      // their coarse-list assignment (the index build — one join at
+      // build time, list-partitionable on disk), each probe ranks the
+      // 8 seed centroids and probes its 3 nearest lists, and ONLY
+      // member codes are ADC-scored. Same probe panel, codebook, and
+      // k as q145, so the two rows differ exactly by the routing cut:
+      // recall < 1 by construction. Oracle replays routing through
+      // q41's assignment CTE shape and scoring through q145's shared
+      // PqCodesCte/lut scaffold.
+      val emb = Tables(s, d).embeddings
+      val cb = Quantize.seededCodebook(emb, "vec_id", "embedding", nSub = 8, nCodes = 16)
+      val cents = emb.select(col("vec_id").as("centroid_id"),
+          graft.functions.VectorFns.asDouble(col("embedding")).as("centv"))
+        .orderBy(col("centroid_id").asc).limit(8)
+      val lists = graft.operators.Similarity.assignToCentroids(
+        emb, "vec_id", "embedding", cents)
+      val index = Quantize.pqEncode(emb, "vec_id", "embedding", nSub = 8, cb)
+        .join(lists, Seq("vec_id"))
+      val out = Quantize.ivfAdcTopK(index, "vec_id", "codes", "centroid_id",
+        emb.where(col("vec_id").between(16, 19)), "vec_id", "embedding",
+        cents, cb, nSub = 8, nCodes = 16, nProbe = 3, k = 5,
+        excludeSelf = true)
+      // bounded: one scalar (distinct occupied lists) — with more
+      // occupied lists than nProbe, every probe genuinely prunes
+      val nLists = lists.agg(countDistinct(col("centroid_id"))).collect()(0).getLong(0)
+      require(nLists > 3,
+        s"q147: corpus must occupy more lists than nProbe=3 (got $nLists)")
+      out
+    },
+
     "q126_corpus_drift" -> { (s, d) =>
       // Distribution-drift report: per-source unigram JS divergence vs
       // the whole corpus (+ token volume and absent-word coverage) —
@@ -421,21 +453,64 @@ object CurationQueries {
       |  JOIN e qe ON qe.vec_id = b.query_id
       |  WHERE b.doc_id <> b.query_id)""".stripMargin
 
+  /** q145's probe-panel LUT replay (probes 16–19 sub-split + the q6
+    * ordered-fold distance to every codebook cell), shared with q147's
+    * routed search so the exhaustive and IVF-routed ADC gates score
+    * through identical tables.
+    */
+  val AdcLutCte: String =
+    """q AS (SELECT vec_id AS query_id, sub, sv FROM sv
+      |  WHERE vec_id BETWEEN 16 AND 19),
+      |lut AS (SELECT q.query_id, cb.sub, cb.code,
+      |    floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(range(1, 9),
+      |          i -> (q.sv[i] - cb.cent[i]) * (q.sv[i] - cb.cent[i]))),
+      |      (x, y) -> x + y) * 1000000.0 + 0.5) / 1000000.0 AS qd
+      |  FROM q JOIN cb USING (sub))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q145_pq_adc_topk" ->
       s"""WITH $PqCodesCte,
-        |q AS (SELECT vec_id AS query_id, sub, sv FROM sv
-        |  WHERE vec_id BETWEEN 16 AND 19),
-        |lut AS (SELECT q.query_id, cb.sub, cb.code,
-        |    floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |        list_transform(range(1, 9),
-        |          i -> (q.sv[i] - cb.cent[i]) * (q.sv[i] - cb.cent[i]))),
-        |      (x, y) -> x + y) * 1000000.0 + 0.5) / 1000000.0 AS qd
-        |  FROM q JOIN cb USING (sub)),
+        |$AdcLutCte,
         |adc AS (SELECT l.query_id, b.vec_id AS neighbor_id,
         |    floor((CAST(sum(CAST(floor(l.qd * 1000000.0 + 0.5) AS BIGINT))
         |        AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS adc_dist
         |  FROM best b JOIN lut l ON l.sub = b.sub AND l.code = b.code
+        |  WHERE b.vec_id <> l.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INT) AS rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dist, neighbor_id) AS rn FROM adc)
+        |WHERE rn <= 5""".stripMargin,
+
+    "q147_ivf_adc" ->
+      s"""WITH $PqCodesCte,
+        |cents AS (SELECT vec_id AS centroid_id, v AS centv FROM e
+        |  ORDER BY vec_id LIMIT 8),
+        |asgn AS (SELECT nid, centroid_id FROM (
+        |    SELECT e.vec_id AS nid, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        floor(list_cosine_similarity(e.v, c.centv) * 1000000.0 + 0.5)
+        |          / 1000000.0 DESC,
+        |        c.centroid_id) AS rn
+        |    FROM e CROSS JOIN cents c) WHERE rn = 1),
+        |probes AS (SELECT query_id, centroid_id FROM (
+        |    SELECT qe.vec_id AS query_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY qe.vec_id ORDER BY
+        |        floor(list_cosine_similarity(qe.v, c.centv) * 1000000.0 + 0.5)
+        |          / 1000000.0 DESC,
+        |        c.centroid_id) AS rn
+        |    FROM e qe CROSS JOIN cents c WHERE qe.vec_id BETWEEN 16 AND 19)
+        |  WHERE rn <= 3),
+        |$AdcLutCte,
+        |adc AS (SELECT l.query_id, b.vec_id AS neighbor_id,
+        |    floor((CAST(sum(CAST(floor(l.qd * 1000000.0 + 0.5) AS BIGINT))
+        |        AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS adc_dist
+        |  FROM best b
+        |  JOIN asgn a ON a.nid = b.vec_id
+        |  JOIN probes p ON p.centroid_id = a.centroid_id
+        |  JOIN lut l ON l.query_id = p.query_id
+        |    AND l.sub = b.sub AND l.code = b.code
         |  WHERE b.vec_id <> l.query_id
         |  GROUP BY 1, 2)
         |SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INT) AS rnk FROM (

@@ -179,6 +179,12 @@ class RegistrySweepSpec extends SparkSpec {
         "subspace-order gather (see q125's entry); the search's own " +
         "scoring is a zero-buffer literal-LUT projection and its " +
         "distance sum is already the exact-integer-grid form"),
+    "q147_ivf_adc" ->
+      ("inherits q125's buffer through the same index-build path as " +
+        "q145 (the stored code strings are pqEncode's nSub-bounded " +
+        "subspace-order gather); the routed search adds only the " +
+        "broadcast probe join and the literal-LUT grid sum — no " +
+        "buffer of its own"),
     "q127_bpe_encode" ->
       ("Bpe.encodeCorpus reassembles each document's token stream (and " +
         "each word's BPE symbols) in POSITION order — the tokenized " +

@@ -301,6 +301,59 @@ class CurationSpec extends SparkSpec {
     assert(repart.sortBy(r => (r._1, r._4)) == out.sortBy(r => (r._1, r._4)))
   }
 
+  test("ivfAdcTopK scores only probed lists with adcTopK's exact distances; " +
+    "full probing recovers the exhaustive search") {
+    val nSub = 4; val nCodes = 8
+    // four well-separated direction groups (g = id % 4): coarse cosine
+    // routing is decisive, so probe membership is unambiguous
+    val vecs = (0 until 16).map { i =>
+      val g = i % 4
+      val v = Array.fill(8)(0.05f * (i % 3))
+      v(2 * g) = 1f; v(2 * g + 1) = 0.5f + 0.01f * i
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val cb = Quantize.seededCodebook(vecs, "vec_id", "embedding", nSub, nCodes)
+    val cents = vecs.where(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"),
+        graft.functions.VectorFns.asDouble(col("embedding")).as("centv"))
+    val lists = Similarity.assignToCentroids(vecs, "vec_id", "embedding", cents)
+    val index = Quantize.pqEncode(vecs, "vec_id", "embedding", nSub, cb)
+      .join(lists, Seq("vec_id"))
+    val queries = vecs.where(col("vec_id").isin(12L, 13L))
+
+    def run(nProbe: Int) =
+      Quantize.ivfAdcTopK(index, "vec_id", "codes", "centroid_id", queries,
+        "vec_id", "embedding", cents, cb, nSub, nCodes, nProbe, k = 6,
+        excludeSelf = true)
+        .select("query_id", "neighbor_id", "adc_dist", "rnk")
+        .as[(Long, Long, Double, Int)].collect().toSeq
+    val routed = run(nProbe = 1)
+    // exhaustive ADC over the same codes, k = corpus size
+    val full = Quantize.adcTopK(index, "vec_id", "codes", queries, "vec_id",
+      "embedding", cb, nSub, nCodes, k = 16, excludeSelf = true)
+      .select("query_id", "neighbor_id", "adc_dist", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val fullDist = full.map(r => (r._1, r._2) -> r._3).toMap
+
+    // membership: with nProbe = 1 a query's probe list is exactly its
+    // own coarse assignment (bounded: 16 fixture rows)
+    val listOf = lists.select("vec_id", "centroid_id")
+      .as[(Long, Long)].collect().toMap
+    routed.foreach { case (q, n, d, _) =>
+      assert(listOf(n) == listOf(q),
+        s"neighbor $n of query $q came from an unprobed list")
+      assert(d == fullDist((q, n)), s"routed ADC($q,$n) != exhaustive ADC")
+    }
+    // pruning is live: the exhaustive top-6 reaches across groups,
+    // the routed search cannot
+    val fullTop = full.filter(_._4 <= 6).map(r => (r._1, r._2)).toSet
+    assert(routed.map(r => (r._1, r._2)).toSet != fullTop,
+      "nProbe = 1 must genuinely restrict the candidate pool")
+    // the recall dial: probing every list IS the exhaustive search
+    assert(run(nProbe = 4).sortBy(r => (r._1, r._4)) ==
+      full.filter(_._4 <= 6).sortBy(r => (r._1, r._4)))
+  }
+
   test("pqEncode rejects dimensions that do not divide into subspaces") {
     val vecs = Seq((0L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
