@@ -92,7 +92,16 @@ object Quantize {
     * Determinism: each LUT cell is the q6 ordered-fold distance (the
     * [[pqEncode]] dist2 contract, so an engine replays it bit-for-bit);
     * cells are exactly grid-valued, so the per-row sum over longs is
-    * EXACT; ties rank on (adc_dist asc, id asc).
+    * EXACT; ties rank on (adc_dist asc, id asc). A stored code string
+    * that does not parse to exactly `nSub` in-range codes cannot be
+    * scored: under ANSI mode (Spark 4's default, and every graft
+    * session) the cast/array lookup FAILS THE JOB LOUDLY — spec-pinned
+    * for all three malformed shapes. With ANSI off the same reads come
+    * back NULL, the grid sum goes NULL, and under `asc NULLS FIRST`
+    * the garbage row would RANK FIRST — both search paths therefore
+    * also drop null-distance rows before ranking, so no deployment
+    * flag turns storage corruption into a silent rank-1 neighbor
+    * ([[pqEncode]]-produced codes never hit either path).
     */
   def adcTopK(codes: DataFrame, idCol: String, codesCol: String,
               queries: DataFrame, qidCol: String, qvecCol: String,
@@ -120,8 +129,8 @@ object Quantize {
     val candidates =
       if (excludeSelf) scored.where(col("neighbor_id") =!= col("query_id"))
       else scored
-    Rankings.topKPerGroup(candidates, Seq("query_id"),
-      Seq(col("adc_dist").asc, col("neighbor_id").asc), k)
+    Rankings.topKPerGroup(candidates.where(col("adc_dist").isNotNull),
+      Seq("query_id"), Seq(col("adc_dist").asc, col("neighbor_id").asc), k)
   }
 
   /** The per-query ADC lookup table ([[adcTopK]] / [[ivfAdcTopK]]'s
@@ -222,8 +231,10 @@ object Quantize {
     val candidates =
       if (excludeSelf) scored.where(col("neighbor_id") =!= col("query_id"))
       else scored
-    Rankings.topKPerGroup(candidates, Seq("query_id"),
-      Seq(col("adc_dist").asc, col("neighbor_id").asc), k)
+    // same malformed-code guard as adcTopK (see its doc): a NULL grid
+    // sum must drop, not rank first under NULLS FIRST
+    Rankings.topKPerGroup(candidates.where(col("adc_dist").isNotNull),
+      Seq("query_id"), Seq(col("adc_dist").asc, col("neighbor_id").asc), k)
   }
 
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String, nSub: Int,

@@ -354,6 +354,41 @@ class CurationSpec extends SparkSpec {
       full.filter(_._4 <= 6).sortBy(r => (r._1, r._4)))
   }
 
+  test("ADC search fails loudly on unscorable code rows; they never rank") {
+    // the contract for storage corruption (Quantize.adcTopK doc): under
+    // ANSI (Spark 4's default, every graft session) a code string that
+    // fails to parse to nSub in-range codes ABORTS the job — each
+    // malformed shape below must throw, not silently win rank 1; with
+    // ANSI off the same reads go NULL and the in-operator isNotNull
+    // guard drops them before the NULLS FIRST rank
+    val nSub = 4; val nCodes = 8
+    val vecs = (0 until 12).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (i * 8 + j).toFloat / 10f))
+    }.toDF("vec_id", "embedding")
+    val cb = Quantize.seededCodebook(vecs, "vec_id", "embedding", nSub, nCodes)
+    val good = Quantize.pqEncode(vecs, "vec_id", "embedding", nSub, cb)
+    val queries = vecs.where(col("vec_id") === 6L)
+    def runWith(planted: (Long, String)*): Seq[(Long, Int)] = {
+      val codes = good.select("vec_id", "codes")
+        .union(planted.toDF("vec_id", "codes"))
+      Quantize.adcTopK(codes, "vec_id", "codes", queries, "vec_id",
+        "embedding", cb, nSub, nCodes, k = 3, excludeSelf = true)
+        .select("neighbor_id", "rnk").as[(Long, Int)].collect().toSeq
+    }
+    for (bad <- Seq(
+      97L -> "0_0_0_99", // out-of-range code → array lookup out of bounds
+      98L -> "0_0_0",    // wrong arity → missing subspace read
+      99L -> "bad_codes" // unparseable → cast failure
+    )) {
+      val e = intercept[Exception](runWith(bad))
+      assert(!e.isInstanceOf[org.scalatest.exceptions.TestFailedException],
+        s"planted $bad neither threw nor was excluded")
+    }
+    // and the clean table still ranks normally through the same path
+    val clean = runWith()
+    assert(clean.nonEmpty && clean.forall(_._1 < 12L))
+  }
+
   test("pqEncode rejects dimensions that do not divide into subspaces") {
     val vecs = Seq((0L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
