@@ -237,6 +237,119 @@ object Quantize {
       Seq("query_id"), Seq(col("adc_dist").asc, col("neighbor_id").asc), k)
   }
 
+  /** Residual frame for IVF-PQ residual encoding (Jégou et al. 2011
+    * §III — the form FAISS's IVFPQ deploys): each vector minus its
+    * assigned coarse centroid, emitted as (idCol, listCol, `rvec`).
+    * The deployed rationale — residuals of a clustered corpus are
+    * small shared jitters the same codebook budget quantizes with
+    * less error — is GEOMETRY-DEPENDENT: with seeded (untrained)
+    * codebooks on the near-uniform synthetic driver fixture the
+    * inequality measurably reverses (raw total recon_err 376.2 vs
+    * residual 604.7 at sf0.001), so callers should choose raw vs
+    * residual by their data's measured recon_err, not by default;
+    * the search semantics are exact either way (spec pins a
+    * coarse-centroid neighbor — residual exactly 0 — scoring its
+    * TRUE distance). One equi-join with the list
+    * assignment and one broadcast of the centroid table; the subtract
+    * is exact IEEE arithmetic, identical in any engine, so the
+    * downstream q6 encode replay contract is unchanged.
+    */
+  def residuals(emb: DataFrame, idCol: String, vecCol: String,
+                lists: DataFrame, listCol: String,
+                centroids: DataFrame): DataFrame =
+    emb.select(col(idCol), VectorFns.asDouble(col(vecCol)).as("__v"))
+      .join(lists.select(col(idCol), col(listCol)), Seq(idCol))
+      .join(broadcast(centroids.select(col("centroid_id").as(listCol), col("centv"))),
+        Seq(listCol))
+      .select(col(idCol), col(listCol),
+        zip_with(col("__v"), col("centv"), (a: Column, b: Column) => a - b).as("rvec"))
+
+  /** IVF-PQ residual search — [[ivfAdcTopK]] over RESIDUAL codes: the
+    * corpus stores PQ codes of (vector − its coarse centroid), so a
+    * query's LUT depends on WHICH list it probes (the query residual
+    * differs per list). One LUT per (query, probed list) — still
+    * nQueries × nProbe × nSub × nCodes q6 cells, all caller constants,
+    * folded into the projection as a literal map keyed by a dense
+    * (query, list) probe index that rides the broadcast probe join.
+    * Same candidate cut, exact-grid sum, null-code guard, and
+    * (dist asc, id asc) rank as [[ivfAdcTopK]]; same recall dial.
+    */
+  def ivfAdcResidualTopK(codes: DataFrame, idCol: String, codesCol: String,
+                         listCol: String, queries: DataFrame, qidCol: String,
+                         qvecCol: String, centroids: DataFrame,
+                         resCodebook: DataFrame, nSub: Int, nCodes: Int,
+                         nProbe: Int, k: Int,
+                         excludeSelf: Boolean = false): DataFrame = {
+    require(nProbe >= 1 && nCodes >= 1 && k >= 1,
+      "ivfAdcResidualTopK needs nProbe >= 1, nCodes >= 1 and k >= 1")
+    val spark = codes.sparkSession
+    val cents = centroids.select(col("centroid_id"), col("centv"))
+      .withColumn("__cn", VectorFns.norm2(col("centv")))
+    val q = queries.select(col(qidCol).cast("long").as("query_id"),
+        VectorFns.asDouble(col(qvecCol)).as("__qv"))
+      .withColumn("__qn", VectorFns.norm2(col("__qv")))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("__sim", Portable.q6(
+        VectorFns.dot(col("__qv"), col("centv")) / (col("__qn") * col("__cn"))))
+      .withColumn("__pr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("__sim").desc, col("centroid_id").asc)))
+      .where(col("__pr") <= nProbe)
+      .select(col("query_id"), col("centroid_id"),
+        zip_with(col("__qv"), col("centv"), (a: Column, b: Column) => a - b)
+          .as("__rq"))
+    // bounded: nQueries × nProbe rows — the probe table IS the LUT key
+    // space; a dense index per (query, list) keys the literal map below
+    val probeRows = probes.collect().zipWithIndex
+    require(probeRows.nonEmpty, "ivfAdcResidualTopK: empty probe set")
+    import scala.jdk.CollectionConverters._
+    val probeIdx = spark.createDataFrame(
+      probeRows.map { case (r, i) =>
+        org.apache.spark.sql.Row(r.getLong(0), r.get(1), i.toLong)
+      }.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        probes.schema("centroid_id").copy(name = listCol),
+        org.apache.spark.sql.types.StructField("__ql",
+          org.apache.spark.sql.types.LongType))))
+    val qres = spark.createDataFrame(
+      probeRows.map { case (r, i) =>
+        org.apache.spark.sql.Row(i.toLong, r.getSeq[Double](2))
+      }.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__ql",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__rqv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    val lut = adcLut(qres, "__ql", "__rqv", resCodebook, nSub, nCodes)
+    val cellsPerQl = nSub * nCodes
+    val lutMap = map_from_arrays(
+      array(lut.flatMap { case (ql, arr) =>
+        arr.indices.map(i => lit(ql * cellsPerQl + i)) }: _*),
+      array(lut.flatMap(_._2.toSeq).map(lit): _*))
+    val codeArr = parsedCodes(codesCol)
+    // each LUT cell is q6-grid-valued, so the long sum is exact
+    val gridSum = aggregate(
+      sequence(lit(0), lit(nSub - 1)),
+      lit(0L),
+      (acc: Column, j: Column) => acc +
+        floor(element_at(lutMap,
+            col("__ql") * cellsPerQl + j * nCodes + element_at(codeArr, j + 1))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+    val scored = codes
+      .select(col(idCol).cast("long").as("neighbor_id"), col(listCol), col(codesCol))
+      .join(broadcast(probeIdx), Seq(listCol))
+      .select(col("query_id"), col("neighbor_id"),
+        Portable.q6(gridSum.cast("double") / lit(1000000.0)).as("adc_dist"))
+    val candidates =
+      if (excludeSelf) scored.where(col("neighbor_id") =!= col("query_id"))
+      else scored
+    // same malformed-code guard as adcTopK (see its doc)
+    Rankings.topKPerGroup(candidates.where(col("adc_dist").isNotNull),
+      Seq("query_id"), Seq(col("adc_dist").asc, col("neighbor_id").asc), k)
+  }
+
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String, nSub: Int,
                codebook: DataFrame): DataFrame = {
     val dist2 = Portable.q6(aggregate(

@@ -134,6 +134,41 @@ object CurationQueries {
       out
     },
 
+    "q148_ivf_adc_residual" -> { (s, d) =>
+      // q147 at FAISS-IVFPQ fidelity (Jégou et al. 2011 §III): the
+      // index encodes RESIDUALS (vector − its coarse centroid) and
+      // the search builds one LUT per (query, probed list) since the
+      // query residual differs per list. On CLUSTERED data the same
+      // codebook budget quantizes residuals with measurably less
+      // error (CurationSpec pins the mechanism on a clustered
+      // fixture; on this near-uniform synthetic fixture the
+      // inequality reverses — the gate here checks the search's
+      // EXACTNESS, the geometry choice belongs to the caller). Same
+      // routing as q147 (shared IvfRouteCte), same encode replay
+      // shape on the residual base (shared pqEncodeCteOn), same
+      // probe panel and k.
+      val emb = Tables(s, d).embeddings
+      val cents = emb.select(col("vec_id").as("centroid_id"),
+          graft.functions.VectorFns.asDouble(col("embedding")).as("centv"))
+        .orderBy(col("centroid_id").asc).limit(8)
+      val lists = graft.operators.Similarity.assignToCentroids(
+        emb, "vec_id", "embedding", cents)
+      val res = Quantize.residuals(emb, "vec_id", "embedding",
+        lists, "centroid_id", cents)
+      val cbRes = Quantize.seededCodebook(res, "vec_id", "rvec", nSub = 8, nCodes = 16)
+      val index = Quantize.pqEncode(res, "vec_id", "rvec", nSub = 8, cbRes)
+        .join(lists, Seq("vec_id"))
+      val out = Quantize.ivfAdcResidualTopK(index, "vec_id", "codes",
+        "centroid_id", emb.where(col("vec_id").between(16, 19)),
+        "vec_id", "embedding", cents, cbRes, nSub = 8, nCodes = 16,
+        nProbe = 3, k = 5, excludeSelf = true)
+      // bounded: one scalar (distinct occupied lists) — the q147 pin
+      val nLists = lists.agg(countDistinct(col("centroid_id"))).collect()(0).getLong(0)
+      require(nLists > 3,
+        s"q148: corpus must occupy more lists than nProbe=3 (got $nLists)")
+      out
+    },
+
     "q126_corpus_drift" -> { (s, d) =>
       // Distribution-drift report: per-source unigram JS divergence vs
       // the whole corpus (+ token volume and absent-word coverage) —
@@ -412,10 +447,16 @@ object CurationQueries {
     * picks through `best`, so the build gate and the search gate cannot
     * drift (the q134/q139 share-the-oracle convention).
     */
-  val PqCodesCte: String =
-    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |sv AS (SELECT vec_id, CAST(s AS INT) AS sub, v[s*8+1 : s*8+8] AS sv
-      |  FROM e, (SELECT unnest(range(0, 8)) AS s)),
+  /** The PQ-encode replay (subvector split → 16 lowest-id seeds → q6
+    * ordered-fold distances → per-(vector, subspace) pick) over an
+    * arbitrary `(vec_id, v)` base CTE: [[PqCodesCte]] instantiates it
+    * on the raw embeddings; q148 instantiates the SAME tokens on the
+    * residual frame, so the raw and residual encode gates cannot
+    * drift.
+    */
+  def pqEncodeCteOn(base: String): String =
+    s"""sv AS (SELECT vec_id, CAST(s AS INT) AS sub, v[s*8+1 : s*8+8] AS sv
+      |  FROM $base, (SELECT unnest(range(0, 8)) AS s)),
       |cb AS (SELECT CAST(vec_id AS INT) AS code, sub, sv AS cent
       |  FROM sv WHERE vec_id < 16),
       |d AS (SELECT a.vec_id, a.sub, cb.code,
@@ -428,6 +469,34 @@ object CurationQueries {
       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
       |        ORDER BY dist2, code) AS rn FROM d)
       |  WHERE rn = 1)""".stripMargin
+
+  val PqCodesCte: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |${pqEncodeCteOn("e")}""".stripMargin
+
+  /** q147's coarse-routing replay (8 lowest-id centroids, corpus
+    * argmax assignment, top-3 probes for the 16–19 panel), shared with
+    * q148 so the raw-code and residual-code routed gates route
+    * identically. Expects an `e (vec_id, v)` CTE in scope.
+    */
+  val IvfRouteCte: String =
+    """cents AS (SELECT vec_id AS centroid_id, v AS centv FROM e
+      |  ORDER BY vec_id LIMIT 8),
+      |asgn AS (SELECT nid, centroid_id FROM (
+      |    SELECT e.vec_id AS nid, c.centroid_id,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        floor(list_cosine_similarity(e.v, c.centv) * 1000000.0 + 0.5)
+      |          / 1000000.0 DESC,
+      |        c.centroid_id) AS rn
+      |    FROM e CROSS JOIN cents c) WHERE rn = 1),
+      |probes AS (SELECT query_id, centroid_id FROM (
+      |    SELECT qe.vec_id AS query_id, c.centroid_id,
+      |      row_number() OVER (PARTITION BY qe.vec_id ORDER BY
+      |        floor(list_cosine_similarity(qe.v, c.centv) * 1000000.0 + 0.5)
+      |          / 1000000.0 DESC,
+      |        c.centroid_id) AS rn
+      |    FROM e qe CROSS JOIN cents c WHERE qe.vec_id BETWEEN 16 AND 19)
+      |  WHERE rn <= 3)""".stripMargin
 
   /** q128's BM25-recall + dense-scoring replay (folded BM25 → top-20
     * per probe → q6 embedding cosines with self-exclusion) as a
@@ -485,23 +554,7 @@ object CurationQueries {
 
     "q147_ivf_adc" ->
       s"""WITH $PqCodesCte,
-        |cents AS (SELECT vec_id AS centroid_id, v AS centv FROM e
-        |  ORDER BY vec_id LIMIT 8),
-        |asgn AS (SELECT nid, centroid_id FROM (
-        |    SELECT e.vec_id AS nid, c.centroid_id,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        floor(list_cosine_similarity(e.v, c.centv) * 1000000.0 + 0.5)
-        |          / 1000000.0 DESC,
-        |        c.centroid_id) AS rn
-        |    FROM e CROSS JOIN cents c) WHERE rn = 1),
-        |probes AS (SELECT query_id, centroid_id FROM (
-        |    SELECT qe.vec_id AS query_id, c.centroid_id,
-        |      row_number() OVER (PARTITION BY qe.vec_id ORDER BY
-        |        floor(list_cosine_similarity(qe.v, c.centv) * 1000000.0 + 0.5)
-        |          / 1000000.0 DESC,
-        |        c.centroid_id) AS rn
-        |    FROM e qe CROSS JOIN cents c WHERE qe.vec_id BETWEEN 16 AND 19)
-        |  WHERE rn <= 3),
+        |$IvfRouteCte,
         |$AdcLutCte,
         |adc AS (SELECT l.query_id, b.vec_id AS neighbor_id,
         |    floor((CAST(sum(CAST(floor(l.qd * 1000000.0 + 0.5) AS BIGINT))
@@ -510,6 +563,41 @@ object CurationQueries {
         |  JOIN asgn a ON a.nid = b.vec_id
         |  JOIN probes p ON p.centroid_id = a.centroid_id
         |  JOIN lut l ON l.query_id = p.query_id
+        |    AND l.sub = b.sub AND l.code = b.code
+        |  WHERE b.vec_id <> l.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INT) AS rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dist, neighbor_id) AS rn FROM adc)
+        |WHERE rn <= 5""".stripMargin,
+
+    "q148_ivf_adc_residual" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |$IvfRouteCte,
+        |rese AS (SELECT a.nid AS vec_id,
+        |    list_transform(range(1, 65), i -> ev.v[i] - c.centv[i]) AS v
+        |  FROM asgn a JOIN e ev ON ev.vec_id = a.nid
+        |  JOIN cents c ON c.centroid_id = a.centroid_id),
+        |${pqEncodeCteOn("rese")},
+        |qres AS (SELECT p.query_id, p.centroid_id,
+        |    list_transform(range(1, 65), i -> qe.v[i] - c.centv[i]) AS qv
+        |  FROM probes p JOIN e qe ON qe.vec_id = p.query_id
+        |  JOIN cents c ON c.centroid_id = p.centroid_id),
+        |qsv AS (SELECT query_id, centroid_id, CAST(s AS INT) AS sub,
+        |    qv[s*8+1 : s*8+8] AS sv
+        |  FROM qres, (SELECT unnest(range(0, 8)) AS s)),
+        |lut AS (SELECT q.query_id, q.centroid_id, cb.sub, cb.code,
+        |    floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, 9),
+        |          i -> (q.sv[i] - cb.cent[i]) * (q.sv[i] - cb.cent[i]))),
+        |      (x, y) -> x + y) * 1000000.0 + 0.5) / 1000000.0 AS qd
+        |  FROM qsv q JOIN cb USING (sub)),
+        |adc AS (SELECT l.query_id, b.vec_id AS neighbor_id,
+        |    floor((CAST(sum(CAST(floor(l.qd * 1000000.0 + 0.5) AS BIGINT))
+        |        AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS adc_dist
+        |  FROM best b
+        |  JOIN asgn a ON a.nid = b.vec_id
+        |  JOIN lut l ON l.centroid_id = a.centroid_id
         |    AND l.sub = b.sub AND l.code = b.code
         |  WHERE b.vec_id <> l.query_id
         |  GROUP BY 1, 2)

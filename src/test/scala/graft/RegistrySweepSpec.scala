@@ -185,6 +185,11 @@ class RegistrySweepSpec extends SparkSpec {
         "subspace-order gather); the routed search adds only the " +
         "broadcast probe join and the literal-LUT grid sum — no " +
         "buffer of its own"),
+    "q148_ivf_adc_residual" ->
+      ("q147's justification on the residual base: the index build is " +
+        "pqEncode over (vector − coarse centroid) rows, so the plan " +
+        "carries the same nSub-bounded subspace-order code gather; " +
+        "the per-(query, list) LUT search is buffer-free"),
     "q127_bpe_encode" ->
       ("Bpe.encodeCorpus reassembles each document's token stream (and " +
         "each word's BPE symbols) in POSITION order — the tokenized " +

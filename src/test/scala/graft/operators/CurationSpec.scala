@@ -354,6 +354,71 @@ class CurationSpec extends SparkSpec {
       full.filter(_._4 <= 6).sortBy(r => (r._1, r._4)))
   }
 
+  test("residual ADC: a coarse-centroid neighbor scores its TRUE distance; " +
+    "only probed-list members rank") {
+    // the residual analog of q145's seed-exactness pin: a corpus
+    // vector that IS a coarse centroid has residual exactly 0, the
+    // residual codebook contains the zero residual (ids 0–7 are among
+    // the 16 seeds), so its stored codes reconstruct perfectly and
+    // its ADC distance from any probe of its list is the true
+    // per-subspace q6 distance ||q − cent||². (The geometry claim —
+    // residual coding tightening quantization — is documented on the
+    // operator as data-dependent, measured REVERSED on the synthetic
+    // driver fixture: raw 376.2 vs residual 604.7 at sf0.001. Exact
+    // search semantics are what the driver gate hash-checks.)
+    val vecs = (0 until 40).map { i =>
+      val g = i % 8
+      val v = Array.tabulate(64)(j =>
+        if (j / 8 == g) 1f + 0.001f * ((i + j) % 7)
+        else 0.001f * ((i * 3 + j) % 11))
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val cents = vecs.select(col("vec_id").as("centroid_id"),
+        graft.functions.VectorFns.asDouble(col("embedding")).as("centv"))
+      .orderBy(col("centroid_id").asc).limit(8)
+    val lists = Similarity.assignToCentroids(vecs, "vec_id", "embedding", cents)
+    val res = Quantize.residuals(vecs, "vec_id", "embedding",
+      lists, "centroid_id", cents)
+    val cbRes = Quantize.seededCodebook(res, "vec_id", "rvec", nSub = 8, nCodes = 16)
+    val index = Quantize.pqEncode(res, "vec_id", "rvec", nSub = 8, cbRes)
+      .join(lists, Seq("vec_id"))
+    val out = Quantize.ivfAdcResidualTopK(index, "vec_id", "codes",
+      "centroid_id", vecs.where(col("vec_id").between(16, 19)),
+      "vec_id", "embedding", cents, cbRes, nSub = 8, nCodes = 16,
+      nProbe = 1, k = 5, excludeSelf = true)
+      .select("query_id", "neighbor_id", "adc_dist")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    // bounded: 40 fixture rows
+    val listOf = lists.select("vec_id", "centroid_id")
+      .as[(Long, Long)].collect().toMap
+    out.foreach { case (q, n, _) =>
+      assert(listOf(n) == listOf(q),
+        s"residual search ranked $n from an unprobed list for query $q")
+    }
+    // centroid-neighbor exactness: nProbe = 1 probes the query's own
+    // list, whose centroid (ids 0–7) ranks with the TRUE distance
+    def q6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val byId = (0 until 40).map { i =>
+      val g = i % 8
+      i.toLong -> Array.tabulate(64)(j =>
+        (if (j / 8 == g) 1f + 0.001f * ((i + j) % 7)
+         else 0.001f * ((i * 3 + j) % 11)).toDouble)
+    }.toMap
+    val centRows = out.filter(_._2 < 8L)
+    assert(centRows.nonEmpty, "fixture must rank some coarse-centroid neighbor")
+    centRows.foreach { case (q, n, d) =>
+      val (qv, cv) = (byId(q), byId(n))
+      val grid = (0 until 8).map { s =>
+        val d2 = q6d((s * 8 until s * 8 + 8)
+          .map(j => (qv(j) - cv(j)) * (qv(j) - cv(j))).sum)
+        math.floor(d2 * 1e6 + 0.5).toLong
+      }.sum
+      assert(d == q6d(grid.toDouble / 1e6),
+        s"centroid neighbor $n must score its true distance for query $q")
+    }
+  }
+
   test("ADC search fails loudly on unscorable code rows; they never rank") {
     // the contract for storage corruption (Quantize.adcTopK doc): under
     // ANSI (Spark 4's default, every graft session) a code string that
