@@ -350,6 +350,57 @@ object Quantize {
       Seq("query_id"), Seq(col("adc_dist").asc, col("neighbor_id").asc), k)
   }
 
+  /** Deterministic Lloyd training of the per-subspace PQ codebooks —
+    * the step between [[seededCodebook]] and production IVF-PQ, and
+    * the Quantize twin of [[Similarity.kMeansCentroids]] (same
+    * conventions: seeds = the nCodes lowest-id vectors, 1e-6-rounded
+    * elementwise means so the trained trajectory replays
+    * value-for-value in any engine, empty cells keeping their previous
+    * code, the per-iteration codebook pulled to the driver and
+    * re-planned as a literal table). All `nSub` subspaces train
+    * BATCHED (the q141 one-vs-rest move): each iteration is ONE argmin
+    * assignment over (vector, subspace) rows and ONE per-(sub, code,
+    * pos) mean aggregate carrying every subspace side by side, so
+    * corpus passes per iteration are O(1) in nSub. Assignment ranks
+    * the same q6 subspace distance [[pqEncode]] picks by (code
+    * tiebreak), so encoding against the result is exactly the
+    * deployed path.
+    */
+  def trainCodebook(emb: DataFrame, idCol: String, vecCol: String,
+                    nSub: Int, nCodes: Int, iters: Int): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val spark = emb.sparkSession
+    val sv = subVectors(emb, idCol, vecCol, nSub)
+    var cb = seededCodebook(emb, idCol, vecCol, nSub, nCodes)
+    val dist2 = Portable.q6(aggregate(
+      zip_with(col("subvec"), col("cent"), (a: Column, b: Column) => (a - b) * (a - b)),
+      lit(0.0), (acc: Column, y: Column) => acc + y))
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy(col(idCol), col("sub"))
+        .orderBy(col("dist2").asc, col("code").asc)
+      val best = sv.join(broadcast(cb), Seq("sub"))
+        .withColumn("dist2", dist2)
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      val means = best
+        .select(col("sub"), col("code"), posexplode(col("subvec")).as(Seq("pos", "x")))
+        // 1e-6-rounded means: the kMeansCentroids replay contract
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(Portable.q6(avg(col("x"))).as("m"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("cent"))
+      val updated = cb.alias("c0").join(means.alias("m"), Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("m.cent"), col("c0.cent")).as("cent"))
+      // bounded: the nSub × nCodes codebook table (driver literal, the
+      // kMeansCentroids contract — keeps per-iteration lineage flat)
+      val rows = updated.collect()
+      import scala.jdk.CollectionConverters._
+      cb = spark.createDataFrame(rows.toSeq.asJava, updated.schema)
+    }
+    cb
+  }
+
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String, nSub: Int,
                codebook: DataFrame): DataFrame = {
     val dist2 = Portable.q6(aggregate(

@@ -169,6 +169,32 @@ object CurationQueries {
       out
     },
 
+    "q149_pq_trained" -> { (s, d) =>
+      // TRAINED per-subspace PQ codebooks (the q141 trained-vs-
+      // heuristic class, quantization form): two batched Lloyd
+      // iterations refine q125's seeded prototypes — each iteration is
+      // ONE argmin assignment over (vector, subspace) rows and ONE
+      // per-(sub, code, pos) rounded-mean aggregate carrying all 8
+      // subspaces side by side — then the corpus encodes against the
+      // trained book through the unchanged pqEncode path. The oracle
+      // unrolls both iterations (the q75/q124 trained-trajectory
+      // construction, subspace-batched). The require pins training
+      // genuinely tightening the fit vs the seeded book at every
+      // gated dir — the measurable point of training.
+      val emb = Tables(s, d).embeddings
+      val cbT = Quantize.trainCodebook(emb, "vec_id", "embedding",
+        nSub = 8, nCodes = 16, iters = 2)
+      val out = Quantize.pqEncode(emb, "vec_id", "embedding", nSub = 8, cbT)
+      // bounded: two 1-row recon-error scalars
+      val trained = out.agg(sum(col("recon_err"))).collect()(0).getDouble(0)
+      val seeded = Quantize.pqEncode(emb, "vec_id", "embedding", nSub = 8,
+          Quantize.seededCodebook(emb, "vec_id", "embedding", nSub = 8, nCodes = 16))
+        .agg(sum(col("recon_err"))).collect()(0).getDouble(0)
+      require(trained < seeded,
+        s"q149: training must tighten the fit (trained $trained !< seeded $seeded)")
+      out
+    },
+
     "q126_corpus_drift" -> { (s, d) =>
       // Distribution-drift report: per-source unigram JS divergence vs
       // the whole corpus (+ token volume and absent-word coverage) —
@@ -605,6 +631,48 @@ object CurationQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |      ORDER BY adc_dist, neighbor_id) AS rn FROM adc)
         |WHERE rn <= 5""".stripMargin,
+
+    "q149_pq_trained" -> {
+      // the q75 trained-trajectory construction, subspace-batched: two
+      // unrolled Lloyd iterations over (vector, subspace) rows with
+      // 1e-6-rounded means, then the final encode through cb2
+      def fold(l: String, r: String) =
+        s"floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform(range(1, 9), i -> ($l.sv[i] - $r.cent[i]) * " +
+          s"($l.sv[i] - $r.cent[i]))), (x, y) -> x + y) " +
+          "* 1000000.0 + 0.5) / 1000000.0"
+      def iter(i: Int, prev: String) =
+        s"""d$i AS (SELECT a.vec_id, a.sub, cb.code, a.sv, ${fold("a", "cb")} AS dist2
+           |  FROM sv a JOIN $prev cb USING (sub)),
+           |b$i AS (SELECT sub, code, sv FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+           |        ORDER BY dist2, code) AS rn FROM d$i) WHERE rn = 1),
+           |m$i AS (SELECT sub, code, list(m ORDER BY p) AS cent FROM (
+           |    SELECT b.sub, b.code, p.p,
+           |      floor(avg(b.sv[p.p]) * 1000000.0 + 0.5) / 1000000.0 AS m
+           |    FROM b$i b CROSS JOIN (SELECT unnest(range(1, 9)) AS p) p
+           |    GROUP BY 1, 2, 3) GROUP BY 1, 2),
+           |cb$i AS (SELECT c.sub, c.code, coalesce(m.cent, c.cent) AS cent
+           |  FROM $prev c LEFT JOIN m$i m USING (sub, code))""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sv AS (SELECT vec_id, CAST(s AS INT) AS sub, v[s*8+1 : s*8+8] AS sv
+        |  FROM e, (SELECT unnest(range(0, 8)) AS s)),
+        |cb0 AS (SELECT CAST(vec_id AS INT) AS code, sub, sv AS cent
+        |  FROM sv WHERE vec_id < 16),
+        |${iter(1, "cb0")},
+        |${iter(2, "cb1")},
+        |df AS (SELECT a.vec_id, a.sub, cb.code, ${fold("a", "cb")} AS dist2
+        |  FROM sv a JOIN cb2 cb USING (sub)),
+        |bf AS (SELECT vec_id, sub, code, dist2 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |        ORDER BY dist2, code) AS rn FROM df) WHERE rn = 1)
+        |SELECT vec_id,
+        |  string_agg(code::VARCHAR, '_' ORDER BY sub) AS codes,
+        |  floor((CAST(sum(CAST(floor(dist2 * 1000000.0 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / 1000000.0)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS recon_err
+        |FROM bf GROUP BY 1""".stripMargin
+    },
 
     "q122_line_clean" ->
       """WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),

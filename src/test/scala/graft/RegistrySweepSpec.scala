@@ -190,6 +190,12 @@ class RegistrySweepSpec extends SparkSpec {
         "pqEncode over (vector − coarse centroid) rows, so the plan " +
         "carries the same nSub-bounded subspace-order code gather; " +
         "the per-(query, list) LUT search is buffer-free"),
+    "q149_pq_trained" ->
+      ("q125's justification against the TRAINED codebook (a driver " +
+        "literal, so training itself is not in the gated plan): the " +
+        "encode's nSub-bounded subspace-order code gather is the only " +
+        "buffer; the trainer's own per-(sub, code) mean gather is " +
+        "subDim-bounded and runs at build time"),
     "q127_bpe_encode" ->
       ("Bpe.encodeCorpus reassembles each document's token stream (and " +
         "each word's BPE symbols) in POSITION order — the tokenized " +

@@ -454,6 +454,36 @@ class CurationSpec extends SparkSpec {
     assert(clean.nonEmpty && clean.forall(_._1 < 12L))
   }
 
+  test("trainCodebook: batched subspace training equals independent per-" +
+    "subspace runs; iters=0 is the seed book; layout cannot change it") {
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 13 + j * 7) % 23).toFloat / 10f))
+    }.toDF("vec_id", "embedding")
+    def key(cb: org.apache.spark.sql.DataFrame): Seq[(Int, Int, Seq[Double])] =
+      cb.select("sub", "code", "cent").as[(Int, Int, Seq[Double])]
+        .collect().toSeq.sortBy(r => (r._1, r._2))
+    val batched = key(Quantize.trainCodebook(vecs, "vec_id", "embedding",
+      nSub = 2, nCodes = 8, iters = 2))
+    // the batching claim: each subspace's trajectory is exactly the
+    // single-subspace trainer run on that slice alone
+    for (s <- 0 until 2) {
+      val slice = vecs.select(col("vec_id"),
+        org.apache.spark.sql.functions.slice(
+          col("embedding"), s * 4 + 1, 4).as("embedding"))
+      val solo = key(Quantize.trainCodebook(slice, "vec_id", "embedding",
+        nSub = 1, nCodes = 8, iters = 2))
+      assert(batched.filter(_._1 == s).map(r => (r._2, r._3)) ==
+        solo.map(r => (r._2, r._3)),
+        s"subspace $s diverged from its independent training run")
+    }
+    // iters = 0 returns the seed book untouched
+    assert(key(Quantize.trainCodebook(vecs, "vec_id", "embedding", 2, 8, 0)) ==
+      key(Quantize.seededCodebook(vecs, "vec_id", "embedding", 2, 8)))
+    // physical layout cannot change the trained book
+    assert(key(Quantize.trainCodebook(vecs.repartition(7), "vec_id",
+      "embedding", nSub = 2, nCodes = 8, iters = 2)) == batched)
+  }
+
   test("pqEncode rejects dimensions that do not divide into subspaces") {
     val vecs = Seq((0L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
