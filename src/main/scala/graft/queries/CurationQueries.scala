@@ -184,7 +184,11 @@ object CurationQueries {
       val emb = Tables(s, d).embeddings
       val cbT = Quantize.trainCodebook(emb, "vec_id", "embedding",
         nSub = 8, nCodes = 16, iters = 2)
+      // persisted so the tightening pin below doesn't re-run the
+      // trained encode when the gate materializes the frame;
+      // corpus-row-sized, and the contract mains clear caches per query
       val out = Quantize.pqEncode(emb, "vec_id", "embedding", nSub = 8, cbT)
+        .persist()
       // bounded: two 1-row recon-error scalars
       val trained = out.agg(sum(col("recon_err"))).collect()(0).getDouble(0)
       val seeded = Quantize.pqEncode(emb, "vec_id", "embedding", nSub = 8,
