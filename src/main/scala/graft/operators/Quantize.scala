@@ -151,7 +151,13 @@ object Quantize {
       .select(col(qidCol).cast("long").as("qid"), col("sub"), col("code"), qd.as("qd"))
       .collect()
     require(lutRows.nonEmpty, "ADC: empty query set")
-    lutRows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (q, rows) =>
+    // a dim-mismatched codebook makes zip_with pad the short side with
+    // nulls and the fold go NULL — unboxed that would read as a silent
+    // 0.0 distance and the garbage cell would WIN every argmin/rank,
+    // so a null cell must abort here instead
+    require(lutRows.forall(!_.isNullAt(3)),
+      "ADC: null LUT cell — codebook cent width must equal the query subvector width")
+    val lut = lutRows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (q, rows) =>
       val arr = new Array[Double](nSub * nCodes)
       rows.foreach { r =>
         val (s, c) = (r.getAs[Int]("sub"), r.getAs[Int]("code"))
@@ -161,6 +167,13 @@ object Quantize {
       }
       q -> arr
     }
+    // every query must fill its whole cell grid: a duplicate query id
+    // or a codebook hole would leave cells at the 0.0 default — again
+    // a silently-winning distance, not a wrong-but-visible one
+    require(lutRows.length == lut.size * nSub * nCodes,
+      s"ADC: expected ${lut.size} queries × $nSub × $nCodes LUT cells, " +
+        s"got ${lutRows.length} — duplicate query ids or an incomplete codebook")
+    lut
   }
 
   /** The stored '_'-joined code string parsed back to int codes. */

@@ -452,6 +452,22 @@ class CurationSpec extends SparkSpec {
     // and the clean table still ranks normally through the same path
     val clean = runWith()
     assert(clean.nonEmpty && clean.forall(_._1 < 12L))
+
+    // LUT-side contract: a dim-mismatched codebook (zip_with would pad
+    // with nulls → a 0.0 cell that silently wins every rank), a
+    // duplicate query id, and a codebook hole must each abort loudly
+    val narrow = cb.withColumn("cent",
+      org.apache.spark.sql.functions.slice(col("cent"), 1, 1))
+    intercept[IllegalArgumentException](
+      Quantize.adcTopK(good.select("vec_id", "codes"), "vec_id", "codes",
+        queries, "vec_id", "embedding", narrow, nSub, nCodes, k = 3))
+    intercept[IllegalArgumentException](
+      Quantize.adcTopK(good.select("vec_id", "codes"), "vec_id", "codes",
+        queries.union(queries), "vec_id", "embedding", cb, nSub, nCodes, k = 3))
+    intercept[IllegalArgumentException](
+      Quantize.adcTopK(good.select("vec_id", "codes"), "vec_id", "codes",
+        queries, "vec_id", "embedding", cb.where(col("code") =!= 3),
+        nSub, nCodes, k = 3))
   }
 
   test("trainCodebook: batched subspace training equals independent per-" +
