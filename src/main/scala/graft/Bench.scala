@@ -89,7 +89,13 @@ object Bench {
     "q139_drift_sketched", "q140_pagerank_dangling",
     // q143 replays q114's trained-k-means pipeline (its dominant cost)
     // with the pair join further conditioned on the srp bucket
-    "q143_semdedup_srp")
+    "q143_semdedup_srp",
+    // q150 replays q114's trained k-means + q149's codebook trainer on
+    // the residual base + q148's routed search with trained books;
+    // q151 replays q145's and q147's searches plus the q24-class
+    // brute-force truth pass — both are compositions of already-benched
+    // pipelines, not new data-volume work
+    "q150_ivfpq_trained", "q151_adc_recall")
 
   /** JSON string-escape for env-derived values (SPARK_GRAFT_SF_DIR /
     * SPARK_GRAFT_BENCH_OUT) interpolated into the summary line: a path
@@ -182,7 +188,11 @@ object Bench {
       // the reported number a warm-machinery time comparable across
       // rounds, without round-7's tripled storm (whose back-to-back
       // third reps cascaded loadavg to ~37 in round 5's 22-gate tail).
-      if (harnessBound(name) && batch.nonEmpty)
+      // settle whenever the run times more than one query (a harness
+      // gate's storm must not pollute ANY successor, including another
+      // gate in a harness-only grouped-bench JVM — r13; the single-query
+      // iteration aid stays settle-free)
+      if (harnessBound(name) && selected.size > 1)
         settleSec += settle(target = cpusN / 2, maxWaitSec = 60)
       // stderr marker so engine warnings in the surrounding log (GC, large
       // task binaries, skew) can be attributed to a query after the fact

@@ -93,15 +93,19 @@ object Quantize {
     * [[pqEncode]] dist2 contract, so an engine replays it bit-for-bit);
     * cells are exactly grid-valued, so the per-row sum over longs is
     * EXACT; ties rank on (adc_dist asc, id asc). A stored code string
-    * that does not parse to exactly `nSub` in-range codes cannot be
-    * scored: under ANSI mode (Spark 4's default, and every graft
-    * session) the cast/array lookup FAILS THE JOB LOUDLY — spec-pinned
-    * for all three malformed shapes. With ANSI off the same reads come
-    * back NULL, the grid sum goes NULL, and under `asc NULLS FIRST`
-    * the garbage row would RANK FIRST — both search paths therefore
-    * also drop null-distance rows before ranking, so no deployment
-    * flag turns storage corruption into a silent rank-1 neighbor
-    * ([[pqEncode]]-produced codes never hit either path).
+    * that does not parse to exactly `nSub` in-range codes FAILS THE JOB
+    * LOUDLY in every deployment mode: each row's parsed codes are
+    * validated ([[codesValid]] — exact arity, every code in
+    * [0, nCodes)) before any LUT read, and an invalid row raises
+    * instead of scoring. The explicit check exists because ANSI alone
+    * does not cover every corruption shape (ADVICE r12): a NEGATIVE
+    * code in subspace j >= 1 lands on another subspace's in-bounds LUT
+    * cell, and a code string with MORE than nSub parts silently
+    * truncates — both would have scored and ranked. With ANSI off a
+    * non-numeric part parses to NULL and the same validity gate raises
+    * on it, so no deployment flag turns storage corruption into a
+    * silent rank-1 neighbor ([[pqEncode]]-produced codes never trip
+    * the gate).
     */
   def adcTopK(codes: DataFrame, idCol: String, codesCol: String,
               queries: DataFrame, qidCol: String, qvecCol: String,
@@ -109,7 +113,7 @@ object Quantize {
               excludeSelf: Boolean = false): DataFrame = {
     require(nCodes >= 1 && k >= 1, "adcTopK needs nCodes >= 1 and k >= 1")
     val lut = adcLut(queries, qidCol, qvecCol, codebook, nSub, nCodes)
-    val codeArr = parsedCodes(codesCol)
+    val codeArr = col("__codes")
     val perQuery = lut.map { case (q, arr) =>
       val lutLit = array(arr.toSeq.map(lit): _*)
       // each cell is q6-grid-valued, so the long sum is exact (class doc)
@@ -124,13 +128,52 @@ object Quantize {
     }
     val scored = codes
       .select(col(idCol).cast("long").as("neighbor_id"),
-        explode(array(perQuery: _*)).as("s"))
+        checkedCodes(codesCol, nSub, nCodes).as("__codes"))
+      .select(col("neighbor_id"), explode(array(perQuery: _*)).as("s"))
       .select(col("s.query_id"), col("neighbor_id"), col("s.adc_dist"))
     val candidates =
       if (excludeSelf) scored.where(col("neighbor_id") =!= col("query_id"))
       else scored
     Rankings.topKPerGroup(candidates.where(col("adc_dist").isNotNull),
       Seq("query_id"), Seq(col("adc_dist").asc, col("neighbor_id").asc), k)
+  }
+
+  /** Hard cap on literal-LUT cells (nQueries × nSub × nCodes): the LUT
+    * is folded into the projection as per-query literal arrays (the
+    * broadcast-into-codegen move), and past a few hundred thousand
+    * literals the PLAN itself — analysis, codegen, task binaries —
+    * becomes the bottleneck. 2^18 cells ≈ 2 MB of double literals keeps
+    * the plan comfortably inside codegen limits while allowing e.g. a
+    * 2048-probe panel at the 8×16 book. A larger panel must either
+    * split into chunks or score through a broadcast-JOINed LUT table
+    * (one extra shuffle-free join) instead of literals — failing loudly
+    * here beats minutes of silent driver planning at 100 TB.
+    */
+  private[operators] val MaxLutCells: Long = 1L << 18
+
+  /** Coarse probe routing shared by [[ivfAdcTopK]] and
+    * [[ivfAdcResidualTopK]] (and gated by both of their driver rows):
+    * rank the broadcast centroid table by q6 cosine per query, keep the
+    * `nProbe` nearest. Emits (query_id, centroid_id, __qv, centv) so
+    * the raw-code caller can project the list keys and the residual
+    * caller can subtract centv from __qv — the two routed searches
+    * share routing code exactly the way their oracles share
+    * IvfRouteCte.
+    */
+  private def probeRoutes(queries: DataFrame, qidCol: String, qvecCol: String,
+                          centroids: DataFrame, nProbe: Int): DataFrame = {
+    val cents = centroids.select(col("centroid_id"), col("centv"))
+      .withColumn("__cn", VectorFns.norm2(col("centv")))
+    queries.select(col(qidCol).cast("long").as("query_id"),
+        VectorFns.asDouble(col(qvecCol)).as("__qv"))
+      .withColumn("__qn", VectorFns.norm2(col("__qv")))
+      .crossJoin(broadcast(cents))
+      .withColumn("__sim", Portable.q6(
+        VectorFns.dot(col("__qv"), col("centv")) / (col("__qn") * col("__cn"))))
+      .withColumn("__pr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("__sim").desc, col("centroid_id").asc)))
+      .where(col("__pr") <= nProbe)
+      .select(col("query_id"), col("centroid_id"), col("__qv"), col("centv"))
   }
 
   /** The per-query ADC lookup table ([[adcTopK]] / [[ivfAdcTopK]]'s
@@ -141,11 +184,20 @@ object Quantize {
   private def adcLut(queries: DataFrame, qidCol: String, qvecCol: String,
                      codebook: DataFrame, nSub: Int,
                      nCodes: Int): Seq[(Long, Array[Double])] = {
+    // bounded: 1-row probe-panel census, guarding the literal-plan
+    // budget BEFORE the LUT is computed or collected (class doc on
+    // MaxLutCells) — nQueries is the one factor not a caller constant
+    val nQ = queries.count()
+    require(nQ * nSub * nCodes <= MaxLutCells,
+      s"ADC: LUT would hold ${nQ * nSub * nCodes} literal cells " +
+        s"($nQ queries × $nSub × $nCodes > $MaxLutCells) — the literal-LUT " +
+        "plan would bloat codegen; chunk the probe panel or score through " +
+        "a broadcast-joined LUT table instead")
     val qd = Portable.q6(aggregate(
       zip_with(col("subvec"), col("cent"), (a: Column, b: Column) => (a - b) * (a - b)),
       lit(0.0), (acc: Column, y: Column) => acc + y))
-    // bounded: nQueries × nSub × nCodes rows, every factor a caller
-    // constant — the fixed LUT ADC exists to precompute
+    // bounded: nQueries × nSub × nCodes rows, capped above — the fixed
+    // LUT ADC exists to precompute
     val lutRows = subVectors(queries, qidCol, qvecCol, nSub)
       .join(broadcast(codebook), Seq("sub"))
       .select(col(qidCol).cast("long").as("qid"), col("sub"), col("code"), qd.as("qd"))
@@ -157,28 +209,54 @@ object Quantize {
     // so a null cell must abort here instead
     require(lutRows.forall(!_.isNullAt(3)),
       "ADC: null LUT cell — codebook cent width must equal the query subvector width")
-    val lut = lutRows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (q, rows) =>
+    lutRows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (q, rows) =>
       val arr = new Array[Double](nSub * nCodes)
+      // DISTINCT-cell accounting per query (ADVICE r12): the old raw
+      // row-count check let a duplicate (sub, code) row cancel against
+      // a missing cell — the duplicate overwrote one slot twice and the
+      // hole kept its 0.0 default, a silently-winning distance. A
+      // seen-set catches both shapes independently (a duplicate QUERY
+      // id folds into this group and trips the duplicate-cell check).
+      val seen = new java.util.BitSet(nSub * nCodes)
       rows.foreach { r =>
         val (s, c) = (r.getAs[Int]("sub"), r.getAs[Int]("code"))
         require(s >= 0 && s < nSub && c >= 0 && c < nCodes,
           s"ADC: codebook cell ($s,$c) outside nSub=$nSub × nCodes=$nCodes")
-        arr(s * nCodes + c) = r.getAs[Double]("qd")
+        val idx = s * nCodes + c
+        require(!seen.get(idx),
+          s"ADC: duplicate codebook cell ($s,$c) for query $q — " +
+            "duplicate (sub, code) rows or a duplicate query id")
+        seen.set(idx)
+        arr(idx) = r.getAs[Double]("qd")
       }
+      require(seen.cardinality() == nSub * nCodes,
+        s"ADC: incomplete codebook for query $q — " +
+          s"${nSub * nCodes - seen.cardinality()} of ${nSub * nCodes} cells missing")
       q -> arr
     }
-    // every query must fill its whole cell grid: a duplicate query id
-    // or a codebook hole would leave cells at the 0.0 default — again
-    // a silently-winning distance, not a wrong-but-visible one
-    require(lutRows.length == lut.size * nSub * nCodes,
-      s"ADC: expected ${lut.size} queries × $nSub × $nCodes LUT cells, " +
-        s"got ${lutRows.length} — duplicate query ids or an incomplete codebook")
-    lut
   }
 
   /** The stored '_'-joined code string parsed back to int codes. */
   private def parsedCodes(codesCol: String): Column =
     transform(split(col(codesCol), "_"), (c: Column) => c.cast("int"))
+
+  /** [[parsedCodes]] gated by the corruption contract (class doc):
+    * exactly `nSub` parsed codes, every one in [0, nCodes). Any other
+    * shape RAISES before a LUT cell is read — it never scores and never
+    * ranks, regardless of the ANSI flag. The explicit gate exists
+    * because ANSI bounds-checking alone misses two shapes (ADVICE r12):
+    * a negative code in subspace j >= 1 lands on another subspace's
+    * in-bounds cell, and an over-long code string silently truncates to
+    * its first nSub codes.
+    */
+  private def checkedCodes(codesCol: String, nSub: Int, nCodes: Int): Column = {
+    val arr = parsedCodes(codesCol)
+    val ok = size(arr) === nSub &&
+      forall(arr, c => c.isNotNull && c >= 0 && c < nCodes)
+    when(ok, arr).otherwise(raise_error(concat(
+      lit(s"ADC: unscorable code string (need exactly $nSub codes in [0, $nCodes)): '"),
+      col(codesCol), lit("'"))))
+  }
 
   /** IVF-routed ADC top-k — the composed IVF-PQ index ([[adcTopK]]
     * restricted to each query's probed inverted lists): queries rank
@@ -215,19 +293,9 @@ object Quantize {
       array(lut.flatMap { case (q, arr) =>
         arr.indices.map(i => lit(q * cellsPerQ + i)) }: _*),
       array(lut.flatMap(_._2.toSeq).map(lit): _*))
-    val cents = centroids.select(col("centroid_id"), col("centv"))
-      .withColumn("__cn", VectorFns.norm2(col("centv")))
-    val q = queries.select(col(qidCol).cast("long").as("query_id"),
-        VectorFns.asDouble(col(qvecCol)).as("__qv"))
-      .withColumn("__qn", VectorFns.norm2(col("__qv")))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("__sim", Portable.q6(
-        VectorFns.dot(col("__qv"), col("centv")) / (col("__qn") * col("__cn"))))
-      .withColumn("__pr", row_number().over(Window.partitionBy(col("query_id"))
-        .orderBy(col("__sim").desc, col("centroid_id").asc)))
-      .where(col("__pr") <= nProbe)
+    val probes = probeRoutes(queries, qidCol, qvecCol, centroids, nProbe)
       .select(col("query_id"), col("centroid_id").as(listCol))
-    val codeArr = parsedCodes(codesCol)
+    val codeArr = col("__codes")
     // each LUT cell is q6-grid-valued, so the long sum is exact
     val gridSum = aggregate(
       sequence(lit(0), lit(nSub - 1)),
@@ -237,15 +305,16 @@ object Quantize {
             col("query_id") * cellsPerQ + j * nCodes + element_at(codeArr, j + 1))
           * lit(1000000.0) + lit(0.5)).cast("long"))
     val scored = codes
-      .select(col(idCol).cast("long").as("neighbor_id"), col(listCol), col(codesCol))
+      .select(col(idCol).cast("long").as("neighbor_id"), col(listCol),
+        checkedCodes(codesCol, nSub, nCodes).as("__codes"))
       .join(broadcast(probes), Seq(listCol))
       .select(col("query_id"), col("neighbor_id"),
         Portable.q6(gridSum.cast("double") / lit(1000000.0)).as("adc_dist"))
     val candidates =
       if (excludeSelf) scored.where(col("neighbor_id") =!= col("query_id"))
       else scored
-    // same malformed-code guard as adcTopK (see its doc): a NULL grid
-    // sum must drop, not rank first under NULLS FIRST
+    // corruption raises in checkedCodes before scoring; the null-drop
+    // stays as defense in depth against a NULLS FIRST rank-1 garbage row
     Rankings.topKPerGroup(candidates.where(col("adc_dist").isNotNull),
       Seq("query_id"), Seq(col("adc_dist").asc, col("neighbor_id").asc), k)
   }
@@ -296,17 +365,7 @@ object Quantize {
     require(nProbe >= 1 && nCodes >= 1 && k >= 1,
       "ivfAdcResidualTopK needs nProbe >= 1, nCodes >= 1 and k >= 1")
     val spark = codes.sparkSession
-    val cents = centroids.select(col("centroid_id"), col("centv"))
-      .withColumn("__cn", VectorFns.norm2(col("centv")))
-    val q = queries.select(col(qidCol).cast("long").as("query_id"),
-        VectorFns.asDouble(col(qvecCol)).as("__qv"))
-      .withColumn("__qn", VectorFns.norm2(col("__qv")))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("__sim", Portable.q6(
-        VectorFns.dot(col("__qv"), col("centv")) / (col("__qn") * col("__cn"))))
-      .withColumn("__pr", row_number().over(Window.partitionBy(col("query_id"))
-        .orderBy(col("__sim").desc, col("centroid_id").asc)))
-      .where(col("__pr") <= nProbe)
+    val probes = probeRoutes(queries, qidCol, qvecCol, centroids, nProbe)
       .select(col("query_id"), col("centroid_id"),
         zip_with(col("__qv"), col("centv"), (a: Column, b: Column) => a - b)
           .as("__rq"))
@@ -341,7 +400,7 @@ object Quantize {
       array(lut.flatMap { case (ql, arr) =>
         arr.indices.map(i => lit(ql * cellsPerQl + i)) }: _*),
       array(lut.flatMap(_._2.toSeq).map(lit): _*))
-    val codeArr = parsedCodes(codesCol)
+    val codeArr = col("__codes")
     // each LUT cell is q6-grid-valued, so the long sum is exact
     val gridSum = aggregate(
       sequence(lit(0), lit(nSub - 1)),
@@ -351,14 +410,16 @@ object Quantize {
             col("__ql") * cellsPerQl + j * nCodes + element_at(codeArr, j + 1))
           * lit(1000000.0) + lit(0.5)).cast("long"))
     val scored = codes
-      .select(col(idCol).cast("long").as("neighbor_id"), col(listCol), col(codesCol))
+      .select(col(idCol).cast("long").as("neighbor_id"), col(listCol),
+        checkedCodes(codesCol, nSub, nCodes).as("__codes"))
       .join(broadcast(probeIdx), Seq(listCol))
       .select(col("query_id"), col("neighbor_id"),
         Portable.q6(gridSum.cast("double") / lit(1000000.0)).as("adc_dist"))
     val candidates =
       if (excludeSelf) scored.where(col("neighbor_id") =!= col("query_id"))
       else scored
-    // same malformed-code guard as adcTopK (see its doc)
+    // corruption raises in checkedCodes before scoring (adcTopK doc);
+    // the null-drop stays as defense in depth
     Rankings.topKPerGroup(candidates.where(col("adc_dist").isNotNull),
       Seq("query_id"), Seq(col("adc_dist").asc, col("neighbor_id").asc), k)
   }

@@ -394,6 +394,34 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Brute-force squared-L2 top-k: the exact truth the ADC/PQ search
+    * family approximates (ADC sums q6 SUBSPACE L2 cells, so the honest
+    * recall denominator is the full-vector L2 ranking, not cosine —
+    * auditing ADC against cosine truth would conflate metric mismatch
+    * with quantization loss). Same scale shape as [[cosineTopK]]: the
+    * probe panel broadcasts, per-pair work is one fused fold, the
+    * per-query top-k plans as WindowGroupLimit. The distance is the q6
+    * ORDERED fold of squared component deltas (the [[Quantize]] dist2
+    * contract over the full vector) with an id tiebreak, so any engine
+    * replays the ranking bit-for-bit; self-pairs are excluded.
+    */
+  def l2TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      VectorFns.asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      VectorFns.asDouble(col(vecCol)).as("cv"))
+    val d2 = Portable.q6(aggregate(
+      zip_with(col("qv"), col("cv"), (a: Column, b: Column) => (a - b) * (a - b)),
+      lit(0.0), (acc: Column, y: Column) => acc + y))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), d2.as("l2_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Embedding near-dup pairs within a blocking key (exact within block). */
   def nearDupWithin(emb: DataFrame, idCol: String, vecCol: String,
                     blockCol: String, minCosine: Double): DataFrame = {

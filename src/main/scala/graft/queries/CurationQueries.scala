@@ -199,6 +199,107 @@ object CurationQueries {
       out
     },
 
+    "q150_ivfpq_trained" -> { (s, d) =>
+      // The fully-TRAINED IVF-PQ composition — the shape FAISS actually
+      // deploys (r12 verdict item 2): TRAINED coarse centroids (q114's
+      // kMeansCentroids, k=16 iters=3) route, the index stores PQ codes
+      // of RESIDUALS against those trained centroids, and the residual
+      // codebooks are themselves TRAINED (q149's batched Lloyd, 2
+      // iterations) — q147/q148 route seeded books, q149 trains but
+      // searches exhaustively; this row closes the matrix. The oracle
+      // unrolls BOTH trained trajectories through the shared scaffolds:
+      // KMeansAsgnCte (q75/q114's three Lloyd iterations) for the
+      // coarse side and trainedCbChainOn (q149's two, instantiated on
+      // the residual subvectors) for the fine side, then routes and
+      // ADC-scores per (query, probed list).
+      val emb = Tables(s, d).embeddings
+      import graft.operators.Similarity
+      val cents = Similarity.kMeansCentroids(emb, "vec_id", "embedding",
+        k = 16, iters = 3)
+      val lists = Similarity.assignToCentroids(emb, "vec_id", "embedding", cents)
+      val res = Quantize.residuals(emb, "vec_id", "embedding",
+        lists, "centroid_id", cents)
+      // persisted: the trainer makes 2×2 passes and the encode one more
+      // over the residual frame (corpus-row-sized; the contract mains
+      // clear caches per query)
+      res.persist()
+      val cbRes = Quantize.trainCodebook(res, "vec_id", "rvec",
+        nSub = 8, nCodes = 16, iters = 2)
+      val index = Quantize.pqEncode(res, "vec_id", "rvec", nSub = 8, cbRes)
+        .join(lists, Seq("vec_id"))
+      val out = Quantize.ivfAdcResidualTopK(index, "vec_id", "codes",
+        "centroid_id", emb.where(col("vec_id").between(16, 19)),
+        "vec_id", "embedding", cents, cbRes, nSub = 8, nCodes = 16,
+        nProbe = 3, k = 5, excludeSelf = true)
+      // bounded: one scalar (distinct occupied lists) — the q147 pin:
+      // with more occupied lists than nProbe, routing genuinely prunes
+      val nLists = lists.agg(countDistinct(col("centroid_id"))).collect()(0).getLong(0)
+      require(nLists > 3,
+        s"q150: corpus must occupy more lists than nProbe=3 (got $nLists)")
+      // bounded: two 1-row recon-error scalars — the q149 pin on the
+      // RESIDUAL base: fine-training must genuinely tighten the fit
+      // bounded: 1-row scalar aggregate
+      val trained = Quantize.pqEncode(res, "vec_id", "rvec", nSub = 8, cbRes)
+        .agg(sum(col("recon_err"))).collect()(0).getDouble(0)
+      // bounded: 1-row scalar aggregate
+      val seeded = Quantize.pqEncode(res, "vec_id", "rvec", nSub = 8,
+          Quantize.seededCodebook(res, "vec_id", "rvec", nSub = 8, nCodes = 16))
+        .agg(sum(col("recon_err"))).collect()(0).getDouble(0)
+      require(trained < seeded,
+        s"q150: residual training must tighten the fit ($trained !< $seeded)")
+      out
+    },
+
+    "q151_adc_recall" -> { (s, d) =>
+      // The ADC recall audit (r12 verdict item 3 — the q75 pattern,
+      // Quantize edition): q145/q147/q148/q150 gate the approximate
+      // semantics EXACTLY; this row measures what the approximation
+      // costs. Per probe (the wider 16–47 panel): n_hits of exhaustive
+      // ADC top-10 and of IVF-routed ADC top-10 against the exact
+      // brute-force squared-L2 top-10 (Similarity.l2TopK — L2, not
+      // cosine, because L2 is the metric ADC approximates; a cosine
+      // truth would conflate metric mismatch with quantization loss).
+      // n_hits is recomputed exactly by the oracle through the SAME
+      // shared scaffolds the gated searches replay (PqCodesCte +
+      // adcLutCteFor + ivfRouteCteFor), so a recall regression changes
+      // values instead of hiding under a threshold; *_ge_half are
+      // audit LABELS, not pass bars.
+      val emb = Tables(s, d).embeddings
+      import graft.operators.Similarity
+      val cb = Quantize.seededCodebook(emb, "vec_id", "embedding", nSub = 8, nCodes = 16)
+      val codes = Quantize.pqEncode(emb, "vec_id", "embedding", nSub = 8, cb)
+      // persisted: both searches scan the same stored codes
+      // (corpus-row-sized; the contract mains clear caches per query)
+      codes.persist()
+      val probes = emb.where(col("vec_id").between(16, 47))
+      val adc = Quantize.adcTopK(codes, "vec_id", "codes", probes,
+        "vec_id", "embedding", cb, nSub = 8, nCodes = 16, k = 10,
+        excludeSelf = true)
+      val cents = emb.select(col("vec_id").as("centroid_id"),
+          graft.functions.VectorFns.asDouble(col("embedding")).as("centv"))
+        .orderBy(col("centroid_id").asc).limit(8)
+      val lists = Similarity.assignToCentroids(emb, "vec_id", "embedding", cents)
+      val ivf = Quantize.ivfAdcTopK(codes.join(lists, Seq("vec_id")),
+        "vec_id", "codes", "centroid_id", probes, "vec_id", "embedding",
+        cents, cb, nSub = 8, nCodes = 16, nProbe = 3, k = 10,
+        excludeSelf = true)
+      val exact = Similarity.l2TopK(probes, emb, "vec_id", "embedding", k = 10)
+      def hits(approx: DataFrame, as: String): DataFrame =
+        exact.as("x").join(approx.as("i"),
+            col("x.query_id") === col("i.query_id") &&
+              col("x.neighbor_id") === col("i.neighbor_id"), "left")
+          .groupBy(col("x.query_id").as("query_id"))
+          .agg(count(col("i.neighbor_id")).as(as))
+      val top1 = exact.where(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id").as("exact_top1"))
+      top1.join(hits(adc, "n_hits_adc"), Seq("query_id"))
+        .join(hits(ivf, "n_hits_ivf"), Seq("query_id"))
+        .select(col("query_id"), col("exact_top1"),
+          col("n_hits_adc"), col("n_hits_ivf"),
+          (col("n_hits_adc") >= 5).as("adc_ge_half"),
+          (col("n_hits_ivf") >= 5).as("ivf_ge_half"))
+    },
+
     "q126_corpus_drift" -> { (s, d) =>
       // Distribution-drift report: per-source unigram JS divergence vs
       // the whole corpus (+ token volume and absent-word coverage) —
@@ -328,10 +429,20 @@ object CurationQueries {
         "q146: the positive branch must be live on the gated fixture")
       val out = graft.operators.Retrieval.hardNegatives(scored,
         "query_id", "doc_id", "bm25_rank", posThreshold = 0.2, negPerQuery = 3)
-      // bounded: one scalar row (distinct probes that mined a negative)
+      // bounded: one scalar row (distinct probes that mined a negative).
+      // BRANCH LIVENESS, not universal coverage (ADVICE r12): the old
+      // `nq == nProbes` pin aborted the whole gate run on any fixture
+      // where one probe's ≤20 candidates all score cosine ≥ 0.2 — a
+      // data-dependent margin, not a semantics violation. The gate
+      // needs both verdict branches live: some positive drops (pinned
+      // above) and some probe mines a negative (here). Measured margin
+      // for the record: at every gated SF (0.001/0.01/0.1/1) ALL
+      // probes mine — 25–48 positives drop with hundreds of negatives
+      // remaining — so this pin is far from its floor in practice.
+      // bounded: 1-row scalar aggregate
       val nq = out.agg(countDistinct(col("query_id"))).collect()(0).getLong(0)
-      require(nq == st.getLong(1),
-        s"q146: every probe must mine at least one negative ($nq of ${st.getLong(1)})")
+      require(nq > 0,
+        "q146: the negative-mining branch must be live on the gated fixture")
       out
     },
 
@@ -505,12 +616,13 @@ object CurationQueries {
       |${pqEncodeCteOn("e")}""".stripMargin
 
   /** q147's coarse-routing replay (8 lowest-id centroids, corpus
-    * argmax assignment, top-3 probes for the 16–19 panel), shared with
-    * q148 so the raw-code and residual-code routed gates route
-    * identically. Expects an `e (vec_id, v)` CTE in scope.
+    * argmax assignment, top-3 probes) parameterized over the probe
+    * panel's id range, so the 16–19 gates (q147/q148 via
+    * [[IvfRouteCte]]) and q151's wider 16–47 audit panel route through
+    * the SAME tokens. Expects an `e (vec_id, v)` CTE in scope.
     */
-  val IvfRouteCte: String =
-    """cents AS (SELECT vec_id AS centroid_id, v AS centv FROM e
+  def ivfRouteCteFor(lo: Int, hi: Int): String =
+    s"""cents AS (SELECT vec_id AS centroid_id, v AS centv FROM e
       |  ORDER BY vec_id LIMIT 8),
       |asgn AS (SELECT nid, centroid_id FROM (
       |    SELECT e.vec_id AS nid, c.centroid_id,
@@ -525,8 +637,10 @@ object CurationQueries {
       |        floor(list_cosine_similarity(qe.v, c.centv) * 1000000.0 + 0.5)
       |          / 1000000.0 DESC,
       |        c.centroid_id) AS rn
-      |    FROM e qe CROSS JOIN cents c WHERE qe.vec_id BETWEEN 16 AND 19)
+      |    FROM e qe CROSS JOIN cents c WHERE qe.vec_id BETWEEN $lo AND $hi)
       |  WHERE rn <= 3)""".stripMargin
+
+  val IvfRouteCte: String = ivfRouteCteFor(16, 19)
 
   /** q128's BM25-recall + dense-scoring replay (folded BM25 → top-20
     * per probe → q6 embedding cosines with self-exclusion) as a
@@ -552,20 +666,76 @@ object CurationQueries {
       |  JOIN e qe ON qe.vec_id = b.query_id
       |  WHERE b.doc_id <> b.query_id)""".stripMargin
 
-  /** q145's probe-panel LUT replay (probes 16–19 sub-split + the q6
-    * ordered-fold distance to every codebook cell), shared with q147's
-    * routed search so the exhaustive and IVF-routed ADC gates score
-    * through identical tables.
+  /** q145's probe-panel LUT replay (panel sub-split + the q6
+    * ordered-fold distance to every codebook cell) parameterized over
+    * the panel's id range: [[AdcLutCte]] instantiates the 16–19 panel
+    * shared by q145/q147, q151's recall audit the wider 16–47 one —
+    * the same tokens either way, so the gates cannot drift.
     */
-  val AdcLutCte: String =
-    """q AS (SELECT vec_id AS query_id, sub, sv FROM sv
-      |  WHERE vec_id BETWEEN 16 AND 19),
+  /** The q6 ordered-fold subspace distance between aliases `$l.sv` and
+    * `$r.cent` — the one distance every PQ oracle CTE scores with.
+    */
+  private def tpqFold(l: String, r: String): String =
+    s"floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, 9), i -> ($l.sv[i] - $r.cent[i]) * " +
+      s"($l.sv[i] - $r.cent[i]))), (x, y) -> x + y) " +
+      "* 1000000.0 + 0.5) / 1000000.0"
+
+  /** One unrolled batched-Lloyd iteration over the (vector, subspace)
+    * CTE `$sv`: assignment by q6 distance with a code tiebreak,
+    * 1e-6-rounded per-(sub, code, pos) means, empty cells keeping the
+    * previous centroid. CTE names prefix with `$p` so an oracle can
+    * instantiate the chain next to other unrolled trajectories (q150
+    * composes it with KMeansAsgnCte, whose b/m names it would
+    * otherwise collide with).
+    */
+  private def tpqIter(i: Int, prev: String, sv: String, p: String): String =
+    s"""${p}d$i AS (SELECT a.vec_id, a.sub, cb.code, a.sv, ${tpqFold("a", "cb")} AS dist2
+       |  FROM $sv a JOIN $prev cb USING (sub)),
+       |${p}b$i AS (SELECT sub, code, sv FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |        ORDER BY dist2, code) AS rn FROM ${p}d$i) WHERE rn = 1),
+       |${p}m$i AS (SELECT sub, code, list(m ORDER BY p) AS cent FROM (
+       |    SELECT b.sub, b.code, p.p,
+       |      floor(avg(b.sv[p.p]) * 1000000.0 + 0.5) / 1000000.0 AS m
+       |    FROM ${p}b$i b CROSS JOIN (SELECT unnest(range(1, 9)) AS p) p
+       |    GROUP BY 1, 2, 3) GROUP BY 1, 2),
+       |${p}cb$i AS (SELECT c.sub, c.code, coalesce(m.cent, c.cent) AS cent
+       |  FROM $prev c LEFT JOIN ${p}m$i m USING (sub, code))""".stripMargin
+
+  /** `Quantize.trainCodebook(nSub=8, nCodes=16, iters=2)` unrolled over
+    * the (vector, subspace) CTE `$sv` (the q75/q124 trained-trajectory
+    * construction, subspace-batched): the 16 lowest-id seeds, then two
+    * [[tpqIter]] iterations — final trained book = `${p}cb2`. q149
+    * instantiates it on the raw subvectors, q150 on the residual ones.
+    */
+  private[queries] def trainedCbChainOn(sv: String, p: String): String =
+    s"""${p}cb0 AS (SELECT CAST(vec_id AS INT) AS code, sub, sv AS cent
+       |  FROM $sv WHERE vec_id < 16),
+       |${tpqIter(1, s"${p}cb0", sv, p)},
+       |${tpqIter(2, s"${p}cb1", sv, p)}""".stripMargin
+
+  /** The final encode of `$sv` against the trained book `${p}cb2`
+    * (pqEncode's pick replay) — stored picks land in `${p}bf`.
+    */
+  private[queries] def trainedEncodeOn(sv: String, p: String): String =
+    s"""${p}df AS (SELECT a.vec_id, a.sub, cb.code, ${tpqFold("a", "cb")} AS dist2
+       |  FROM $sv a JOIN ${p}cb2 cb USING (sub)),
+       |${p}bf AS (SELECT vec_id, sub, code, dist2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |        ORDER BY dist2, code) AS rn FROM ${p}df) WHERE rn = 1)""".stripMargin
+
+  def adcLutCteFor(lo: Int, hi: Int): String =
+    s"""q AS (SELECT vec_id AS query_id, sub, sv FROM sv
+      |  WHERE vec_id BETWEEN $lo AND $hi),
       |lut AS (SELECT q.query_id, cb.sub, cb.code,
       |    floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
       |        list_transform(range(1, 9),
       |          i -> (q.sv[i] - cb.cent[i]) * (q.sv[i] - cb.cent[i]))),
       |      (x, y) -> x + y) * 1000000.0 + 0.5) / 1000000.0 AS qd
       |  FROM q JOIN cb USING (sub))""".stripMargin
+
+  val AdcLutCte: String = adcLutCteFor(16, 19)
 
   val oracles: Map[String, String] = Map(
     "q145_pq_adc_topk" ->
@@ -636,47 +806,127 @@ object CurationQueries {
         |      ORDER BY adc_dist, neighbor_id) AS rn FROM adc)
         |WHERE rn <= 5""".stripMargin,
 
-    "q149_pq_trained" -> {
+    "q149_pq_trained" ->
       // the q75 trained-trajectory construction, subspace-batched: two
       // unrolled Lloyd iterations over (vector, subspace) rows with
-      // 1e-6-rounded means, then the final encode through cb2
-      def fold(l: String, r: String) =
-        s"floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-          s"list_transform(range(1, 9), i -> ($l.sv[i] - $r.cent[i]) * " +
-          s"($l.sv[i] - $r.cent[i]))), (x, y) -> x + y) " +
-          "* 1000000.0 + 0.5) / 1000000.0"
-      def iter(i: Int, prev: String) =
-        s"""d$i AS (SELECT a.vec_id, a.sub, cb.code, a.sv, ${fold("a", "cb")} AS dist2
-           |  FROM sv a JOIN $prev cb USING (sub)),
-           |b$i AS (SELECT sub, code, sv FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-           |        ORDER BY dist2, code) AS rn FROM d$i) WHERE rn = 1),
-           |m$i AS (SELECT sub, code, list(m ORDER BY p) AS cent FROM (
-           |    SELECT b.sub, b.code, p.p,
-           |      floor(avg(b.sv[p.p]) * 1000000.0 + 0.5) / 1000000.0 AS m
-           |    FROM b$i b CROSS JOIN (SELECT unnest(range(1, 9)) AS p) p
-           |    GROUP BY 1, 2, 3) GROUP BY 1, 2),
-           |cb$i AS (SELECT c.sub, c.code, coalesce(m.cent, c.cent) AS cent
-           |  FROM $prev c LEFT JOIN m$i m USING (sub, code))""".stripMargin
+      // 1e-6-rounded means, then the final encode through cb2. The
+      // unroll lives in trainedCbChainOn/trainedEncodeOn, instantiated
+      // here on the RAW subvector frame and by q150 on the residual
+      // one — the two trained-PQ gates share the trajectory token-level.
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |sv AS (SELECT vec_id, CAST(s AS INT) AS sub, v[s*8+1 : s*8+8] AS sv
         |  FROM e, (SELECT unnest(range(0, 8)) AS s)),
-        |cb0 AS (SELECT CAST(vec_id AS INT) AS code, sub, sv AS cent
-        |  FROM sv WHERE vec_id < 16),
-        |${iter(1, "cb0")},
-        |${iter(2, "cb1")},
-        |df AS (SELECT a.vec_id, a.sub, cb.code, ${fold("a", "cb")} AS dist2
-        |  FROM sv a JOIN cb2 cb USING (sub)),
-        |bf AS (SELECT vec_id, sub, code, dist2 FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-        |        ORDER BY dist2, code) AS rn FROM df) WHERE rn = 1)
+        |${trainedCbChainOn("sv", "")},
+        |${trainedEncodeOn("sv", "")}
         |SELECT vec_id,
         |  string_agg(code::VARCHAR, '_' ORDER BY sub) AS codes,
         |  floor((CAST(sum(CAST(floor(dist2 * 1000000.0 + 0.5) AS BIGINT))
         |      AS DOUBLE) / 1000000.0)
         |    * 1000000.0 + 0.5) / 1000000.0 AS recon_err
-        |FROM bf GROUP BY 1""".stripMargin
-    },
+        |FROM bf GROUP BY 1""".stripMargin,
+
+    "q150_ivfpq_trained" ->
+      // both trained trajectories unrolled through the shared
+      // scaffolds: KMeansAsgnCte ends at the trained coarse book c3 +
+      // corpus assignment asgn; residuals re-split into rsv; the
+      // trainedCbChainOn/trainedEncodeOn chain (q149's tokens,
+      // t-prefixed to dodge the kmeans CTE names) yields the trained
+      // residual book tcb2 and stored picks tbf; routing ranks c3 per
+      // probe; the per-(query, probed list) residual LUT scores tbf
+      // with the exact grid sum.
+      s"""${GateQueries.KMeansAsgnCte},
+        |tprobes AS (SELECT query_id, cid FROM (
+        |    SELECT qe.vec_id AS query_id, c.cid,
+        |      row_number() OVER (PARTITION BY qe.vec_id ORDER BY
+        |        floor(list_cosine_similarity(qe.v, c.cv) * 1000000.0 + 0.5)
+        |          / 1000000.0 DESC,
+        |        c.cid) AS rn
+        |    FROM e qe CROSS JOIN c3 c WHERE qe.vec_id BETWEEN 16 AND 19)
+        |  WHERE rn <= 3),
+        |rese AS (SELECT a.nid AS vec_id,
+        |    list_transform(range(1, 65), i -> a.nv[i] - c.cv[i]) AS v
+        |  FROM asgn a JOIN c3 c USING (cid)),
+        |rsv AS (SELECT vec_id, CAST(s AS INT) AS sub, v[s*8+1 : s*8+8] AS sv
+        |  FROM rese, (SELECT unnest(range(0, 8)) AS s)),
+        |${trainedCbChainOn("rsv", "t")},
+        |${trainedEncodeOn("rsv", "t")},
+        |qres AS (SELECT p.query_id, p.cid,
+        |    list_transform(range(1, 65), i -> qe.v[i] - c.cv[i]) AS qv
+        |  FROM tprobes p JOIN e qe ON qe.vec_id = p.query_id
+        |  JOIN c3 c ON c.cid = p.cid),
+        |qsv AS (SELECT query_id, cid, CAST(s AS INT) AS sub,
+        |    qv[s*8+1 : s*8+8] AS sv
+        |  FROM qres, (SELECT unnest(range(0, 8)) AS s)),
+        |tlut AS (SELECT q.query_id, q.cid, cb.sub, cb.code,
+        |    ${tpqFold("q", "cb")} AS qd
+        |  FROM qsv q JOIN tcb2 cb USING (sub)),
+        |adc AS (SELECT l.query_id, b.vec_id AS neighbor_id,
+        |    floor((CAST(sum(CAST(floor(l.qd * 1000000.0 + 0.5) AS BIGINT))
+        |        AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS adc_dist
+        |  FROM tbf b
+        |  JOIN asgn a ON a.nid = b.vec_id
+        |  JOIN tlut l ON l.cid = a.cid
+        |    AND l.sub = b.sub AND l.code = b.code
+        |  WHERE b.vec_id <> l.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INT) AS rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dist, neighbor_id) AS rn FROM adc)
+        |WHERE rn <= 5""".stripMargin,
+
+    "q151_adc_recall" ->
+      // exhaustive-ADC and routed-ADC top-10 recomputed through the
+      // q145/q147 scaffolds on the wider 16–47 panel, audited against
+      // the exact full-vector q6 L2 top-10; hit counts recomputed
+      // exactly (the q75 construction, Quantize edition)
+      s"""WITH $PqCodesCte,
+        |${adcLutCteFor(16, 47)},
+        |${ivfRouteCteFor(16, 47)},
+        |adc AS (SELECT l.query_id, b.vec_id AS neighbor_id,
+        |    floor((CAST(sum(CAST(floor(l.qd * 1000000.0 + 0.5) AS BIGINT))
+        |        AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS adc_dist
+        |  FROM best b JOIN lut l ON l.sub = b.sub AND l.code = b.code
+        |  WHERE b.vec_id <> l.query_id
+        |  GROUP BY 1, 2),
+        |adctop AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY adc_dist, neighbor_id) AS rn FROM adc) WHERE rn <= 10),
+        |ivfadc AS (SELECT l.query_id, b.vec_id AS neighbor_id,
+        |    floor((CAST(sum(CAST(floor(l.qd * 1000000.0 + 0.5) AS BIGINT))
+        |        AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS adc_dist
+        |  FROM best b
+        |  JOIN asgn a ON a.nid = b.vec_id
+        |  JOIN probes p ON p.centroid_id = a.centroid_id
+        |  JOIN lut l ON l.query_id = p.query_id
+        |    AND l.sub = b.sub AND l.code = b.code
+        |  WHERE b.vec_id <> l.query_id
+        |  GROUP BY 1, 2),
+        |ivftop AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY adc_dist, neighbor_id) AS rn FROM ivfadc) WHERE rn <= 10),
+        |exl2 AS (SELECT query_id, neighbor_id, rnk FROM (
+        |    SELECT qq.vec_id AS query_id, nn.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+        |        floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |            list_transform(range(1, 65),
+        |              i -> (qq.v[i] - nn.v[i]) * (qq.v[i] - nn.v[i]))),
+        |          (x, y) -> x + y) * 1000000.0 + 0.5) / 1000000.0 ASC,
+        |        nn.vec_id) AS rnk
+        |    FROM e qq CROSS JOIN e nn
+        |    WHERE qq.vec_id BETWEEN 16 AND 47 AND nn.vec_id <> qq.vec_id)
+        |  WHERE rnk <= 10),
+        |ha AS (SELECT x.query_id, count(i.neighbor_id) AS n_hits_adc
+        |  FROM exl2 x LEFT JOIN adctop i
+        |    ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
+        |  GROUP BY 1),
+        |hv AS (SELECT x.query_id, count(i.neighbor_id) AS n_hits_ivf
+        |  FROM exl2 x LEFT JOIN ivftop i
+        |    ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
+        |  GROUP BY 1),
+        |t1 AS (SELECT query_id, neighbor_id AS exact_top1 FROM exl2 WHERE rnk = 1)
+        |SELECT t.query_id, t.exact_top1, a.n_hits_adc, v.n_hits_ivf,
+        |  (a.n_hits_adc >= 5) AS adc_ge_half, (v.n_hits_ivf >= 5) AS ivf_ge_half
+        |FROM t1 t JOIN ha a USING (query_id) JOIN hv v USING (query_id)""".stripMargin,
 
     "q122_line_clean" ->
       """WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),

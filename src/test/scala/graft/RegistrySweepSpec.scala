@@ -98,6 +98,12 @@ class RegistrySweepSpec extends SparkSpec {
         "fixed 50-probe panel; the audited IVF side routes through " +
         "bounded centroid builds — the unbounded-looking build is the " +
         "broadcast probe panel, constant-sized by the audit's design"),
+    "q151_adc_recall" ->
+      ("q75's justification, Quantize edition: the audit's TRUTH side " +
+        "is the brute-force L2 scorer (Similarity.l2TopK) over a fixed " +
+        "32-probe panel — the unbounded-looking build is the broadcast " +
+        "probe panel, constant-sized by the audit's design; both " +
+        "audited ADC sides score through bounded literal-LUT plans"),
     "q126_corpus_drift" ->
       ("the uncapped groups x vocabulary grid builds on the per-source " +
         "totals frame (one row per source, a data-model constant, the " +
@@ -196,6 +202,17 @@ class RegistrySweepSpec extends SparkSpec {
         "encode's nSub-bounded subspace-order code gather is the only " +
         "buffer; the trainer's own per-(sub, code) mean gather is " +
         "subDim-bounded and runs at build time"),
+    "q150_ivfpq_trained" ->
+      ("q148's justification with both books TRAINED (each a driver " +
+        "literal): the index build is pqEncode over residual rows, so " +
+        "the plan carries the same nSub-bounded subspace-order code " +
+        "gather; the coarse/fine trainers' own gathers are k- and " +
+        "subDim-bounded and run at build time"),
+    "q151_adc_recall" ->
+      ("inherits q125's buffer through the same index-build path as " +
+        "q145/q147 (both audited searches scan the stored code strings, " +
+        "pqEncode's nSub-bounded subspace-order gather); the audit's " +
+        "own hit counting is plain grouped counts"),
     "q127_bpe_encode" ->
       ("Bpe.encodeCorpus reassembles each document's token stream (and " +
         "each word's BPE symbols) in POSITION order — the tokenized " +

@@ -441,9 +441,15 @@ class CurationSpec extends SparkSpec {
         .select("neighbor_id", "rnk").as[(Long, Int)].collect().toSeq
     }
     for (bad <- Seq(
-      97L -> "0_0_0_99", // out-of-range code → array lookup out of bounds
-      98L -> "0_0_0",    // wrong arity → missing subspace read
-      99L -> "bad_codes" // unparseable → cast failure
+      97L -> "0_0_0_99",  // out-of-range code → array lookup out of bounds
+      98L -> "0_0_0",     // wrong arity → missing subspace read
+      99L -> "bad_codes", // unparseable → cast failure
+      // the two shapes ANSI alone MISSED (ADVICE r12) — both used to
+      // score silently: a negative code in subspace j >= 1 reads
+      // another subspace's in-bounds LUT cell, and an over-long string
+      // truncates to its first nSub codes
+      96L -> "0_-1_0_0",
+      95L -> "0_0_0_0_0"
     )) {
       val e = intercept[Exception](runWith(bad))
       assert(!e.isInstanceOf[org.scalatest.exceptions.TestFailedException],
@@ -468,6 +474,28 @@ class CurationSpec extends SparkSpec {
       Quantize.adcTopK(good.select("vec_id", "codes"), "vec_id", "codes",
         queries, "vec_id", "embedding", cb.where(col("code") =!= 3),
         nSub, nCodes, k = 3))
+    // a duplicate (sub, code) row CANCELLING a hole in the raw row
+    // count (ADVICE r12): the old count check passed this shape and the
+    // hole's 0.0 default silently won ranks — the distinct-cell
+    // accounting must abort it
+    val dupCancelsHole = cb
+      .where(!(col("sub") === 0 && col("code") === 3))
+      .union(cb.where(col("sub") === 0 && col("code") === 2))
+    val e = intercept[IllegalArgumentException](
+      Quantize.adcTopK(good.select("vec_id", "codes"), "vec_id", "codes",
+        queries, "vec_id", "embedding", dupCancelsHole, nSub, nCodes, k = 3))
+    assert(e.getMessage.contains("duplicate codebook cell"))
+    // the literal-LUT plan budget (MaxLutCells): a hostile probe panel
+    // must fail loudly BEFORE the driver plans a quarter-million
+    // literals — 8193 probes × 4 × 8 cells crosses the 2^18 cap
+    val hostilePanel = spark.range(8193)
+      .select(col("id").as("vec_id"),
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit(1f)).as("embedding"))
+    val cap = intercept[IllegalArgumentException](
+      Quantize.adcTopK(good.select("vec_id", "codes"), "vec_id", "codes",
+        hostilePanel, "vec_id", "embedding", cb, nSub, nCodes, k = 3))
+    assert(cap.getMessage.contains("literal cells"))
   }
 
   test("trainCodebook: batched subspace training equals independent per-" +

@@ -534,6 +534,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, 1), (3L, 2)))
   }
 
+  test("l2TopK ranks by exact squared L2 with id tiebreak; excludes self; " +
+    "layout cannot change it") {
+    val e = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(3.0f, 4.0f)),  // d2 = 25
+      (3L, Array(1.0f, 1.0f)),                           // d2 = 2
+      (4L, Array(-1.0f, 1.0f))                           // d2 = 2, tie -> id
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.l2TopK(e.where(col("vec_id") === 1), e,
+        "vec_id", "embedding", 3)
+      .select("neighbor_id", "l2_dist", "rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    assert(out == Seq((3L, 2.0, 1), (4L, 2.0, 2), (2L, 25.0, 3)))
+    val repart = Similarity.l2TopK(e.where(col("vec_id") === 1),
+        e.repartition(5), "vec_id", "embedding", 3)
+      .select("neighbor_id", "l2_dist", "rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    assert(repart == out)
+  }
+
   test("nearDupSRP only pairs vectors sharing the SRP bucket") {
     val e = Seq(
       (1L, Array(1.0f, 0.01f), "b"), (2L, Array(1.0f, 0.02f), "b"),

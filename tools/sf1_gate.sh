@@ -57,34 +57,22 @@ else
   exit "$status"
 fi
 
-# Bench the FULL surface at sf1 (same q33 exclusion as the gate): the
-# r06 verdict asked the 43-query bench subset widened — $NAMES is every
-# oracle-gated query, so the timing evidence now covers what the gate
-# covers. Since r10 Bench writes the per-query DETAIL to
-# SPARK_GRAFT_BENCH_OUT itself (stdout carries only the compact summary
-# the driver's tail parser needs), so the artifact is the detail file.
+# Bench the FULL surface at sf1 (same q33 exclusion as the gate) —
+# settled-by-construction since r13 (verdict item 1): bench_grouped.sh
+# runs Bench in FRESH JVMs over ~15-query groups (each with its own
+# warmup + bounded settle + min-of-N reps) and merges the group detail
+# JSONs, so the committed artifact carries the RECHECK-methodology
+# numbers directly instead of needing a side-channel smear recheck.
 # Remove any same-ROUND artifact first: a crashed bench must leave the
 # file MISSING (caught below), not silently pass `test -s` on a stale
-# file from a previous run. Full bench stderr still goes to /tmp (a
-# ~600 KB Spark-warning stream, too big to commit per round), but the
-# DURABLE part lands under evidence/ (ADVICE r10: /tmp is lost on
-# reboot/cleanup and the compact summary's n_errors lived nowhere
-# durable outside the detail JSON): the [bench] marker lines — per-query
-# start order, FAILED messages, write-failure fallback dumps — plus the
-# compact stdout summary line, appended after the run.
+# file from a previous run.
 rm -f "evidence/BENCH_sf1_${ROUND}.json"
 BENCH_LOG="evidence/BENCH_sf1_${ROUND}.log"
-STDERR_TMP="/tmp/bench_sf1_${ROUND}.stderr"
-SPARK_GRAFT_SF_DIR=/root/repo/tmp/sf1 \
-  SPARK_GRAFT_BENCH_OUT="evidence/BENCH_sf1_${ROUND}.json" \
-  sbt -batch "runMain graft.Bench $NAMES" 2>"$STDERR_TMP" \
-  | grep '"metric"' > "/tmp/bench_sf1_${ROUND}.summary" || true
-# '^{' also captures Bench's write-failure fallback dump (the detail
-# JSON lands on stderr as a brace-led line when the file write fails —
-# exactly the case where stderr is the only copy of the measurements)
-grep -E '^\[bench\]|^\{' "$STDERR_TMP" > "$BENCH_LOG" || true
-cat "/tmp/bench_sf1_${ROUND}.summary" >> "$BENCH_LOG"
-cat "/tmp/bench_sf1_${ROUND}.summary"
+NAMES_FILE="/tmp/bench_sf1_${ROUND}.names"
+printf '%s\n' $NAMES > "$NAMES_FILE"
+sh tools/bench_grouped.sh /root/repo/tmp/sf1 \
+  "evidence/BENCH_sf1_${ROUND}.json" "$NAMES_FILE" 15 \
+  2>"$BENCH_LOG" | tee "/tmp/bench_sf1_${ROUND}.summary"
 test -s "evidence/BENCH_sf1_${ROUND}.json" || {
-  echo "sf1 bench detail missing; see $BENCH_LOG and $STDERR_TMP" >&2; exit 1; }
+  echo "sf1 bench detail missing; see $BENCH_LOG" >&2; exit 1; }
 echo "sf1 gate + bench complete; artifacts refreshed under evidence/"
