@@ -93,9 +93,11 @@ object Bench {
     // q150 replays q114's trained k-means + q149's codebook trainer on
     // the residual base + q148's routed search with trained books;
     // q151 replays q145's and q147's searches plus the q24-class
-    // brute-force truth pass — both are compositions of already-benched
-    // pipelines, not new data-volume work
-    "q150_ivfpq_trained", "q151_adc_recall")
+    // brute-force truth pass; q152 replays q145's scan twice (shortlist
+    // + the reorder pin) with a candidate-bounded refine — all three
+    // are compositions of already-benched pipelines, not new
+    // data-volume work
+    "q150_ivfpq_trained", "q151_adc_recall", "q152_adc_refine")
 
   /** JSON string-escape for env-derived values (SPARK_GRAFT_SF_DIR /
     * SPARK_GRAFT_BENCH_OUT) interpolated into the summary line: a path

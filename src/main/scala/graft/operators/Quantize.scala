@@ -424,6 +424,50 @@ object Quantize {
       Seq("query_id"), Seq(col("adc_dist").asc, col("neighbor_id").asc), k)
   }
 
+  /** ADC-shortlist + EXACT-refine top-k — the serving cascade's last
+    * step (Jégou et al. 2011 §V-D's reranking; FAISS's IndexRefineFlat):
+    * the cheap [[adcTopK]] scan bounds a candidate shortlist (`kShort`
+    * per query), the TRUE squared-L2 distance is computed for shortlist
+    * members ONLY, and the final top-k ranks on it. Exact-distance work
+    * is O(nQueries × kShort) — never corpus-sized — the q128
+    * BM25→dense cascade move, quantization edition: recall recovers
+    * wherever quantization error reordered true neighbors WITHIN the
+    * shortlist, at a cost the caller bounds.
+    *
+    * Scale shape: the shortlist (nQueries × kShort rows, caller
+    * constants) broadcasts into an equi-join against the embedding
+    * table, so candidate vectors are fetched without a data-sized
+    * shuffle; the query panel broadcasts the same way; the only
+    * remaining shuffle is the final (panel-bounded) top-k.
+    *
+    * Determinism: the refine distance is the q6 ORDERED full-vector
+    * fold (the [[Similarity.l2TopK]] contract) with (dist asc, id asc)
+    * ranking, so the refined list replays bit-for-bit.
+    */
+  def adcRefineTopK(codes: DataFrame, idCol: String, codesCol: String,
+                    queries: DataFrame, qidCol: String, qvecCol: String,
+                    emb: DataFrame, evecCol: String,
+                    codebook: DataFrame, nSub: Int, nCodes: Int,
+                    kShort: Int, k: Int,
+                    excludeSelf: Boolean = false): DataFrame = {
+    require(kShort >= k && k >= 1, "adcRefineTopK needs kShort >= k >= 1")
+    val shortlist = adcTopK(codes, idCol, codesCol, queries, qidCol, qvecCol,
+        codebook, nSub, nCodes, kShort, excludeSelf)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(qidCol).cast("long").as("query_id"),
+      VectorFns.asDouble(col(qvecCol)).as("__qv"))
+    val c = emb.select(col(idCol).cast("long").as("neighbor_id"),
+      VectorFns.asDouble(col(evecCol)).as("__cv"))
+    val d2 = Portable.q6(aggregate(
+      zip_with(col("__qv"), col("__cv"), (a: Column, b: Column) => (a - b) * (a - b)),
+      lit(0.0), (acc: Column, y: Column) => acc + y))
+    val refined = c.join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), d2.as("l2_dist"))
+    Rankings.topKPerGroup(refined, Seq("query_id"),
+      Seq(col("l2_dist").asc, col("neighbor_id").asc), k)
+  }
+
   /** Deterministic Lloyd training of the per-subspace PQ codebooks —
     * the step between [[seededCodebook]] and production IVF-PQ, and
     * the Quantize twin of [[Similarity.kMeansCentroids]] (same

@@ -300,6 +300,43 @@ object CurationQueries {
           (col("n_hits_ivf") >= 5).as("ivf_ge_half"))
     },
 
+    "q152_adc_refine" -> { (s, d) =>
+      // The serving cascade's LAST step (Quantize.adcRefineTopK —
+      // Jégou et al. 2011 §V-D reranking, FAISS IndexRefineFlat): the
+      // cheap ADC scan shortlists 50 candidates per probe, the TRUE q6
+      // L2 distance is computed for shortlist members only, and the
+      // final top-10 ranks on it — exact-distance work bounded at
+      // nQueries × kShort, never corpus-sized (the q128 BM25→dense
+      // cascade move, quantization edition). Same 16–47 panel and
+      // seeded 8×16 book as q151, so the oracle shares PqCodesCte +
+      // adcLutCteFor(16,47) and the refine fold shares q151's exact-L2
+      // tokens (l2FoldSql).
+      val emb = Tables(s, d).embeddings
+      val cb = Quantize.seededCodebook(emb, "vec_id", "embedding", nSub = 8, nCodes = 16)
+      val codes = Quantize.pqEncode(emb, "vec_id", "embedding", nSub = 8, cb)
+      // persisted: the refine shortlist scan and the liveness pin's raw
+      // ADC scan read the same stored codes (corpus-row-sized; the
+      // contract mains clear caches per query)
+      codes.persist()
+      val probes = emb.where(col("vec_id").between(16, 47))
+      val out = Quantize.adcRefineTopK(codes, "vec_id", "codes", probes,
+        "vec_id", "embedding", emb, "embedding", cb, nSub = 8, nCodes = 16,
+        kShort = 50, k = 10, excludeSelf = true)
+      // liveness: refinement must genuinely reorder on the gated
+      // fixture — at least one refined top-10 pick is NOT in the raw
+      // ADC top-10 (otherwise the row gates nothing q145 doesn't).
+      // bounded: both sides are panel × 10 rows
+      val raw = Quantize.adcTopK(codes, "vec_id", "codes", probes,
+          "vec_id", "embedding", cb, nSub = 8, nCodes = 16, k = 10,
+          excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id"))
+      val moved = out.select(col("query_id"), col("neighbor_id"))
+        .except(raw).count()
+      require(moved > 0,
+        "q152: exact refinement must reorder at least one pick vs raw ADC")
+      out
+    },
+
     "q126_corpus_drift" -> { (s, d) =>
       // Distribution-drift report: per-source unigram JS divergence vs
       // the whole corpus (+ token volume and absent-word coverage) —
@@ -725,6 +762,16 @@ object CurationQueries {
        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
        |        ORDER BY dist2, code) AS rn FROM ${p}df) WHERE rn = 1)""".stripMargin
 
+  /** The exact full-vector q6 L2 fold between `(vec_id, v)` aliases —
+    * the Similarity.l2TopK distance, shared by q151's truth ranking and
+    * q152's refine step so the two exact-L2 replays cannot drift.
+    */
+  private def l2FoldSql(l: String, r: String): String =
+    s"floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, 65), i -> ($l.v[i] - $r.v[i]) * " +
+      s"($l.v[i] - $r.v[i]))), (x, y) -> x + y) " +
+      "* 1000000.0 + 0.5) / 1000000.0"
+
   def adcLutCteFor(lo: Int, hi: Int): String =
     s"""q AS (SELECT vec_id AS query_id, sub, sv FROM sv
       |  WHERE vec_id BETWEEN $lo AND $hi),
@@ -907,10 +954,7 @@ object CurationQueries {
         |exl2 AS (SELECT query_id, neighbor_id, rnk FROM (
         |    SELECT qq.vec_id AS query_id, nn.vec_id AS neighbor_id,
         |      row_number() OVER (PARTITION BY qq.vec_id ORDER BY
-        |        floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |            list_transform(range(1, 65),
-        |              i -> (qq.v[i] - nn.v[i]) * (qq.v[i] - nn.v[i]))),
-        |          (x, y) -> x + y) * 1000000.0 + 0.5) / 1000000.0 ASC,
+        |        ${l2FoldSql("qq", "nn")} ASC,
         |        nn.vec_id) AS rnk
         |    FROM e qq CROSS JOIN e nn
         |    WHERE qq.vec_id BETWEEN 16 AND 47 AND nn.vec_id <> qq.vec_id)
@@ -927,6 +971,31 @@ object CurationQueries {
         |SELECT t.query_id, t.exact_top1, a.n_hits_adc, v.n_hits_ivf,
         |  (a.n_hits_adc >= 5) AS adc_ge_half, (v.n_hits_ivf >= 5) AS ivf_ge_half
         |FROM t1 t JOIN ha a USING (query_id) JOIN hv v USING (query_id)""".stripMargin,
+
+    "q152_adc_refine" ->
+      // ADC shortlist (rn <= 50) through the q145/q151 scaffolds, then
+      // the exact refine: q151's l2FoldSql on (probe, candidate) pairs
+      // only, reranked to the final top-10
+      s"""WITH $PqCodesCte,
+        |${adcLutCteFor(16, 47)},
+        |adc AS (SELECT l.query_id, b.vec_id AS neighbor_id,
+        |    floor((CAST(sum(CAST(floor(l.qd * 1000000.0 + 0.5) AS BIGINT))
+        |        AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS adc_dist
+        |  FROM best b JOIN lut l ON l.sub = b.sub AND l.code = b.code
+        |  WHERE b.vec_id <> l.query_id
+        |  GROUP BY 1, 2),
+        |short AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY adc_dist, neighbor_id) AS rn FROM adc) WHERE rn <= 50),
+        |ref AS (SELECT s.query_id, s.neighbor_id,
+        |    ${l2FoldSql("qq", "nn")} AS l2_dist
+        |  FROM short s
+        |  JOIN e qq ON qq.vec_id = s.query_id
+        |  JOIN e nn ON nn.vec_id = s.neighbor_id)
+        |SELECT query_id, neighbor_id, l2_dist, CAST(rn AS INT) AS rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY l2_dist, neighbor_id) AS rn FROM ref)
+        |WHERE rn <= 10""".stripMargin,
 
     "q122_line_clean" ->
       """WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),

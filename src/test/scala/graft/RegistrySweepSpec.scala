@@ -213,6 +213,10 @@ class RegistrySweepSpec extends SparkSpec {
         "q145/q147 (both audited searches scan the stored code strings, " +
         "pqEncode's nSub-bounded subspace-order gather); the audit's " +
         "own hit counting is plain grouped counts"),
+    "q152_adc_refine" ->
+      ("inherits q125's buffer through the shortlist's index-build path " +
+        "(the ADC scan reads pqEncode's stored code strings); the " +
+        "refine step itself is an equi-join plus a fold — buffer-free"),
     "q127_bpe_encode" ->
       ("Bpe.encodeCorpus reassembles each document's token stream (and " +
         "each word's BPE symbols) in POSITION order — the tokenized " +

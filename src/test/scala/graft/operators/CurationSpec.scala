@@ -498,6 +498,41 @@ class CurationSpec extends SparkSpec {
     assert(cap.getMessage.contains("literal cells"))
   }
 
+  test("adcRefineTopK: a full-corpus shortlist refines to the exact L2 " +
+    "top-k; refined picks stay inside the shortlist") {
+    val nSub = 4; val nCodes = 8
+    val vecs = (0 until 24).map { i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 11 + j * 5) % 17).toFloat / 4f))
+    }.toDF("vec_id", "embedding")
+    val cb = Quantize.seededCodebook(vecs, "vec_id", "embedding", nSub, nCodes)
+    val codes = Quantize.pqEncode(vecs, "vec_id", "embedding", nSub, cb)
+    val queries = vecs.where(col("vec_id").between(8, 11))
+    // kShort = whole corpus: the shortlist can drop nothing, so the
+    // refined ranking IS the exact brute-force L2 ranking — the
+    // recall-recovery limit of the cascade
+    val full = Quantize.adcRefineTopK(codes, "vec_id", "codes", queries,
+        "vec_id", "embedding", vecs, "embedding", cb, nSub, nCodes,
+        kShort = 23, k = 5, excludeSelf = true)
+      .select("query_id", "neighbor_id", "l2_dist")
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Similarity.l2TopK(queries, vecs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "l2_dist")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(full == exact, "full-shortlist refine must equal exact l2TopK")
+    // bounded shortlist: every refined pick must come from it
+    val kShort = 8
+    val shortSet = Quantize.adcTopK(codes, "vec_id", "codes", queries,
+        "vec_id", "embedding", cb, nSub, nCodes, k = kShort,
+        excludeSelf = true)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val refined = Quantize.adcRefineTopK(codes, "vec_id", "codes", queries,
+        "vec_id", "embedding", vecs, "embedding", cb, nSub, nCodes,
+        kShort = kShort, k = 5, excludeSelf = true)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(refined.subsetOf(shortSet),
+      "refined picks escaped the ADC shortlist")
+  }
+
   test("trainCodebook: batched subspace training equals independent per-" +
     "subspace runs; iters=0 is the seed book; layout cannot change it") {
     val vecs = (0 until 30).map { i =>
