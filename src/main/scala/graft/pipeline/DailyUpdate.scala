@@ -102,19 +102,44 @@ object DailyUpdate {
       case None => Formats.writePartitioned(clean, factPath, Seq("d"))
     }
 
-    // 3. derived chain (declarative; a scheduler may parallelize branches)
-    val counts = deriveStages.map { case (name, build) =>
-      val obs = org.apache.spark.sql.Observation()
-      val plan = observedPlan(spark, sfDir, name, build, existing.isDefined,
-        prevTerminal, s"$outDir/$name").observe(obs, count(lit(1)).as("n"))
-      if (name == "first_acquisition")
-        // the incremental plan READS the live state table — write-then-
-        // swap (the upsertSink contract) so the snapshot is never
-        // truncated before its replacement is fully materialized
-        writeSwap(plan, s"$outDir/$name")
-      else plan.write.mode("overwrite").parquet(s"$outDir/$name")
-      name -> obs.get("n").asInstanceOf[Long]
-    }.toMap
+    // 3. derived chain. Every stage reads ONLY the source dir (or, for
+    // the incremental first_acquisition, its own prior-day state) and
+    // writes its own table — no stage consumes another's output — so the
+    // chain is a set of independent jobs, not a dependency chain. Run
+    // them from a small thread pool (guide §2.6: overlap independent
+    // jobs) so the next stage's tasks back-fill executors freed by the
+    // current stage's tail instead of the driver serializing ~25 small
+    // jobs; per-stage plans, writes and Observation counts are unchanged,
+    // so each table's content is byte-identical to the sequential form.
+    // Pool size: enough in-flight jobs to fill the tail, few enough not
+    // to thrash the scheduler (the guide's "2-3 is plenty" scaled to the
+    // many-tiny-stages shape); SPARK_GRAFT_PIPELINE_THREADS overrides.
+    val poolN = math.max(1, math.min(
+      sys.env.getOrElse("SPARK_GRAFT_PIPELINE_THREADS", "8").toInt,
+      math.max(1, deriveStages.size)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(poolN)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val stageFutures = deriveStages.map { case (name, build) =>
+      scala.concurrent.Future {
+        spark.sparkContext.setJobDescription(s"daily_update: $name")
+        val obs = org.apache.spark.sql.Observation()
+        val plan = observedPlan(spark, sfDir, name, build, existing.isDefined,
+          prevTerminal, s"$outDir/$name").observe(obs, count(lit(1)).as("n"))
+        if (name == "first_acquisition")
+          // the incremental plan READS the live state table — write-then-
+          // swap (the upsertSink contract) so the snapshot is never
+          // truncated before its replacement is fully materialized
+          writeSwap(plan, s"$outDir/$name")
+        else plan.write.mode("overwrite").parquet(s"$outDir/$name")
+        name -> obs.get("n").asInstanceOf[Long]
+      }
+    }
+    val counts =
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(stageFutures),
+        scala.concurrent.duration.Duration.Inf).toMap
+      finally pool.shutdown()
 
     counts + ("fact_events_clean" -> Formats.readParquet(spark, factPath).count()) +
       ("date_gaps_found" -> gaps)

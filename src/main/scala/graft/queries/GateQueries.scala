@@ -110,7 +110,7 @@ object GateQueries {
     out
   }
 
-  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+  private val rawQueries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
 
     "q67_sketch_accuracy" -> { (s, d) =>
       // Approx-vs-exact audit: one row per (check family, key) with the
@@ -2024,6 +2024,51 @@ object GateQueries {
           col("n_copies"))
     }
   )
+
+  /** The gates that START A STREAMING QUERY. Every stateful shuffle in a
+    * streaming micro-batch runs at the session's
+    * `spark.sql.shuffle.partitions`: AQE cannot coalesce it (AQE is
+    * disabled for stateful workloads) and the width is pinned into the
+    * checkpoint at first start. These fixtures are key-capped to a
+    * constant few thousand rows at EVERY SF (the streaming-gate
+    * convention), so a scan-sized width buys no parallelism and
+    * multiplies pure machinery per micro-batch: one scheduled task per
+    * partition per stateful stage, one state-store load+delta-commit per
+    * partition PER stateful operator (a stream-stream join keeps four
+    * stores per partition), and one sink file per non-empty partition.
+    */
+  private val streamingGates: Set[String] = Set(
+    "q74_stream_neardup", "q78_stream_upsert", "q79_stream_funnel",
+    "q80_stream_sessionize", "q81_stream_rollup", "q82_stream_dedup",
+    "q83_stream_enrich", "q84_stream_interval_join", "q87_stream_late_data",
+    "q89_stream_recovery", "q93_stream_late_sessionize",
+    "q94_stream_sessionize_recovery", "q95_landing_stream",
+    "q97_stream_late_funnel", "q98_stream_late_dedup",
+    "q99_stream_late_interval_join", "q100_neardup_recovery",
+    "q101_parquet_landing", "q115_stream_left_interval_join",
+    "q117_available_now_catchup")
+
+  /** Streaming gates run with the shuffle width pinned to the FIXTURE's
+    * scale (guide §2: partitioning must track data volume; here a few
+    * thousand rows per batch), restored afterwards so batch queries keep
+    * the session's scan-sized width. `SPARK_GRAFT_STREAM_PARTS` overrides
+    * for deployments feeding real volume, where the right width derives
+    * from sustained per-batch bytes, not the machine's core count.
+    * Results are unchanged: the stateful ops process each key's rows in
+    * explicitly sorted order, joins/aggregations are order-free sets, and
+    * the dedup fixtures re-deliver exact copies / unique ids (q82/q98
+    * docs), so no output depends on which partition a key lands in.
+    */
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    rawQueries.map { case (name, f) =>
+      if (!streamingGates(name)) name -> f
+      else name -> { (s: org.apache.spark.sql.SparkSession, d: String) =>
+        val key = "spark.sql.shuffle.partitions"
+        val prev = s.conf.get(key)
+        s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
+        try f(s, d) finally s.conf.set(key, prev)
+      }
+    }
 
   /** The trained-k-means replay shared by q75 (IVF recall) and q114
     * (SemDeDup): the same three unrolled Lloyd iterations the Spark
