@@ -225,8 +225,12 @@ object CurationQueries {
       res.persist()
       val cbRes = Quantize.trainCodebook(res, "vec_id", "rvec",
         nSub = 8, nCodes = 16, iters = 2)
-      val index = Quantize.pqEncode(res, "vec_id", "rvec", nSub = 8, cbRes)
-        .join(lists, Seq("vec_id"))
+      // encoded ONCE and persisted (the q149 move, r13): the index join
+      // below and the tightening pin both read this frame — unpersisted,
+      // the pin re-ran the full trained encode over the residual corpus
+      val enc = Quantize.pqEncode(res, "vec_id", "rvec", nSub = 8, cbRes)
+        .persist()
+      val index = enc.join(lists, Seq("vec_id"))
       val out = Quantize.ivfAdcResidualTopK(index, "vec_id", "codes",
         "centroid_id", emb.where(col("vec_id").between(16, 19)),
         "vec_id", "embedding", cents, cbRes, nSub = 8, nCodes = 16,
@@ -239,8 +243,7 @@ object CurationQueries {
       // bounded: two 1-row recon-error scalars — the q149 pin on the
       // RESIDUAL base: fine-training must genuinely tighten the fit
       // bounded: 1-row scalar aggregate
-      val trained = Quantize.pqEncode(res, "vec_id", "rvec", nSub = 8, cbRes)
-        .agg(sum(col("recon_err"))).collect()(0).getDouble(0)
+      val trained = enc.agg(sum(col("recon_err"))).collect()(0).getDouble(0)
       // bounded: 1-row scalar aggregate
       val seeded = Quantize.pqEncode(res, "vec_id", "rvec", nSub = 8,
           Quantize.seededCodebook(res, "vec_id", "rvec", nSub = 8, nCodes = 16))

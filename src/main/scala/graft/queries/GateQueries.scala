@@ -76,8 +76,6 @@ object GateQueries {
     // same truncation class the streaming fixtures fixed in r07)
     val (mnUs, mxUs) = (us(mm.getTimestamp(0)), us(mm.getTimestamp(1)))
     val split = microTs(mnUs + (mxUs - mnUs) / 2)
-    ev.where(col("ts") <= lit(split)).write.parquet(s"$day1/events.parquet")
-    ev.write.parquet(s"$day2/events.parquet")
 
     // non-event tables are identical on both days: write the capped
     // ones once under shared/ and symlink; small fixed-cardinality
@@ -85,14 +83,28 @@ object GateQueries {
     val shared = root.resolve("shared")
     JFiles.createDirectories(shared)
     val ords = t.orders.where(col("o_custkey") < 150)
-    t.customer.where(col("c_custkey") < 150)
-      .write.parquet(s"$shared/customer.parquet")
-    ords.write.parquet(s"$shared/orders.parquet")
-    t.lineitem.join(ords.select(col("o_orderkey")),
-        col("l_orderkey") === col("o_orderkey"), "left_semi")
-      .write.parquet(s"$shared/lineitem.parquet")
-    t.documents.where(col("doc_id") < 500)
-      .write.parquet(s"$shared/documents.parquet")
+    // the six fixture writes are independent of each other — submit them
+    // from a small pool (guide §2.6, the DailyUpdate.run stage move) so
+    // the capped-table scans overlap instead of serializing six small jobs
+    locally {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      val writes = Seq[() => Unit](
+        () => ev.where(col("ts") <= lit(split)).write.parquet(s"$day1/events.parquet"),
+        () => ev.write.parquet(s"$day2/events.parquet"),
+        () => t.customer.where(col("c_custkey") < 150)
+          .write.parquet(s"$shared/customer.parquet"),
+        () => ords.write.parquet(s"$shared/orders.parquet"),
+        () => t.lineitem.join(ords.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .write.parquet(s"$shared/lineitem.parquet"),
+        () => t.documents.where(col("doc_id") < 500)
+          .write.parquet(s"$shared/documents.parquet"))
+      try Await.result(Future.sequence(writes.map(w => Future(w()))),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    }
     Seq("customer", "orders", "lineitem", "documents").foreach { n =>
       JFiles.createSymbolicLink(day1.resolve(s"$n.parquet"), shared.resolve(s"$n.parquet"))
       JFiles.createSymbolicLink(day2.resolve(s"$n.parquet"), shared.resolve(s"$n.parquet"))
@@ -2065,7 +2077,7 @@ object GateQueries {
       else name -> { (s: org.apache.spark.sql.SparkSession, d: String) =>
         val key = "spark.sql.shuffle.partitions"
         val prev = s.conf.get(key)
-        s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
+        s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "2"))
         try f(s, d) finally s.conf.set(key, prev)
       }
     }
