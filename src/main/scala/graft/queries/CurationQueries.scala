@@ -91,9 +91,14 @@ object CurationQueries {
       val emb = Tables(s, d).embeddings
       val cb = Quantize.seededCodebook(emb, "vec_id", "embedding", nSub = 8, nCodes = 16)
       val codes = Quantize.pqEncode(emb, "vec_id", "embedding", nSub = 8, cb)
+      // persisted (r13): two actions consume it — the top-5 pin below
+      // and the returned frame; unpersisted, each re-ran encode + the
+      // full ADC code scan (bounded frame: nQueries × k rows; the
+      // contract mains clear caches per query)
       val out = Quantize.adcTopK(codes, "vec_id", "codes",
         emb.where(col("vec_id").between(16, 19)), "vec_id", "embedding",
         cb, nSub = 8, nCodes = 16, k = 5, excludeSelf = true)
+        .persist()
       // bounded: <= nQueries rows (one count per probe)
       val perQ = out.groupBy(col("query_id")).count().collect()
       require(perQ.length == 4 && perQ.forall(_.getLong(1) == 5),
@@ -216,7 +221,12 @@ object CurationQueries {
       import graft.operators.Similarity
       val cents = Similarity.kMeansCentroids(emb, "vec_id", "embedding",
         k = 16, iters = 3)
+      // persisted: three consumers (the residual build, the index join,
+      // the occupied-lists pin) — unpersisted, each re-ran the corpus ×
+      // centroids assignment pass (corpus-row-sized; the contract mains
+      // clear caches per query)
       val lists = Similarity.assignToCentroids(emb, "vec_id", "embedding", cents)
+        .persist()
       val res = Quantize.residuals(emb, "vec_id", "embedding",
         lists, "centroid_id", cents)
       // persisted: the trainer makes 2×2 passes and the encode one more
@@ -286,6 +296,11 @@ object CurationQueries {
         "vec_id", "codes", "centroid_id", probes, "vec_id", "embedding",
         cents, cb, nSub = 8, nCodes = 16, nProbe = 3, k = 10,
         excludeSelf = true)
+      // NOT persisted (probed r13, A/B at equal JVM warmth): all three
+      // consumers (top1 + both hits joins) sit inside the ONE returned
+      // plan, where Spark already dedupes the identical brute-force
+      // subtree (ReusedExchange/ReuseSubquery) — a persist measured no
+      // gain and just adds cache residency
       val exact = Similarity.l2TopK(probes, emb, "vec_id", "embedding", k = 10)
       def hits(approx: DataFrame, as: String): DataFrame =
         exact.as("x").join(approx.as("i"),
@@ -322,9 +337,14 @@ object CurationQueries {
       // contract mains clear caches per query)
       codes.persist()
       val probes = emb.where(col("vec_id").between(16, 47))
+      // persisted: two consumers (the liveness pin's except() and the
+      // returned frame) — unpersisted, the pin re-ran the whole
+      // shortlist+refine cascade (bounded frame: panel × 10 rows; the
+      // contract mains clear caches per query)
       val out = Quantize.adcRefineTopK(codes, "vec_id", "codes", probes,
         "vec_id", "embedding", emb, "embedding", cb, nSub = 8, nCodes = 16,
         kShort = 50, k = 10, excludeSelf = true)
+        .persist()
       // liveness: refinement must genuinely reorder on the gated
       // fixture — at least one refined top-10 pick is NOT in the raw
       // ADC top-10 (otherwise the row gates nothing q145 doesn't).
@@ -565,10 +585,15 @@ object CurationQueries {
         .collect().map(_.getString(0)).sorted
       require(classes.sameElements(Array("de", "en", "es", "fr", "zh")),
         s"q141: the oracle unrolls exactly the 5 fixture languages, got ${classes.toSeq}")
+      // persisted (r13): two actions consume it — the interior pin and
+      // the returned frame; unpersisted, each re-ran the full 5-class
+      // 2-iteration training (bounded frame: one row per doc; the
+      // contract mains clear caches per query)
       val out = Classifier.logisticTrainOneVsRest(docs, "doc_id", "text", "lang",
         nBuckets = 64, iters = 2, lr = 0.5, salt = "lid141",
         tokens = t => Classifier.charNgrams(
           array_join(slice(split(t, " "), 1, 6), " "), 3))
+        .persist()
       // liveness pin: the scores must occupy the sigmoid's interior —
       // a saturated fixture (every score exactly 0/1) would gate only
       // the priors, not the margin arithmetic. Bounded scalar.
@@ -611,8 +636,13 @@ object CurationQueries {
       import graft.operators.Similarity
       val asgn = Similarity.assignToCentroids(emb, "vec_id", "embedding",
         Similarity.kMeansCentroids(emb, "vec_id", "embedding", k = 16, iters = 3))
+      // persisted (r13): two actions consume it — the cap-bites pin and
+      // the returned frame; unpersisted, each re-ran the corpus ×
+      // centroids assignment + cap (bounded frame: <= 12 rows per
+      // cluster; the contract mains clear caches per query)
       val out = Sampling.capPerStratum(asgn, "centroid_id", "vec_id",
         maxN = 12, salt = "div133")
+        .persist()
       val kept = out.count(); val total = emb.count()
       require(kept < total, s"q133: cap must bite ($kept of $total kept)")
       out

@@ -342,9 +342,14 @@ object ExtendedQueries {
       // the gated fixture at every SF (pinned below: the capped branch
       // and the fractional branch must BOTH appear, or the fixture
       // tests nothing).
+      // persisted (r13): two actions consume it — the branch pin and the
+      // returned frame; unpersisted, each re-ran the corpus scan + count
+      // aggregation (bounded frame: one row per kept doc; the contract
+      // mains clear caches per query)
       val out = Sampling.temperatureMix(Tables(s, d).documents, "lang",
           "doc_id", scale = 0.45, salt = "tmix")
         .select(col("doc_id"), col("lang"), col("mix_rate"))
+        .persist()
       // bounded collect: one rate per language (5)
       val rates = out.select(col("mix_rate")).distinct().collect()
         .map(_.getDouble(0))

@@ -1598,9 +1598,14 @@ object GateQueries {
           col("day") > lit(minDay))
         .unionByName(ev.where(col("event_id") % 1009 === 5)
           .withColumn("day", date_add(col("day"), 10000)))
+      // persisted (r13): two actions consume it — the all-classes pin
+      // and the returned frame; unpersisted, each re-ran the full
+      // two-sided reconcile aggregation (bounded frame: one row per day;
+      // the contract mains clear caches per query)
       val out = graft.operators.Reconcile.diff(ev, right, "day", rowKey)
         .select(col("day").cast("timestamp").as("day"),
           col("l_n_rows"), col("r_n_rows"), col("status"))
+        .persist()
       val statuses = out.select(col("status")).distinct()
         // bounded: distinct status labels (<= 4 classes)
         .collect().map(_.getString(0)).toSet
@@ -1629,8 +1634,15 @@ object GateQueries {
         .select(col("c_custkey"))
       val bloom = graft.operators.Pruning.buildBloom(keys, "c_custkey",
         expectedItems = 4096L, fpp = 0.01)
+      // persisted (r13): `pre` feeds the kept-count pin AND the verify
+      // join (bloom would otherwise evaluate over the fact scan twice),
+      // `result` feeds the exact-count pin AND the returned frame.
+      // Gate-pin residency only — the Pruning operator itself persists
+      // nothing; the contract mains clear caches per query.
       val pre = graft.operators.Pruning.bloomPrefilter(fact, "user_id", bloom)
+        .persist()
       val result = pre.join(keys, pre("user_id") === col("c_custkey"), "left_semi")
+        .persist()
       val (total, kept, exact) = (fact.count(), pre.count(), result.count())
       require(kept >= exact,
         s"q105: bloom prefilter must be a superset of the semi-join ($kept < $exact)")

@@ -211,6 +211,12 @@ object LLMQueries {
       val assigned = docs.select(col("doc_id")).join(comp, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      // NOT persisted (probed r13): the splits pin re-runs only the
+      // cheap docs ⋈ checkpointed-components join (comp is
+      // CC-materialized), and a persist here would RETAIN comp's
+      // localCheckpoint RDD through the cache entry's lineage past
+      // catalog.clearCache() — the residency GraphSpec's clean-cache
+      // invariant (and the per-session cache contract) forbids
       val out = Sampling.groupSplit(assigned, "cluster_id", "q136",
         trainFrac = 0.8, validFrac = 0.1)
       val splits = out.select(col("split")).distinct().count()
@@ -421,9 +427,14 @@ object LLMQueries {
       val toks = Tables(s, d).documents.select(col("doc_id"), col("lang"),
         size(TextFns.words(col("text"))).cast("long").as("n_tokens"))
       val total = toks.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+      // persisted (r13): two actions consume it — the branch pin and the
+      // returned frame; unpersisted, each re-ran the corpus tokenize +
+      // per-language aggregation (bounded frame: one row per target
+      // language; the contract mains clear caches per query)
       val out = Sampling.tokenBudgetPlan(toks, "doc_id", "lang", "n_tokens",
         Map("en" -> 0.3, "de" -> 0.1, "es" -> 0.1, "fr" -> 0.1, "zh" -> 0.4),
         budgetTokens = total / 2, salt = "mix121")
+        .persist()
       // bounded: one row per target language (the plan frame is per-group)
       val rates = out.select(col("rate")).collect().map(_.getDouble(0))
       require(rates.exists(_ == 1.0) && rates.exists(_ < 1.0),
