@@ -141,6 +141,20 @@ object Bench {
       // driver fixtures carry naive µs timestamps: read as TIMESTAMP, not NTZ
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // Cap driver status-store retention (guide §5: the driver should do
+      // almost no data work). Defaults keep the last 1000 SQL executions'
+      // PLAN STRINGS and 1000 jobs/stages of metrics in driver old-gen —
+      // and this suite's plans include the ADC literal-LUT projections
+      // (megabyte-scale plan text), so by the harness section the
+      // accumulated status store was GC-taxing exactly the gates that
+      // submit jobs concurrently: q86/q92 measured 18.7/16.4 s late in
+      // the full 152-query suite vs 10.2/10.1 s in a 30-query session
+      // (same code, same load). Nothing reads this state here — the UI
+      // is disabled; the caps are scale-independent session hygiene.
+      .config("spark.sql.ui.retainedExecutions", "16")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "10000")
       // bucketed-table gates (q88) saveAsTable; keep the warehouse out of
       // the repo and isolated per run
       .config("spark.sql.warehouse.dir",

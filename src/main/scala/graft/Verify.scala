@@ -19,6 +19,13 @@ object Verify {
       // driver fixtures carry naive µs timestamps: read as TIMESTAMP, not NTZ
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // cap driver status-store retention across the 152-query session —
+      // same rationale and values as Bench (guide §5; UI disabled,
+      // nothing reads the retained plan strings / job metrics)
+      .config("spark.sql.ui.retainedExecutions", "16")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "10000")
       // bucketed-table gates (q88) saveAsTable; keep the warehouse out of
       // the repo and isolated per run (two concurrent sbt sessions must
       // not share ./spark-warehouse)

@@ -2049,8 +2049,9 @@ object GateQueries {
     }
   )
 
-  /** The gates that START A STREAMING QUERY. Every stateful shuffle in a
-    * streaming micro-batch runs at the session's
+  /** The gates whose streaming query runs a STATEFUL operator (windowed
+    * agg, fMGWS, dropDuplicatesWithinWatermark, stream-stream join).
+    * Every stateful shuffle in a micro-batch runs at the session's
     * `spark.sql.shuffle.partitions`: AQE cannot coalesce it (AQE is
     * disabled for stateful workloads) and the width is pinned into the
     * checkpoint at first start. These fixtures are key-capped to a
@@ -2060,17 +2061,19 @@ object GateQueries {
     * partition per stateful stage, one state-store load+delta-commit per
     * partition PER stateful operator (a stream-stream join keeps four
     * stores per partition), and one sink file per non-empty partition.
+    * Deliberately EXCLUDED (measured regressions under a narrow width,
+    * full-suite A/B r13): the foreachBatch sinks (q74/q100 near-dup,
+    * q78/q89 upsert) and the stateless stream gates (q83 enrich,
+    * q95/q101 landing, q117 catch-up) — their per-batch work is ordinary
+    * BATCH jobs (AQE already coalesces those), and pinning them narrow
+    * serialized real work: q74 6.7→7.8 s, q117 2.0→3.1 s.
     */
   private val streamingGates: Set[String] = Set(
-    "q74_stream_neardup", "q78_stream_upsert", "q79_stream_funnel",
-    "q80_stream_sessionize", "q81_stream_rollup", "q82_stream_dedup",
-    "q83_stream_enrich", "q84_stream_interval_join", "q87_stream_late_data",
-    "q89_stream_recovery", "q93_stream_late_sessionize",
-    "q94_stream_sessionize_recovery", "q95_landing_stream",
+    "q79_stream_funnel", "q80_stream_sessionize", "q81_stream_rollup",
+    "q82_stream_dedup", "q84_stream_interval_join", "q87_stream_late_data",
+    "q93_stream_late_sessionize", "q94_stream_sessionize_recovery",
     "q97_stream_late_funnel", "q98_stream_late_dedup",
-    "q99_stream_late_interval_join", "q100_neardup_recovery",
-    "q101_parquet_landing", "q115_stream_left_interval_join",
-    "q117_available_now_catchup")
+    "q99_stream_late_interval_join", "q115_stream_left_interval_join")
 
   /** Streaming gates run with the shuffle width pinned to the FIXTURE's
     * scale (guide §2: partitioning must track data volume; here a few
