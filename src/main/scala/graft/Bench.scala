@@ -274,6 +274,14 @@ object Bench {
         val p = java.nio.file.Paths.get(detailPath)
         Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
         java.nio.file.Files.write(p, (detailJson + "\n").getBytes("UTF-8"))
+        // ALSO write a per-core-count copy (r13 verdict item 1): the
+        // driver benches at two core counts and both runs default to the
+        // same detail path, so the 8-core detail OVERWRITES the 32-core
+        // one and per-query core-scaling evidence is lost. The _c$cpus
+        // copy is additive — the legacy path keeps its meaning.
+        val pc = java.nio.file.Paths.get(
+          detailPath.replaceAll("\\.json$", "") + s"_c$cpus.json")
+        java.nio.file.Files.write(pc, (detailJson + "\n").getBytes("UTF-8"))
         detailPath
       } catch { case t: Throwable =>
         // a failed file write must not lose the run: dump the detail to
@@ -282,6 +290,16 @@ object Bench {
         System.err.println(detailJson)
         s"WRITE FAILED ($detailPath): detail on stderr"
       }
+    // Full driver-contract line (metric/value/unit/queries/sf), printed
+    // BEFORE the compact summary (r13 verdict item 1: PERF is per-query
+    // blind). It cannot REPLACE the summary: the driver parses a 2000-char
+    // stdout tail (BENCH_r12/r13 artifacts both carry exactly 2000 chars),
+    // and 152 full query names alone are ~4.5 KB — a final line that long
+    // is the precise failure mode that produced parsed:null in r07-r09.
+    // Printed first, it is additive: a tail-scanning parser still finds
+    // the intact compact summary as the final line, and a full-stdout
+    // parser gains the per-query map.
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"${jstr(sfDir)}","n_queries":${results.size},"n_errors":${failed.size}}""")
     // the summary's error list is CAPPED so a mass-failure run (every
     // query erroring → ~4.4 KB of names) cannot push the line back past
     // the driver's 2000-char tail — the full list is in the detail file

@@ -79,7 +79,10 @@ object Similarity {
     * trick (Kirsch & Mitzenmacher 2006): pairwise hash quality is what
     * banding needs, full mutual independence is not.
     */
-  def minHashSignatures(shingles: DataFrame, numSeeds: Int): DataFrame = {
+  /** One row per id with all numSeeds minima as COLUMNS — the shared
+    * aggregation core of [[minHashSignatures]] and [[minHashBandKeys]].
+    */
+  private def minHashWide(shingles: DataFrame, numSeeds: Int): DataFrame = {
     require(numSeeds >= 1, "numSeeds must be positive")
     val M = 4294967296L // 2^32
     val mins = (0 until numSeeds).map(s =>
@@ -96,8 +99,32 @@ object Similarity {
         element_at(col("__h"), 2).as("b"))
       .groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
+  }
+
+  def minHashSignatures(shingles: DataFrame, numSeeds: Int): DataFrame =
+    minHashWide(shingles, numSeeds)
       .select(col("id"),
         posexplode(array((0 until numSeeds).map(s => col(s"__m$s")): _*)).as(Seq("seed", "minh")))
+
+  /** (id, band, band_key) rows computed DIRECTLY from the wide per-id
+    * aggregate — one shuffle, where `bandKeys(minHashSignatures(...))`
+    * pays two (the signature groupBy, then the band re-groupBy of the
+    * exploded rows). The banding is a pure column slice of the wide row,
+    * so re-grouping what one aggregation already produced was machinery,
+    * not work (guide §2.4: remove shuffles outright). Output is
+    * bit-identical to the two-step form: same band numbering
+    * (seed div rowsPerBand) and the same '_'-joined minima in seed order
+    * (spec-pinned in OperatorsSpec).
+    */
+  def minHashBandKeys(shingles: DataFrame, numSeeds: Int, rowsPerBand: Int): DataFrame = {
+    require(rowsPerBand >= 1, "rowsPerBand must be positive")
+    val bands = (0 until numSeeds).grouped(rowsPerBand).toSeq.zipWithIndex.map {
+      case (seeds, b) => struct(lit(b).as("band"),
+        concat_ws("_", seeds.map(s => col(s"__m$s").cast("string")): _*).as("band_key"))
+    }
+    minHashWide(shingles, numSeeds)
+      .select(col("id"), explode(array(bands: _*)).as("__bb"))
+      .select(col("id"), col("__bb.band").as("band"), col("__bb.band_key").as("band_key"))
   }
 
   /** (id, band, band_key) rows: `rowsPerBand` consecutive signature rows
@@ -154,7 +181,14 @@ object Similarity {
           .where(col("__df") <= maxShingleDF).select(col("shingle")),
         Seq("shingle"), "left_semi")
     val sh = persist(capped)
-    val cands = persist(lshCandidates(minHashSignatures(sh, numSeeds), rowsPerBand, persist))
+    // fused banding (minHashBandKeys): one aggregation instead of
+    // signature groupBy + band re-groupBy — same candidates (r14)
+    val banded = persist(minHashBandKeys(sh, numSeeds, rowsPerBand))
+    val cands = persist(banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct())
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     // intersection join runs on 64-bit shingle hashes: an 8-byte shuffle
     // key instead of the raw n-gram string (collisions ~2^-64 per pair)
@@ -192,20 +226,35 @@ object Similarity {
     * Output: same schema and semantics as [[minHashNearDups]], restricted
     * to pairs with >= 1 incoming member; pairs are (id_a < id_b)
     * normalized regardless of which side is incoming.
+    *
+    * `incomingShingles` / `incomingBands` (r14): a caller that ALSO
+    * stores the incoming side's shingles or band keys (nearDupSink
+    * persists bands per batch) can pass the frames it already built so
+    * the shingle/signature/banding passes are planned ONCE and shared
+    * between the pair search and the caller's store write — instead of
+    * relying on cache-plan matching between two independently-built
+    * plans. Must be exactly [[shingleSets]](incoming)/[[bandKeys]] output
+    * for the same parameters, and already persisted by the caller (they
+    * are multi-consumer here). Results are identical by construction.
     */
   def minHashNearDupsIncremental(base: DataFrame, incoming: DataFrame,
                                  idCol: String, textCol: String,
                                  shingleN: Int, numSeeds: Int, rowsPerBand: Int,
                                  baseSignatures: Option[DataFrame] = None,
                                  baseBands: Option[DataFrame] = None,
-                                 persist: DataFrame => DataFrame = _.cache()): DataFrame = {
-    val incSh = persist(shingleSets(incoming, idCol, textCol, shingleN))
-    val incSig = minHashSignatures(incSh, numSeeds)
-    val incBands = persist(bandKeys(incSig, rowsPerBand))
-    val bBands = baseBands.getOrElse(bandKeys(
-      baseSignatures.getOrElse(
-        minHashSignatures(shingleSets(base, idCol, textCol, shingleN), numSeeds)),
-      rowsPerBand))
+                                 persist: DataFrame => DataFrame = _.cache(),
+                                 incomingShingles: Option[DataFrame] = None,
+                                 incomingBands: Option[DataFrame] = None): DataFrame = {
+    val incSh = incomingShingles.getOrElse(
+      persist(shingleSets(incoming, idCol, textCol, shingleN)))
+    // fused banding where the signatures aren't needed separately (r14)
+    val incBands = incomingBands.getOrElse(
+      persist(minHashBandKeys(incSh, numSeeds, rowsPerBand)))
+    val bBands = baseBands.getOrElse(baseSignatures match {
+      case Some(sig) => bandKeys(sig, rowsPerBand)
+      case None =>
+        minHashBandKeys(shingleSets(base, idCol, textCol, shingleN), numSeeds, rowsPerBand)
+    })
     val allBands = bBands.select(col("id"), col("band"), col("band_key")).union(incBands)
     val cands = persist(incBands.as("a").join(allBands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
@@ -219,9 +268,13 @@ object Similarity {
     // doubles its (id, shingle) rows, inflating sizes and intersections
     // into corrupt jaccards. The incoming text wins (it is the current
     // version), so base rows for incoming ids are anti-joined away.
+    // no distinct() on either id list: both feed ONLY semi/anti joins,
+    // which are set-membership tests — the joins build their hash sets
+    // regardless, so the pre-aggregation was an extra exchange+aggregate
+    // per batch for the same result (guide §2.4) — r14
     val candIds = cands.select(col("id_a").as("id"))
-      .union(cands.select(col("id_b").as("id"))).distinct()
-    val incIds = incoming.select(col(idCol).as("id")).distinct()
+      .union(cands.select(col("id_b").as("id")))
+    val incIds = incoming.select(col(idCol).as("id"))
     val touchedBase = base
       .join(candIds, base(idCol) === candIds("id"), "left_semi")
       .join(incIds, col(idCol) === incIds("id"), "left_anti")

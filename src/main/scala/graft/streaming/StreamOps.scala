@@ -16,6 +16,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** Shuffle width for a STATEFUL streaming query, derived from per-batch
+    * volume (guide §2.2: partition count must track data volume). It has
+    * to be decided up front — AQE cannot coalesce stateful exchanges
+    * (it is disabled for stateful workloads) and the width is pinned
+    * into the checkpoint at first start — so the sizing input is the
+    * SUSTAINED per-batch bytes the deployment expects, not the machine's
+    * core count:
+    *   width = clamp(ceil(perBatchBytes / targetPartitionBytes), 2, sessionWidth)
+    * Floor 2, not 1: a single state partition serializes the stateful
+    * stage and the no-data watermark batches (measured r13: q115 5.4→8.2 s
+    * at width 1). Cap at the session width: a micro-batch cannot use more
+    * concurrency than the session owns, and keeping the cap session-derived
+    * means the same derivation serves local fixtures and a cluster.
+    */
+  def statefulShuffleWidth(perBatchBytes: Long, sessionWidth: Int,
+                           targetPartitionBytes: Long = 64L << 20): Int = {
+    require(targetPartitionBytes > 0, "targetPartitionBytes must be positive")
+    val fromVolume =
+      ((perBatchBytes + targetPartitionBytes - 1) / targetPartitionBytes).toInt
+    math.max(2, math.min(math.max(2, fromVolume), math.max(2, sessionWidth)))
+  }
+
   /** Tumbling-window per-key counts/sums with a watermark bounding state:
     * the streaming form of q12's daily rollup. State per (key, window) is
     * dropped once the watermark passes window end — O(active windows), not
@@ -251,31 +273,90 @@ object StreamOps {
         import graft.operators.Similarity
         import graft.sources.Formats
         val spark = batch.sparkSession
-        val (docsPath, bandsPath, pairsPath) =
-          (s"$storeDir/docs", s"$storeDir/bands", s"$storeDir/pairs")
-        val b = batch.select(col(idCol), col(textCol)).cache()
-        val hPath = new org.apache.hadoop.fs.Path(docsPath)
-        val haveBase =
-          hPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hPath)
-        val base =
-          if (haveBase) spark.read.parquet(docsPath)
-            .where(col("batch_id") < batchId).select(col(idCol), col(textCol))
-          else b.limit(0)
-        val baseBands =
-          if (haveBase) Some(spark.read.parquet(bandsPath)
-            .where(col("batch_id") < batchId))
-          else None
-        val pairs = Similarity.minHashNearDupsIncremental(base, b, idCol, textCol,
-          shingleN, numSeeds, rowsPerBand, baseBands = baseBands)
-        Formats.writePartitioned(pairs.withColumn("batch_id", lit(batchId)),
-          pairsPath, Seq("batch_id"))
-        val bands = Similarity.bandKeys(Similarity.minHashSignatures(
-          Similarity.shingleSets(b, idCol, textCol, shingleN), numSeeds), rowsPerBand)
-        Formats.writePartitioned(bands.withColumn("batch_id", lit(batchId)),
-          bandsPath, Seq("batch_id"))
-        Formats.writePartitioned(b.withColumn("batch_id", lit(batchId)),
-          docsPath, Seq("batch_id"))
-        b.unpersist()
+        // The closure's work is ordinary BATCH queries, but they run on
+        // the stream's CLONED session, where ResolveWriteToStream turned
+        // spark.sql.adaptive.enabled off (AQE can't re-plan stateful
+        // streams). This stream has no stateful operator — the micro-batch
+        // plan is source→foreachBatch and is structurally exempt from AQE
+        // regardless of the conf — so with AQE off the inner pipeline's
+        // ~10 shuffles and all three store writes ran at the session's
+        // full shuffle width with NO coalescing (measured: 32 files per
+        // bands partition per batch at KB volume — guide §2.2/§6 tiny
+        // tasks + tiny files). Re-enable AQE for the inner queries so
+        // shuffle widths and output file counts track per-batch VOLUME
+        // (advisory-size coalescing), at any scale, with no pinned width.
+        val aqeKey = "spark.sql.adaptive.enabled"
+        val aqePrev = spark.conf.get(aqeKey, "true")
+        spark.conf.set(aqeKey, "true")
+        // The multi-consumer frames below are cached, and by default AQE
+        // is skipped INSIDE cached-plan materialization
+        // (canChangeCachedPlanOutputPartitioning=false), so the cached
+        // bands/candidates pinned the session's full shuffle width into
+        // every store file count regardless of the AQE re-enable
+        // (measured: bands wrote 32 files per batch partition either
+        // way). Scoped to this closure; results are partitioning-free.
+        val cacheAqeKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+        val cacheAqePrev = spark.conf.get(cacheAqeKey, "false")
+        spark.conf.set(cacheAqeKey, "true")
+        try {
+          val (docsPath, bandsPath, pairsPath) =
+            (s"$storeDir/docs", s"$storeDir/bands", s"$storeDir/pairs")
+          val b = batch.select(col(idCol), col(textCol)).cache()
+          val hPath = new org.apache.hadoop.fs.Path(docsPath)
+          val haveBase =
+            hPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hPath)
+          val base =
+            if (haveBase) spark.read.parquet(docsPath)
+              .where(col("batch_id") < batchId).select(col(idCol), col(textCol))
+            else b.limit(0)
+          val baseBands =
+            if (haveBase) Some(spark.read.parquet(bandsPath)
+              .where(col("batch_id") < batchId))
+            else None
+          // Incoming shingles and band keys are planned ONCE and shared
+          // between the pair search and the bands-store write (before
+          // r14 the store write re-built the same plan and relied on
+          // cache-plan matching to dodge recomputation).
+          val sh = Similarity.shingleSets(b, idCol, textCol, shingleN).cache()
+          val bands = Similarity.minHashBandKeys(sh, numSeeds, rowsPerBand).cache()
+          val pairs = Similarity.minHashNearDupsIncremental(base, b, idCol, textCol,
+            shingleN, numSeeds, rowsPerBand, baseBands = baseBands,
+            incomingShingles = Some(sh), incomingBands = Some(bands))
+          // The three store writes are independent of EACH OTHER (each
+          // dynamically overwrites only its own batch_id partition, and
+          // every read in this closure is pruned to batch_id < current,
+          // so no write's output is any concurrent job's input) — overlap
+          // them from a small pool (guide §2.6) instead of serializing
+          // three jobs whose tails leave the executors idle. Replay
+          // idempotence is per-write and order-free: a replayed batch
+          // rewrites exactly its own three partitions whichever order
+          // the originals landed in.
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutorService(pool)
+          val writes = Seq(
+            ("pairs", () => Formats.writePartitioned(
+              pairs.withColumn("batch_id", lit(batchId)), pairsPath, Seq("batch_id"))),
+            ("bands", () => Formats.writePartitioned(
+              bands.withColumn("batch_id", lit(batchId)), bandsPath, Seq("batch_id"))),
+            ("docs", () => Formats.writePartitioned(
+              b.withColumn("batch_id", lit(batchId)), docsPath, Seq("batch_id")))
+          ).map { case (which, w) =>
+            scala.concurrent.Future {
+              // job descriptions are thread-local: label each write
+              spark.sparkContext.setJobDescription(s"neardup sink b=$batchId: $which")
+              w()
+            }
+          }
+          try scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(writes),
+            scala.concurrent.duration.Duration.Inf)
+          finally pool.shutdown()
+          sh.unpersist(); bands.unpersist(); b.unpersist()
+        } finally {
+          spark.conf.set(aqeKey, aqePrev)
+          spark.conf.set(cacheAqeKey, cacheAqePrev)
+        }
         ()
       }
       .start()
@@ -313,6 +394,14 @@ object StreamOps {
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // re-enable AQE for the closure's batch queries (the stream's
+        // cloned session has it forced off; the outer source→foreachBatch
+        // plan is structurally exempt either way) so the merge join and
+        // snapshot write coalesce to the batch's volume — see nearDupSink
+        val aqeKey = "spark.sql.adaptive.enabled"
+        val aqePrev = spark.conf.get(aqeKey, "true")
+        spark.conf.set(aqeKey, "true")
+        try {
         val target = new org.apache.hadoop.fs.Path(targetPath)
         val tmp = new org.apache.hadoop.fs.Path(targetPath + ".tmp")
         val old = new org.apache.hadoop.fs.Path(targetPath + ".old")
@@ -338,6 +427,7 @@ object StreamOps {
         }
         require(fs.rename(tmp, target), s"failed to promote $tmp to $target")
         fs.delete(old, true)
+        } finally spark.conf.set(aqeKey, aqePrev)
         ()
       }
       .start()

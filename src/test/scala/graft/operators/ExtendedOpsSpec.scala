@@ -82,6 +82,23 @@ class FuzzySpec extends SparkSpec {
     assert(out == Set((1L, 2L, 1)))
   }
 
+  test("blockedLevenshtein length-band pre-filter keeps boundary-straddling pairs (r14)") {
+    // lengths 5 vs 7 with maxDist=2: len-diff == maxDist exactly, and the
+    // bands (5/3=1, 7/3=2) STRADDLE a band boundary — a band filter that
+    // only joined equal bands would silently drop this pair. Also pin
+    // exactly-once emission (the explode must not duplicate a pair) and
+    // that a len-diff-3 pair stays out.
+    val df = Seq(
+      (1L, "aaaaa", "x"), (2L, "aaaaaxy", "x"),   // lens 5,7 — dist 2, bands 1,2
+      (3L, "aaaaaxyz", "x"),                       // len 8 — dist 3 from id 1
+      (4L, "aaaaa", "x")                           // dup of 1: dist 0, same band
+    ).toDF("id", "name", "grp")
+    val out = Fuzzy.blockedLevenshtein(df, "id", "name", "grp", maxDist = 2)
+      .select($"id_a", $"id_b", $"distance").as[(Long, Long, Int)].collect().toSeq
+    assert(out.size == out.toSet.size, s"duplicated pair rows: $out")
+    assert(out.toSet == Set((1L, 2L, 2), (1L, 4L, 0), (2L, 3L, 1), (2L, 4L, 2)))
+  }
+
   test("symDeleteLevenshtein finds insert/delete/substitute pairs and dup groups") {
     val df = Seq(
       (1L, "alpha", "x"), (2L, "alphb", "x"),   // substitution, distance 1

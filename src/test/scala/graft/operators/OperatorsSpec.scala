@@ -156,6 +156,40 @@ class IncrementalNearDupSpec extends SparkSpec {
     // old∪new set would show size 16 for doc 2
     assert(out == Set((2L, 9L, 8L, 8L)))
   }
+
+  test("minHashBandKeys equals bandKeys(minHashSignatures(...)) bit for bit (r14 fusion)") {
+    val docs = (1L to 25L).map(i => (i, s"alpha$i beta$i gamma delta epsilon zeta${i % 5}"))
+      .toDF("doc_id", "text")
+    val sh = Similarity.shingleSets(docs, "doc_id", "text", 3)
+    // rowsPerBand dividing numSeeds AND a ragged tail band (12 % 5 != 0)
+    for (rpb <- Seq(3, 5)) {
+      val two = Similarity.bandKeys(Similarity.minHashSignatures(sh, 12), rpb)
+        .collect().map(_.toSeq).toSet
+      val one = Similarity.minHashBandKeys(sh, 12, rpb)
+        .collect().map(_.toSeq).toSet
+      assert(one == two && one.nonEmpty, s"rowsPerBand=$rpb")
+    }
+  }
+
+  test("caller-supplied incomingShingles/incomingBands change nothing (r14 sink sharing)") {
+    // the sink passes the exact shingleSets/bandKeys frames it stores; the
+    // result must be bit-identical to letting the operator build them
+    val docs = (
+      (1L until 30L).map(i => (i, s"w$i x$i y$i z$i common tail words here now then")) :+
+        (101L, "w7 x7 y7 z7 common tail words here now then")
+      ).toDF("doc_id", "text")
+    val base = docs.where($"doc_id" % 2 === 0)
+    val incoming = docs.where($"doc_id" % 2 === 1)
+    val own = Similarity.minHashNearDupsIncremental(base, incoming, "doc_id", "text",
+      3, 12, 3).collect().map(_.toSeq).toSet
+    val sh = Similarity.shingleSets(incoming, "doc_id", "text", 3).cache()
+    val bands = Similarity.bandKeys(Similarity.minHashSignatures(sh, 12), 3).cache()
+    val shared = Similarity.minHashNearDupsIncremental(base, incoming, "doc_id", "text",
+      3, 12, 3, incomingShingles = Some(sh), incomingBands = Some(bands))
+      .collect().map(_.toSeq).toSet
+    sh.unpersist(); bands.unpersist()
+    assert(shared == own && shared.nonEmpty)
+  }
 }
 
 class ScrubSpec extends SparkSpec {

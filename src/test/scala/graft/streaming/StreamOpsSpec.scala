@@ -253,4 +253,20 @@ class StreamOpsSpec extends SparkSpec {
       assert(rows().count(_._1 == 1L) == 1, "matched view must not re-emit on eviction")
     } finally q.stop()
   }
+
+  test("statefulShuffleWidth derives from per-batch volume, floored at 2, capped at session") {
+    // KB/MB-scale fixtures → the floor (2): the committed gate default
+    assert(StreamOps.statefulShuffleWidth(2L << 20, sessionWidth = 32) == 2)
+    assert(StreamOps.statefulShuffleWidth(0L, sessionWidth = 32) == 2)
+    // real volume → ceil(bytes / 64 MB): 640 MB → 10 partitions
+    assert(StreamOps.statefulShuffleWidth(640L << 20, sessionWidth = 32) == 10)
+    // exact multiples don't round up an extra partition
+    assert(StreamOps.statefulShuffleWidth(128L << 20, sessionWidth = 32) == 2)
+    assert(StreamOps.statefulShuffleWidth((128L << 20) + 1, sessionWidth = 32) == 3)
+    // capped at the session width; never below the floor even for tiny sessions
+    assert(StreamOps.statefulShuffleWidth(100L << 30, sessionWidth = 32) == 32)
+    assert(StreamOps.statefulShuffleWidth(2L << 20, sessionWidth = 1) == 2)
+    // custom target partition size
+    assert(StreamOps.statefulShuffleWidth(10L << 20, 32, targetPartitionBytes = 1L << 20) == 10)
+  }
 }
