@@ -11,7 +11,7 @@ object ExplainProbe {
       val df = SparkEntry.queries(q)(spark, d)
       df.write.format("noop").mode("overwrite").save()
       println(s"===== $q (final adaptive plan) =====")
-      println(df.queryExecution.executedPlan.toString.take(4000))
+      println(df.queryExecution.executedPlan.toString.take(20000))
     }
     spark.stop()
   }

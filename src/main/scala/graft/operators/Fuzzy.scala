@@ -24,39 +24,28 @@ object Fuzzy {
     */
   def blockedLevenshtein(df: DataFrame, idCol: String, strCol: String,
                          blockCol: String, maxDist: Int): DataFrame = {
-    // Length-band equi-key (r14, guide §3.2 "reduce before the join"):
-    // edit distance is lower-bounded by the length difference, so a pair
-    // with |len(a) - len(b)| > maxDist can never reach the output. With
-    // band = len div (maxDist+1), any surviving pair's bands differ by at
-    // most 1 (a window of 2·maxDist+1 lengths spans at most two bands of
-    // width maxDist+1... plus the boundary band — i.e. bands within ±1),
-    // so joining side a EXPLODED to (band-1, band, band+1) against side
-    // b's band forms each length-compatible pair EXACTLY ONCE (the three
-    // exploded keys are distinct) and never forms the length-impossible
-    // ones — the hash join's probe set drops from block² to
-    // band-adjacent pairs before any per-pair predicate runs. Dropped
-    // pairs all had len-diff > maxDist, where the thresholded levenshtein
-    // returns -1, so the output is IDENTICAL (property-pinned against
-    // symDeleteLevenshtein).
-    //
-    // Repartition on the JOIN key with an EXPLICIT partition count: the
+    // Repartition on the block with an EXPLICIT partition count: the
     // per-pair edit-distance loop runs where the join runs, and a small
     // dim table arrives as one input split, so the whole O(block²)
     // compare would grind on a single task. The count must be explicit —
     // this exchange is compute-bound, not size-bound, and AQE's
     // size-based coalescing would fold a few-MB shuffle right back to one
     // partition (measured: 18.8 s single-task → sub-second spread at
-    // sf0.1 on local[32]). Keys and count match the join exactly, so the
-    // join reuses these exchanges instead of adding its own.
+    // sf0.1 on local[32]).
+    //
+    // Measured non-change (r14, guide §3.2): a length-band equi-key —
+    // band = len div (maxDist+1), side a exploded to band±1 — was
+    // implemented and A/B'd (graft.Q60Probe, sf1 block sizes, min-of-3).
+    // On THIS workload's entity keys every string is the same length
+    // (c_name: {18: 150000} at sf1), so the band prunes nothing while
+    // tripling the probe rows: 94.7 s → 115.2 s (+22%). Rejected; the
+    // thresholded levenshtein already early-exits on length difference,
+    // and genuinely large blocks route to symDeleteLevenshtein via
+    // adaptiveLevenshtein.
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val width = maxDist + 1
-    val base = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-      col(strCol).as("str"), (length(col(strCol)) / width).cast("int").as("__band"))
-    val ea = base.select(col("block"), col("id"), col("str"),
-        explode(array(col("__band") - 1, col("__band"), col("__band") + 1)).as("__vband"))
-      .repartition(parts, col("block"), col("__vband"))
-    val eb = base.repartition(parts, col("block"), col("__band"))
+    val e = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+      col(strCol).as("str")).repartition(parts, col("block"))
     // The distance bound lives IN the join condition, after the id order
     // check: non-equi conjuncts evaluate left to right, so `id <` prunes
     // half the bucket before any levenshtein runs. Single conjunct on
@@ -64,9 +53,8 @@ object Fuzzy {
     // ">= 0" alone is the full predicate and the distance is computed
     // once per surviving candidate (plus once in the projection for the
     // survivors only).
-    ea.as("a").join(eb.as("b"),
-        col("a.block") === col("b.block") && col("a.__vband") === col("b.__band") &&
-          col("a.id") < col("b.id") &&
+    e.as("a").join(e.as("b"),
+        col("a.block") === col("b.block") && col("a.id") < col("b.id") &&
           levenshtein(col("a.str"), col("b.str"), maxDist) >= 0)
       .select(col("a.block").as("block"),
         col("a.id").as("id_a"), col("b.id").as("id_b"),

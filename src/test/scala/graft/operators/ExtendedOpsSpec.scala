@@ -82,12 +82,11 @@ class FuzzySpec extends SparkSpec {
     assert(out == Set((1L, 2L, 1)))
   }
 
-  test("blockedLevenshtein length-band pre-filter keeps boundary-straddling pairs (r14)") {
-    // lengths 5 vs 7 with maxDist=2: len-diff == maxDist exactly, and the
-    // bands (5/3=1, 7/3=2) STRADDLE a band boundary — a band filter that
-    // only joined equal bands would silently drop this pair. Also pin
-    // exactly-once emission (the explode must not duplicate a pair) and
-    // that a len-diff-3 pair stays out.
+  test("blockedLevenshtein: len-diff == maxDist pairs kept, > maxDist out, exactly once (r14)") {
+    // lengths 5 vs 7 with maxDist=2: len-diff == maxDist exactly — any
+    // length-based pre-filter (the r14 band experiment was measured and
+    // rejected, see Fuzzy.scala) must keep this pair. Pins exactly-once
+    // emission and that a len-diff-3 pair stays out.
     val df = Seq(
       (1L, "aaaaa", "x"), (2L, "aaaaaxy", "x"),   // lens 5,7 — dist 2, bands 1,2
       (3L, "aaaaaxyz", "x"),                       // len 8 — dist 3 from id 1
